@@ -1,0 +1,349 @@
+package graft.eval
+
+import graft.json._
+import graft.schema.{CPlan, CompiledSchema}
+import java.util.regex.{Pattern => JPattern}
+import java.util.concurrent.ConcurrentHashMap
+
+/** One (row, constraint) failure. `constraint` is the schema path of the
+  * failing keyword, `detail` is a deterministic human/machine message
+  * including the instance path — the engine's analog of jvst's
+  * INVALID(errcode) (reference:src/validate_vm.h, jvst_invalid_code), but
+  * richer: it carries both paths.
+  */
+final case class Fail(constraint: String, detail: String)
+
+/** Tree-walking evaluator of a CompiledSchema over one JSON value.
+  *
+  * This is (a) the fallback execution backend when the Column backend can't
+  * express a plan (deep recursion, codegen budget) and (b) the differential
+  * oracle the Column backend is property-tested against. It is the moral
+  * equivalent of jvst's VM run loop (reference:src/validate_vm.c,
+  * jvst_vm_run) with the token stream replaced by a materialized value.
+  *
+  * Two modes: `check` (boolean only, allocation-light — used inside
+  * combinators where sub-failures are not violations) and `collect`
+  * (produces Fail rows for conjunctive paths).
+  */
+object RowEval {
+
+  /** Max $ref expansion depth guard (recursive schema over non-shrinking
+    * instance path, e.g. {"$ref":"#"}): beyond this, the value is deemed
+    * invalid with a `$ref.depth` violation rather than looping. */
+  val MaxRefDepth = 256
+
+  private val regexCache = new ConcurrentHashMap[String, JPattern]()
+  def regex(p: String): JPattern = {
+    val cached = regexCache.get(p)
+    if (cached != null) cached
+    else {
+      val compiled = JPattern.compile(p)
+      regexCache.putIfAbsent(p, compiled)
+      compiled
+    }
+  }
+
+  def isValid(cs: CompiledSchema, doc: JValue): Boolean =
+    check(cs.root, doc, cs, 0)
+
+  def isValidText(cs: CompiledSchema, text: String): Boolean =
+    Json.parseOpt(text).exists(v => isValid(cs, v))
+
+  /** All failures for a document; empty iff valid. */
+  def validate(cs: CompiledSchema, doc: JValue): Vector[Fail] = {
+    val out = Vector.newBuilder[Fail]
+    collect(cs.root, doc, cs, "#", "$", 0, out)
+    out.result()
+  }
+
+  def validateText(cs: CompiledSchema, text: String): Vector[Fail] =
+    Json.parseOpt(text) match {
+      case Some(v) => validate(cs, v)
+      case None    => Vector(Fail("_parse.json", "malformed JSON document"))
+    }
+
+  // ---------------------------------------------------------------- check
+
+  def check(p: CPlan, v: JValue, cs: CompiledSchema, depth: Int): Boolean = {
+    import CPlan._
+    p match {
+      case Valid   => true
+      case Invalid => false
+
+      case TypeIs(ts) =>
+        ts.contains(v.tpe) || (v.tpe == "number" && ts.contains("integer") && v.isIntegral)
+
+      case InEnum(canon) => canon.contains(Json.canonical(v))
+
+      case StrPattern(pat) => v match {
+        case JStr(s) => regex(pat).matcher(s).find()
+        case _       => true
+      }
+
+      case NumRange(min, minE, max, maxE) => v match {
+        case JNum(n) =>
+          min.forall(m => if (minE) n > m else n >= m) &&
+          max.forall(m => if (maxE) n < m else n <= m)
+        case _ => true
+      }
+
+      case NumMultipleOf(k) => v match {
+        case JNum(n) => (n remainder k).signum == 0
+        case _       => true
+      }
+
+      case StrLen(min, max) => v match {
+        case JStr(s) =>
+          val n = s.codePointCount(0, s.length)
+          min.forall(n >= _) && max.forall(n <= _)
+        case _ => true
+      }
+
+      case Required(keys) => v match {
+        case o: JObj => keys.forall(o.fields.contains)
+        case _       => true
+      }
+
+      case Props(props, patterns, additional) => v match {
+        case JObj(fs) =>
+          fs.forall { case (k, child) =>
+            val named = props.get(k)
+            val pats  = patterns.filter { case (r, _) => regex(r).matcher(k).find() }
+            val applied = named.toVector ++ pats.map(_._2)
+            val plans = if (applied.nonEmpty) applied else additional.toVector
+            plans.forall(sub => check(sub, child, cs, depth))
+          }
+        case _ => true
+      }
+
+      case PropCount(min, max) => v match {
+        case JObj(fs) => min.forall(fs.size >= _) && max.forall(fs.size <= _)
+        case _        => true
+      }
+
+      case Dependencies(pd, sd) => v match {
+        case o: JObj =>
+          pd.forall { case (k, reqs) =>
+            !o.fields.contains(k) || reqs.forall(o.fields.contains) } &&
+          sd.forall { case (k, sub) =>
+            !o.fields.contains(k) || check(sub, o, cs, depth) }
+        case _ => true
+      }
+
+      case ItemsAll(sub) => v match {
+        case JArr(xs) => xs.forall(x => check(sub, x, cs, depth))
+        case _        => true
+      }
+
+      case ItemsTuple(subs, additional) => v match {
+        case JArr(xs) =>
+          xs.zipWithIndex.forall { case (x, i) =>
+            if (i < subs.length) check(subs(i), x, cs, depth)
+            else additional.forall(a => check(a, x, cs, depth))
+          }
+        case _ => true
+      }
+
+      case ItemCount(min, max) => v match {
+        case JArr(xs) => min.forall(xs.length >= _) && max.forall(xs.length <= _)
+        case _        => true
+      }
+
+      case UniqueItems => v match {
+        case JArr(xs) =>
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          xs.forall(x => seen.add(Json.canonical(x)))
+        case _ => true
+      }
+
+      case AllOf(subs) => subs.forall(s => check(s, v, cs, depth))
+      case AnyOf(subs) => subs.exists(s => check(s, v, cs, depth))
+      case OneOf(subs) => subs.count(s => check(s, v, cs, depth)) == 1
+      case Not(sub)    => !check(sub, v, cs, depth)
+
+      case Ref(target) =>
+        depth < MaxRefDepth && check(cs.resolve(target), v, cs, depth + 1)
+    }
+  }
+
+  // -------------------------------------------------------------- collect
+
+  /** Collect failures along conjunctive structure. Combinator internals
+    * (anyOf/oneOf/not alternatives) use `check` — their sub-failures are not
+    * violations of the document, only the combinator verdict is. */
+  private def collect(p: CPlan, v: JValue, cs: CompiledSchema,
+                      spath: String, ipath: String, depth: Int,
+                      out: scala.collection.mutable.Builder[Fail, Vector[Fail]]): Unit = {
+    import CPlan._
+    def fail(kw: String, msg: String): Unit =
+      out += Fail(s"$spath/$kw".stripPrefix("#/").stripPrefix("#"),
+                  s"$ipath: $msg")
+    p match {
+      case Valid   => ()
+      case Invalid => fail("false", "schema rejects all values")
+
+      case TypeIs(ts) =>
+        if (!check(p, v, cs, depth))
+          fail("type", s"expected ${ts.toSeq.sorted.mkString("|")}, got ${v.tpe}")
+
+      case InEnum(_) =>
+        if (!check(p, v, cs, depth))
+          fail("enum", s"value ${short(v)} not in enum")
+
+      case StrPattern(pat) =>
+        if (!check(p, v, cs, depth))
+          fail("pattern", s"string does not match /$pat/")
+
+      case NumRange(min, minE, max, maxE) => v match {
+        case JNum(n) =>
+          min.foreach { m =>
+            if (if (minE) n <= m else n < m)
+              fail(if (minE) "exclusiveMinimum" else "minimum",
+                   s"${Json.normalizeNum(n)} < bound ${Json.normalizeNum(m)}")
+          }
+          max.foreach { m =>
+            if (if (maxE) n >= m else n > m)
+              fail(if (maxE) "exclusiveMaximum" else "maximum",
+                   s"${Json.normalizeNum(n)} > bound ${Json.normalizeNum(m)}")
+          }
+        case _ => ()
+      }
+
+      case NumMultipleOf(k) =>
+        if (!check(p, v, cs, depth))
+          fail("multipleOf", s"${short(v)} is not a multiple of ${Json.normalizeNum(k)}")
+
+      case StrLen(min, max) => v match {
+        case JStr(s) =>
+          val n = s.codePointCount(0, s.length)
+          min.foreach(m => if (n < m) fail("minLength", s"length $n < $m"))
+          max.foreach(m => if (n > m) fail("maxLength", s"length $n > $m"))
+        case _ => ()
+      }
+
+      case Required(keys) => v match {
+        case o: JObj =>
+          keys.foreach(k =>
+            if (!o.fields.contains(k)) fail("required", s"missing required key '$k'"))
+        case _ => ()
+      }
+
+      case Props(props, patterns, additional) => v match {
+        case JObj(fs) =>
+          fs.foreach { case (k, child) =>
+            val named = props.get(k)
+            named.foreach(sub =>
+              collect(sub, child, cs, s"$spath/properties/$k", s"$ipath.$k", depth, out))
+            var matchedPat = false
+            patterns.foreach { case (r, sub) =>
+              if (regex(r).matcher(k).find()) {
+                matchedPat = true
+                collect(sub, child, cs, s"$spath/patternProperties/$r", s"$ipath.$k", depth, out)
+              }
+            }
+            if (named.isEmpty && !matchedPat) additional.foreach {
+              case Invalid =>
+                out += Fail(s"$spath/additionalProperties".stripPrefix("#/"),
+                            s"$ipath: unexpected key '$k'")
+              case sub =>
+                collect(sub, child, cs, s"$spath/additionalProperties", s"$ipath.$k", depth, out)
+            }
+          }
+        case _ => ()
+      }
+
+      case PropCount(min, max) => v match {
+        case JObj(fs) =>
+          min.foreach(m => if (fs.size < m) fail("minProperties", s"${fs.size} keys < $m"))
+          max.foreach(m => if (fs.size > m) fail("maxProperties", s"${fs.size} keys > $m"))
+        case _ => ()
+      }
+
+      case Dependencies(pd, sd) => v match {
+        case o: JObj =>
+          pd.foreach { case (k, reqs) =>
+            if (o.fields.contains(k)) reqs.foreach { r =>
+              if (!o.fields.contains(r))
+                fail(s"dependencies/$k", s"key '$k' requires missing key '$r'")
+            }
+          }
+          sd.foreach { case (k, sub) =>
+            if (o.fields.contains(k))
+              collect(sub, o, cs, s"$spath/dependencies/$k", ipath, depth, out)
+          }
+        case _ => ()
+      }
+
+      case ItemsAll(sub) => v match {
+        case JArr(xs) =>
+          xs.zipWithIndex.foreach { case (x, i) =>
+            collect(sub, x, cs, s"$spath/items", s"$ipath[$i]", depth, out) }
+        case _ => ()
+      }
+
+      case ItemsTuple(subs, additional) => v match {
+        case JArr(xs) =>
+          xs.zipWithIndex.foreach { case (x, i) =>
+            if (i < subs.length)
+              collect(subs(i), x, cs, s"$spath/items/$i", s"$ipath[$i]", depth, out)
+            else additional.foreach {
+              case Invalid =>
+                out += Fail(s"$spath/additionalItems".stripPrefix("#/"),
+                            s"$ipath[$i]: unexpected extra item")
+              case sub =>
+                collect(sub, x, cs, s"$spath/additionalItems", s"$ipath[$i]", depth, out)
+            }
+          }
+        case _ => ()
+      }
+
+      case ItemCount(min, max) => v match {
+        case JArr(xs) =>
+          min.foreach(m => if (xs.length < m) fail("minItems", s"${xs.length} items < $m"))
+          max.foreach(m => if (xs.length > m) fail("maxItems", s"${xs.length} items > $m"))
+        case _ => ()
+      }
+
+      case UniqueItems => v match {
+        case JArr(xs) =>
+          val seen = scala.collection.mutable.HashMap.empty[String, Int]
+          xs.zipWithIndex.foreach { case (x, i) =>
+            val c = Json.canonical(x)
+            seen.get(c) match {
+              case Some(j) => fail("uniqueItems", s"items [$j] and [$i] are equal")
+              case None    => seen(c) = i
+            }
+          }
+        case _ => ()
+      }
+
+      case AllOf(subs) =>
+        // Conjunct children keep the parent's schema path unless they came
+        // from an explicit allOf keyword — we can't distinguish post-compile,
+        // so children report their own keyword names under the parent path.
+        subs.foreach(s => collect(s, v, cs, spath, ipath, depth, out))
+
+      case AnyOf(subs) =>
+        if (!subs.exists(s => check(s, v, cs, depth)))
+          fail("anyOf", s"no alternative of ${subs.length} matched")
+
+      case OneOf(subs) =>
+        val n = subs.count(s => check(s, v, cs, depth))
+        if (n != 1) fail("oneOf", s"$n of ${subs.length} alternatives matched (need exactly 1)")
+
+      case Not(_) =>
+        if (!check(p, v, cs, depth)) fail("not", "subschema matched but must not")
+
+      case Ref(target) =>
+        if (depth >= MaxRefDepth)
+          fail("$ref", s"$$ref expansion exceeded depth $MaxRefDepth")
+        else if (!check(cs.resolve(target), v, cs, depth + 1))
+          fail("$ref", s"value does not satisfy referenced schema $target")
+    }
+  }
+
+  private def short(v: JValue): String = {
+    val s = Json.canonical(v)
+    if (s.length <= 40) s else s.take(37) + "..."
+  }
+}

@@ -1,0 +1,299 @@
+package graft.json
+
+import scala.collection.immutable.VectorMap
+
+/** Minimal, dependency-free JSON value model + parser + canonicalizer.
+  *
+  * Design notes (vs the reference, sfstewman/jvst):
+  *  - jvst streams sjp tokens and never materializes a document tree
+  *    (reference:src/validate_vm.c, O(depth) frames). Our unit of work is one
+  *    table cell (`content`), so materializing a small tree per row is the
+  *    idiomatic JVM/Spark equivalent; the per-partition pass stays streaming
+  *    at row granularity.
+  *  - Numbers are kept as BigDecimal so draft-04 semantics (`multipleOf`
+  *    with fractional operands, 1 == 1.0 deep equality, `type: integer` as
+  *    integral-valued number — jvst models numbers as doubles with an
+  *    integrality test, reference:src/validate_vm.c FINT) are exact.
+  *  - Object key order is preserved for compact rendering, but canonical
+  *    rendering sorts keys + normalizes numbers, giving the deep-equality
+  *    string form used by `enum` and `uniqueItems` (jvst buffers canonical
+  *    element forms for its UNIQUE opcode, reference:src/validate_vm.c).
+  */
+sealed trait JValue {
+  /** draft-04 primitive type name ("integer" is a refinement of number). */
+  def tpe: String = this match {
+    case JNull      => "null"
+    case _: JBool   => "boolean"
+    case _: JNum    => "number"
+    case _: JStr    => "string"
+    case _: JArr    => "array"
+    case _: JObj    => "object"
+  }
+  def isIntegral: Boolean = this match {
+    case JNum(v) => v.isWhole
+    case _       => false
+  }
+}
+case object JNull extends JValue
+final case class JBool(value: Boolean) extends JValue
+final case class JNum(value: BigDecimal) extends JValue
+final case class JStr(value: String) extends JValue
+final case class JArr(items: Vector[JValue]) extends JValue
+final case class JObj(fields: VectorMap[String, JValue]) extends JValue {
+  def get(key: String): Option[JValue] = fields.get(key)
+  def keys: Iterable[String] = fields.keys
+}
+
+object JObj {
+  val empty: JObj = JObj(VectorMap.empty[String, JValue])
+  def apply(kvs: (String, JValue)*): JObj = JObj(VectorMap(kvs: _*))
+}
+
+final class JsonParseException(msg: String, val pos: Int)
+    extends RuntimeException(s"$msg at offset $pos")
+
+object Json {
+
+  /** Parse a JSON text. Throws JsonParseException on malformed input. */
+  def parse(s: String): JValue = {
+    val p = new Parser(s)
+    val v = p.parseValue()
+    p.skipWs()
+    if (!p.atEnd) p.fail("trailing content")
+    v
+  }
+
+  def parseOpt(s: String): Option[JValue] =
+    try Some(parse(s))
+    catch { case _: JsonParseException | _: StackOverflowError => None }
+
+  /** Canonical form: object keys sorted, numbers normalized
+    * (trailing zeros stripped; integral values rendered without exponent or
+    * fraction), no insignificant whitespace. Two JSON values are deeply equal
+    * under draft-04 iff their canonical forms are byte-equal.
+    */
+  def canonical(v: JValue): String = {
+    val sb = new StringBuilder
+    writeCanonical(v, sb)
+    sb.toString
+  }
+
+  /** Canonicalize a JSON text directly; None if malformed. */
+  def canonicalize(text: String): Option[String] = parseOpt(text).map(canonical)
+
+  /** Compact render preserving object key order. */
+  def compact(v: JValue): String = {
+    val sb = new StringBuilder
+    writeCompact(v, sb)
+    sb.toString
+  }
+
+  def normalizeNum(v: BigDecimal): String = {
+    val stripped = v.underlying.stripTrailingZeros
+    if (stripped.scale <= 0) stripped.toBigInteger.toString
+    else stripped.toPlainString
+  }
+
+  private def writeCanonical(v: JValue, sb: StringBuilder): Unit = v match {
+    case JNull      => sb.append("null")
+    case JBool(b)   => sb.append(if (b) "true" else "false")
+    case JNum(n)    => sb.append(normalizeNum(n))
+    case JStr(s)    => writeString(s, sb)
+    case JArr(xs)   =>
+      sb.append('[')
+      var first = true
+      xs.foreach { x =>
+        if (!first) sb.append(','); first = false
+        writeCanonical(x, sb)
+      }
+      sb.append(']')
+    case JObj(fs)   =>
+      sb.append('{')
+      var first = true
+      fs.toSeq.sortBy(_._1).foreach { case (k, x) =>
+        if (!first) sb.append(','); first = false
+        writeString(k, sb); sb.append(':')
+        writeCanonical(x, sb)
+      }
+      sb.append('}')
+  }
+
+  private def writeCompact(v: JValue, sb: StringBuilder): Unit = v match {
+    case JNull      => sb.append("null")
+    case JBool(b)   => sb.append(if (b) "true" else "false")
+    case JNum(n)    => sb.append(normalizeNum(n))
+    case JStr(s)    => writeString(s, sb)
+    case JArr(xs)   =>
+      sb.append('[')
+      var first = true
+      xs.foreach { x =>
+        if (!first) sb.append(','); first = false
+        writeCompact(x, sb)
+      }
+      sb.append(']')
+    case JObj(fs)   =>
+      sb.append('{')
+      var first = true
+      fs.foreach { case (k, x) =>
+        if (!first) sb.append(','); first = false
+        writeString(k, sb); sb.append(':')
+        writeCompact(x, sb)
+      }
+      sb.append('}')
+  }
+
+  def writeString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def fail(msg: String): Nothing = throw new JsonParseException(msg, i)
+
+    def skipWs(): Unit = {
+      while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+             s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    }
+
+    private def expect(c: Char): Unit = {
+      if (atEnd || s.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+
+    def parseValue(): JValue = {
+      skipWs()
+      if (atEnd) fail("unexpected end of input")
+      s.charAt(i) match {
+        case '{' => parseObject()
+        case '[' => parseArray()
+        case '"' => JStr(parseString())
+        case 't' => parseLit("true", JBool(true))
+        case 'f' => parseLit("false", JBool(false))
+        case 'n' => parseLit("null", JNull)
+        case c if c == '-' || (c >= '0' && c <= '9') => parseNumber()
+        case c => fail(s"unexpected character '$c'")
+      }
+    }
+
+    private def parseLit(lit: String, v: JValue): JValue = {
+      if (i + lit.length > s.length || s.substring(i, i + lit.length) != lit)
+        fail(s"invalid literal")
+      i += lit.length
+      v
+    }
+
+    private def parseObject(): JObj = {
+      expect('{'); skipWs()
+      if (!atEnd && s.charAt(i) == '}') { i += 1; return JObj.empty }
+      val b = VectorMap.newBuilder[String, JValue]
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = parseString()
+        skipWs(); expect(':')
+        val v = parseValue()
+        b += (k -> v)
+        skipWs()
+        if (atEnd) fail("unterminated object")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case _   => fail("expected ',' or '}'")
+        }
+      }
+      JObj(b.result())
+    }
+
+    private def parseArray(): JArr = {
+      expect('['); skipWs()
+      if (!atEnd && s.charAt(i) == ']') { i += 1; return JArr(Vector.empty) }
+      val b = Vector.newBuilder[JValue]
+      var done = false
+      while (!done) {
+        b += parseValue()
+        skipWs()
+        if (atEnd) fail("unterminated array")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; done = true
+          case _   => fail("expected ',' or ']'")
+        }
+      }
+      JArr(b.result())
+    }
+
+    private def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (true) {
+        if (atEnd) fail("unterminated string")
+        val c = s.charAt(i)
+        if (c == '"') { i += 1; return sb.toString }
+        else if (c == '\\') {
+          i += 1
+          if (atEnd) fail("unterminated escape")
+          s.charAt(i) match {
+            case '"'  => sb.append('"'); i += 1
+            case '\\' => sb.append('\\'); i += 1
+            case '/'  => sb.append('/'); i += 1
+            case 'b'  => sb.append('\b'); i += 1
+            case 'f'  => sb.append('\f'); i += 1
+            case 'n'  => sb.append('\n'); i += 1
+            case 'r'  => sb.append('\r'); i += 1
+            case 't'  => sb.append('\t'); i += 1
+            case 'u'  =>
+              if (i + 5 > s.length) fail("truncated \\u escape")
+              val hex = s.substring(i + 1, i + 5)
+              val cp = try Integer.parseInt(hex, 16)
+                       catch { case _: NumberFormatException => fail("bad \\u escape") }
+              sb.append(cp.toChar)
+              i += 5
+            case _ => fail("bad escape")
+          }
+        } else if (c < ' ') fail("raw control character in string")
+        else { sb.append(c); i += 1 }
+      }
+      throw new IllegalStateException
+    }
+
+    private def parseNumber(): JNum = {
+      val start = i
+      if (!atEnd && s.charAt(i) == '-') i += 1
+      if (atEnd) fail("truncated number")
+      if (s.charAt(i) == '0') i += 1
+      else if (s.charAt(i) >= '1' && s.charAt(i) <= '9') {
+        while (!atEnd && s.charAt(i).isDigit) i += 1
+      } else fail("invalid number")
+      if (!atEnd && s.charAt(i) == '.') {
+        i += 1
+        if (atEnd || !s.charAt(i).isDigit) fail("invalid fraction")
+        while (!atEnd && s.charAt(i).isDigit) i += 1
+      }
+      if (!atEnd && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        i += 1
+        if (!atEnd && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+        if (atEnd || !s.charAt(i).isDigit) fail("invalid exponent")
+        while (!atEnd && s.charAt(i).isDigit) i += 1
+      }
+      JNum(BigDecimal(s.substring(start, i)))
+    }
+  }
+}

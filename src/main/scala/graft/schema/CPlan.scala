@@ -1,0 +1,346 @@
+package graft.schema
+
+import graft.json._
+
+/** Constraint-plan ADT — the engine's analog of jvst's cnode tree
+  * (reference:src/validate_constraints.h, enum jvst_cnode_type). A JSON-Schema
+  * draft-04 document compiles to one CPlan per schema object; the plan is then
+  * lowered either to Catalyst Column predicates (graft.eval.ColumnBackend) or
+  * interpreted per row (graft.eval.RowEval). Keyword applicability follows
+  * draft-04: each constraint is vacuously true when the instance has a JSON
+  * type the keyword does not apply to (jvst encodes this with its per-type
+  * SWITCH dispatch cnode; we encode it in each node's evaluation rule).
+  */
+sealed trait CPlan
+
+object CPlan {
+  /** Accept-all (empty schema {}). jvst: JVST_CNODE_VALID. */
+  case object Valid extends CPlan
+  /** Reject-all. jvst: JVST_CNODE_INVALID. */
+  case object Invalid extends CPlan
+
+  /** `type` — instance type in set; "integer" = number with integral value.
+    * jvst: per-token-type SWITCH (reference:src/validate_constraints.c). */
+  final case class TypeIs(types: Set[String]) extends CPlan
+
+  /** `enum` — deep equality against literal set; pre-canonicalized forms. */
+  final case class InEnum(canon: Set[String]) extends CPlan
+
+  /** `pattern` — unanchored regex match on strings.
+    * jvst: STR_MATCH via libfsm DFA; here JVM regex (superset dialect). */
+  final case class StrPattern(pattern: String) extends CPlan
+
+  /** minimum/maximum/exclusive* folded into one interval (jvst NUM_RANGE). */
+  final case class NumRange(min: Option[BigDecimal], minExclusive: Boolean,
+                            max: Option[BigDecimal], maxExclusive: Boolean) extends CPlan
+
+  /** `multipleOf` (jvst NUM_MULTIPLE_OF); decimal-exact semantics. */
+  final case class NumMultipleOf(k: BigDecimal) extends CPlan
+
+  /** minLength/maxLength in Unicode code points (jvst LENGTH_RANGE). */
+  final case class StrLen(min: Option[Int], max: Option[Int]) extends CPlan
+
+  /** `required` (jvst OBJ_REQUIRED → IR bitvector BSET/BTESTALL). */
+  final case class Required(keys: Vector[String]) extends CPlan
+
+  /** properties / patternProperties / additionalProperties as one node —
+    * mirrors jvst's canonified prop-match DFA with a default branch
+    * (OBJ_PROP_SET / OBJ_PROP_MATCH / OBJ_PROP_DEFAULT). `additional`:
+    * None = unconstrained; Some(plan) applies to keys matched by neither
+    * `props` nor `patterns` (Some(Invalid) is the `false` form). */
+  final case class Props(props: Map[String, CPlan],
+                         patterns: Vector[(String, CPlan)],
+                         additional: Option[CPlan]) extends CPlan
+
+  /** minProperties/maxProperties (jvst COUNT_RANGE on object). */
+  final case class PropCount(min: Option[Int], max: Option[Int]) extends CPlan
+
+  /** `dependencies` — property form (key → required keys) and schema form. */
+  final case class Dependencies(propDeps: Vector[(String, Vector[String])],
+                                schemaDeps: Vector[(String, CPlan)]) extends CPlan
+
+  /** `items` single-schema form (jvst ARR_ITEM loop). */
+  final case class ItemsAll(sub: CPlan) extends CPlan
+
+  /** `items` tuple form + additionalItems (jvst ARR_ITEM list + ARR_ADDITIONAL). */
+  final case class ItemsTuple(subs: Vector[CPlan], additional: Option[CPlan]) extends CPlan
+
+  /** minItems/maxItems (jvst COUNT_RANGE via IR COUNTER). */
+  final case class ItemCount(min: Option[Int], max: Option[Int]) extends CPlan
+
+  /** uniqueItems (jvst ARR_UNIQUE / VM UNIQUE opcode buffering canonical forms). */
+  case object UniqueItems extends CPlan
+
+  /** Combinators (jvst AND/OR/XOR/NOT cnodes; oneOf lowers to SPLIT+popcount
+    * in jvst's IR — here a plain exactly-one count). */
+  final case class AllOf(subs: Vector[CPlan]) extends CPlan
+  final case class AnyOf(subs: Vector[CPlan]) extends CPlan
+  final case class OneOf(subs: Vector[CPlan]) extends CPlan
+  final case class Not(sub: CPlan) extends CPlan
+
+  /** `$ref` — resolved JSON-Pointer target, by name into CompiledSchema.defs.
+    * jvst compiles each target once and CALLs it (reference:src/validate_ir.c
+    * frames/CALL); we interpret recursively (RowEval) or unroll (ColumnBackend). */
+  final case class Ref(target: String) extends CPlan
+
+  /** Structural simplification — the analog of jvst_cnode_simplify:
+    * VALID/INVALID propagation, AND/OR flattening, dedup. Catalyst would
+    * re-derive most of this (BooleanSimplification) but small plans keep
+    * Column trees inside codegen budgets. */
+  def simplify(p: CPlan): CPlan = p match {
+    case AllOf(subs) =>
+      val ss = subs.map(simplify).flatMap {
+        case AllOf(inner) => inner
+        case Valid        => Vector.empty
+        case other        => Vector(other)
+      }.distinct
+      if (ss.contains(Invalid)) Invalid
+      else if (ss.isEmpty) Valid
+      else if (ss.size == 1) ss.head
+      else AllOf(ss)
+    case AnyOf(subs) =>
+      val ss = subs.map(simplify).flatMap {
+        case AnyOf(inner) => inner
+        case Invalid      => Vector.empty
+        case other        => Vector(other)
+      }.distinct
+      if (ss.contains(Valid)) Valid
+      else if (ss.isEmpty) Invalid
+      else if (ss.size == 1) ss.head
+      else AnyOf(ss)
+    case OneOf(subs)       => OneOf(subs.map(simplify))
+    case Not(sub)          => simplify(sub) match {
+      case Valid   => Invalid
+      case Invalid => Valid
+      case s       => Not(s)
+    }
+    case ItemsAll(s)       => simplify(s) match {
+      case Valid => Valid
+      case s2    => ItemsAll(s2)
+    }
+    case ItemsTuple(ss, a) => ItemsTuple(ss.map(simplify), a.map(simplify))
+    case Props(ps, pats, add) =>
+      val ps2 = ps.map { case (k, v) => k -> simplify(v) }
+      val pats2 = pats.map { case (r, v) => r -> simplify(v) }
+      val add2 = add.map(simplify)
+      if (ps2.values.forall(_ == Valid) && pats2.forall(_._2 == Valid) &&
+          (add2.isEmpty || add2.contains(Valid))) Valid
+      else Props(ps2, pats2, add2)
+    case Dependencies(pd, sd) =>
+      Dependencies(pd, sd.map { case (k, v) => k -> simplify(v) })
+    case other => other
+  }
+}
+
+/** A compiled schema: root plan + named $ref targets (possibly recursive). */
+final case class CompiledSchema(root: CPlan, defs: Map[String, CPlan]) {
+  def resolve(name: String): CPlan =
+    defs.getOrElse(name, throw new IllegalStateException(s"unresolved $$ref: $name"))
+}
+
+final class SchemaCompileException(msg: String) extends RuntimeException(msg)
+
+/** draft-04 JSON-Schema document → CompiledSchema.
+  * Mirrors jvst_cnode_translate_ast (reference:src/validate_constraints.c):
+  * every keyword contributes one conjunct; unknown keywords are annotations.
+  * `$ref` siblings are ignored per draft-04 §7.
+  */
+object SchemaCompiler {
+
+  def compile(schemaText: String): CompiledSchema =
+    compile(Json.parse(schemaText))
+
+  def compile(root: JValue): CompiledSchema = {
+    val ctx = new Ctx(root)
+    val rootPlan = CPlan.simplify(ctx.compileSchema(root, "#"))
+    // Iteratively compile discovered $ref targets until closure.
+    var changed = true
+    while (changed) {
+      changed = false
+      ctx.pendingRefs.toVector.foreach { ptr =>
+        if (!ctx.defs.contains(ptr)) {
+          changed = true
+          ctx.defs(ptr) = CPlan.Valid // placeholder breaks cycles
+          val target = resolvePointer(root, ptr).getOrElse(
+            throw new SchemaCompileException(s"unresolvable $$ref: $ptr"))
+          ctx.defs(ptr) = CPlan.simplify(ctx.compileSchema(target, ptr))
+        }
+      }
+    }
+    CompiledSchema(rootPlan, ctx.defs.toMap)
+  }
+
+  /** Resolve a same-document JSON Pointer ("#", "#/definitions/x", "#/a/0"). */
+  def resolvePointer(root: JValue, ref: String): Option[JValue] = {
+    if (!ref.startsWith("#")) return None // remote refs unsupported (as jvst)
+    val ptr = ref.drop(1)
+    if (ptr.isEmpty) return Some(root)
+    if (!ptr.startsWith("/")) return None
+    val parts = ptr.split("/", -1).drop(1).map(unescapePointer)
+    parts.foldLeft(Option(root)) {
+      case (Some(JObj(fs)), key) => fs.get(key)
+      case (Some(JArr(xs)), key) =>
+        key.toIntOption.filter(i => i >= 0 && i < xs.length).map(xs(_))
+      case _ => None
+    }
+  }
+
+  private def unescapePointer(s: String): String =
+    s.replace("~1", "/").replace("~0", "~")
+
+  private final class Ctx(val root: JValue) {
+    val defs = scala.collection.mutable.LinkedHashMap.empty[String, CPlan]
+    val pendingRefs = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    def compileSchema(v: JValue, where: String): CPlan = v match {
+      case obj: JObj => compileObj(obj, where)
+      // draft-04 schemas are objects; booleans arrived in draft-6. Accept
+      // them anyway (true={} / false={"not":{}}) for forward-compat corpora.
+      case JBool(true)  => CPlan.Valid
+      case JBool(false) => CPlan.Invalid
+      case _ => throw new SchemaCompileException(s"schema at $where is not an object")
+    }
+
+    private def compileObj(obj: JObj, where: String): CPlan = {
+      import CPlan._
+
+      // draft-04 §7: a $ref object's other keywords are ignored.
+      obj.get("$ref").foreach {
+        case JStr(r) =>
+          pendingRefs += r
+          return Ref(r)
+        case _ => throw new SchemaCompileException(s"$where/$$ref must be a string")
+      }
+
+      val conjuncts = Vector.newBuilder[CPlan]
+
+      obj.get("type").foreach { t =>
+        val names = t match {
+          case JStr(s)   => Set(s)
+          case JArr(xs)  => xs.collect { case JStr(s) => s }.toSet
+          case _         => throw new SchemaCompileException(s"$where/type malformed")
+        }
+        conjuncts += TypeIs(names)
+      }
+
+      obj.get("enum").foreach {
+        case JArr(xs) => conjuncts += InEnum(xs.map(Json.canonical).toSet)
+        case _        => throw new SchemaCompileException(s"$where/enum malformed")
+      }
+
+      obj.get("pattern").foreach {
+        case JStr(p) => conjuncts += StrPattern(p)
+        case _       => throw new SchemaCompileException(s"$where/pattern malformed")
+      }
+
+      val min  = obj.get("minimum").collect { case JNum(n) => n }
+      val max  = obj.get("maximum").collect { case JNum(n) => n }
+      val minE = obj.get("exclusiveMinimum").collect { case JBool(b) => b }.getOrElse(false)
+      val maxE = obj.get("exclusiveMaximum").collect { case JBool(b) => b }.getOrElse(false)
+      if (min.isDefined || max.isDefined)
+        conjuncts += NumRange(min, minE, max, maxE)
+
+      obj.get("multipleOf").foreach {
+        case JNum(k) if k > 0 => conjuncts += NumMultipleOf(k)
+        case _ => throw new SchemaCompileException(s"$where/multipleOf malformed")
+      }
+
+      val minL = obj.get("minLength").collect { case JNum(n) => n.toInt }
+      val maxL = obj.get("maxLength").collect { case JNum(n) => n.toInt }
+      if (minL.isDefined || maxL.isDefined) conjuncts += StrLen(minL, maxL)
+
+      obj.get("required").foreach {
+        case JArr(xs) =>
+          conjuncts += Required(xs.collect { case JStr(s) => s })
+        case _ => throw new SchemaCompileException(s"$where/required malformed")
+      }
+
+      val props = obj.get("properties").map {
+        case JObj(fs) => fs.map { case (k, s) =>
+          k -> compileSchema(s, s"$where/properties/$k") }.toMap
+        case _ => throw new SchemaCompileException(s"$where/properties malformed")
+      }.getOrElse(Map.empty[String, CPlan])
+
+      val patProps = obj.get("patternProperties").map {
+        case JObj(fs) => fs.map { case (r, s) =>
+          r -> compileSchema(s, s"$where/patternProperties/$r") }.toVector
+        case _ => throw new SchemaCompileException(s"$where/patternProperties malformed")
+      }.getOrElse(Vector.empty)
+
+      val addProps: Option[CPlan] = obj.get("additionalProperties").map {
+        case JBool(true)  => Valid
+        case JBool(false) => Invalid
+        case s: JObj      => compileSchema(s, s"$where/additionalProperties")
+        case _ => throw new SchemaCompileException(s"$where/additionalProperties malformed")
+      }
+      if (props.nonEmpty || patProps.nonEmpty ||
+          addProps.exists(_ != Valid))
+        conjuncts += Props(props, patProps, addProps.filter(_ != Valid))
+
+      val minP = obj.get("minProperties").collect { case JNum(n) => n.toInt }
+      val maxP = obj.get("maxProperties").collect { case JNum(n) => n.toInt }
+      if (minP.isDefined || maxP.isDefined) conjuncts += PropCount(minP, maxP)
+
+      obj.get("dependencies").foreach {
+        case JObj(fs) =>
+          val pd = Vector.newBuilder[(String, Vector[String])]
+          val sd = Vector.newBuilder[(String, CPlan)]
+          fs.foreach {
+            case (k, JArr(xs)) => pd += (k -> xs.collect { case JStr(s) => s })
+            case (k, JStr(s))  => pd += (k -> Vector(s)) // draft-03 leniency
+            case (k, s: JObj)  => sd += (k -> compileSchema(s, s"$where/dependencies/$k"))
+            case (k, _) => throw new SchemaCompileException(s"$where/dependencies/$k malformed")
+          }
+          conjuncts += Dependencies(pd.result(), sd.result())
+        case _ => throw new SchemaCompileException(s"$where/dependencies malformed")
+      }
+
+      obj.get("items").foreach {
+        case s: JObj  => conjuncts += ItemsAll(compileSchema(s, s"$where/items"))
+        case JArr(xs) =>
+          val subs = xs.zipWithIndex.map { case (s, i) =>
+            compileSchema(s, s"$where/items/$i") }
+          val addItems: Option[CPlan] = obj.get("additionalItems").map {
+            case JBool(true)  => Valid
+            case JBool(false) => Invalid
+            case s: JObj      => compileSchema(s, s"$where/additionalItems")
+            case _ => throw new SchemaCompileException(s"$where/additionalItems malformed")
+          }.filter(_ != Valid)
+          conjuncts += ItemsTuple(subs, addItems)
+        case JBool(b) => conjuncts += ItemsAll(if (b) Valid else Invalid)
+        case _ => throw new SchemaCompileException(s"$where/items malformed")
+      }
+
+      val minI = obj.get("minItems").collect { case JNum(n) => n.toInt }
+      val maxI = obj.get("maxItems").collect { case JNum(n) => n.toInt }
+      if (minI.isDefined || maxI.isDefined) conjuncts += ItemCount(minI, maxI)
+
+      obj.get("uniqueItems").foreach {
+        case JBool(true)  => conjuncts += UniqueItems
+        case JBool(false) => ()
+        case _ => throw new SchemaCompileException(s"$where/uniqueItems malformed")
+      }
+
+      def subList(key: String): Option[Vector[CPlan]] = obj.get(key).map {
+        case JArr(xs) => xs.zipWithIndex.map { case (s, i) =>
+          compileSchema(s, s"$where/$key/$i") }
+        case _ => throw new SchemaCompileException(s"$where/$key malformed")
+      }
+      subList("allOf").foreach(ss => conjuncts += AllOf(ss))
+      subList("anyOf").foreach(ss => conjuncts += AnyOf(ss))
+      subList("oneOf").foreach(ss => conjuncts += OneOf(ss))
+      obj.get("not").foreach { s =>
+        conjuncts += Not(compileSchema(s, s"$where/not"))
+      }
+
+      // `format`, `title`, `description`, `default`, `definitions`, `id`:
+      // annotations / containers — not enforced (matches jvst; draft-04 makes
+      // `format` optional and jvst does not implement it).
+
+      val cs = conjuncts.result()
+      if (cs.isEmpty) Valid
+      else if (cs.size == 1) cs.head
+      else AllOf(cs)
+    }
+  }
+}

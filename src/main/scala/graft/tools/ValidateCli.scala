@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.schema.SchemaCompiler
+import graft.eval.RowEval
+import java.nio.file.{Files, Paths}
+
+/** CLI analog of the reference's `jvst <schema> [docs…]` entry point
+  * (reference:src/main.c): compile once, validate each document, print
+  * verdict + violations. Exit code 0 iff all documents valid.
+  * Driver-free local surface for the core engine (no SparkSession).
+  *
+  * Usage: runMain graft.tools.ValidateCli <schema.json> [doc.json ...]
+  *        with no doc args, reads one document from stdin.
+  */
+object ValidateCli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: ValidateCli <schema.json> [doc.json ...]")
+      sys.exit(2)
+    }
+    val schemaText = Files.readString(Paths.get(args(0)))
+    val compiled =
+      try SchemaCompiler.compile(schemaText)
+      catch {
+        case e: Exception =>
+          System.err.println(s"schema error: ${e.getMessage}")
+          sys.exit(2); throw e
+      }
+    val docs: Seq[(String, String)] =
+      if (args.length > 1)
+        args.drop(1).toSeq.map(p => p -> Files.readString(Paths.get(p)))
+      else Seq("<stdin>" -> new String(System.in.readAllBytes(), "UTF-8"))
+
+    var anyInvalid = false
+    docs.foreach { case (name, text) =>
+      val fails = RowEval.validateText(compiled, text)
+      if (fails.isEmpty) println(s"$name: VALID")
+      else {
+        anyInvalid = true
+        println(s"$name: INVALID (${fails.length} violations)")
+        fails.foreach(f => println(s"  ${f.constraint}: ${f.detail}"))
+      }
+    }
+    sys.exit(if (anyInvalid) 1 else 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json._
+
+class JsonSpec extends AnyFunSuite {
+
+  test("round trip basic values") {
+    val t = """{"b":[1,2.5,-3e2],"a":"x\n\u00e9","c":null,"d":true,"e":{}}"""
+    val v = Json.parse(t)
+    assert(Json.parse(Json.compact(v)) == v)
+  }
+
+  test("canonical sorts keys and normalizes numbers") {
+    assert(Json.canonical(Json.parse("""{"b":1.50,"a":2.0}""")) == """{"a":2,"b":1.5}""")
+    assert(Json.canonical(Json.parse("1e2")) == "100")
+    assert(Json.canonical(Json.parse("[1.0, 1.00, 1]")) == "[1,1,1]")
+  }
+
+  test("canonical equality is deep and type-sensitive") {
+    def c(s: String) = Json.canonical(Json.parse(s))
+    assert(c("""{"a":1,"b":2}""") == c("""{"b":2,"a":1}"""))
+    assert(c("1") != c("\"1\""))
+    assert(c("true") != c("1"))
+    assert(c("1.0") == c("1"))
+  }
+
+  test("string escapes") {
+    assert(Json.parse("\"\\u0041\\t\\\\\"") == JStr("A\t\\"))
+    val JStr(s) = Json.parse("\"\\ud83d\\ude00\""): @unchecked
+    assert(s.codePointCount(0, s.length) == 1)
+  }
+
+  test("malformed inputs rejected") {
+    for (bad <- Seq("", "{", "[1,]", "{\"a\":}", "01", "1.", "nul", "\"\\x\"", "{\"a\":1,}", "[1 2]", "tru"))
+      assert(Json.parseOpt(bad).isEmpty, s"should reject: $bad")
+  }
+
+  test("numbers keep exact decimal semantics") {
+    val JNum(n) = Json.parse("0.00751"): @unchecked
+    assert((n remainder BigDecimal("0.0001")).signum != 0)
+    val JNum(m) = Json.parse("0.0075"): @unchecked
+    assert((m remainder BigDecimal("0.0001")).signum == 0)
+  }
+
+  test("duplicate keys: last wins") {
+    val JObj(fs) = Json.parse("""{"a":1,"a":2}"""): @unchecked
+    assert(fs("a") == JNum(2))
+    assert(fs.size == 1)
+  }
+}

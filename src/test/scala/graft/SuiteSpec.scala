@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json._
+import graft.schema.SchemaCompiler
+import graft.eval.RowEval
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Conformance runner over the embedded mini JSON-Schema-Test-Suite
+  * (src/test/resources/suite, official suite file format — the real
+  * JSON-Schema-Test-Suite drops in unchanged). Reproduces the pass/fail
+  * matrix the reference is tested against (BASELINE.json:2,6).
+  */
+class SuiteSpec extends AnyFunSuite {
+
+  private val suiteDir = {
+    val fromResources = Option(getClass.getResource("/suite")).map(u => Paths.get(u.toURI))
+    fromResources.getOrElse(Paths.get("src/test/resources/suite"))
+  }
+
+  private val files = Files.list(suiteDir).iterator().asScala
+    .filter(_.toString.endsWith(".json")).toVector.sortBy(_.getFileName.toString)
+
+  assert(files.nonEmpty, s"no suite files found under $suiteDir")
+
+  for (file <- files) {
+    val text = Files.readString(file)
+    val JArr(groups) = Json.parse(text): @unchecked
+    for {
+      group <- groups
+      g = group.asInstanceOf[JObj]
+      JStr(gdesc) = g.get("description").get: @unchecked
+      schema = g.get("schema").get
+      JArr(cases) = g.get("tests").get: @unchecked
+    } {
+      val compiled = SchemaCompiler.compile(schema)
+      for (c <- cases) {
+        val co = c.asInstanceOf[JObj]
+        val JStr(cdesc) = co.get("description").get: @unchecked
+        val data = co.get("data").get
+        val JBool(expected) = co.get("valid").get: @unchecked
+        test(s"${file.getFileName}: $gdesc / $cdesc") {
+          val got = RowEval.isValid(compiled, data)
+          assert(got == expected,
+            s"\nschema: ${Json.compact(schema)}\ndata: ${Json.compact(data)}" +
+            s"\nfailures: ${RowEval.validate(compiled, data)}")
+          // validate() verdict must agree with check() verdict
+          assert(RowEval.validate(compiled, data).isEmpty == expected)
+        }
+      }
+    }
+  }
+}

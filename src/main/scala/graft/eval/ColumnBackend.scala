@@ -1,0 +1,340 @@
+package graft.eval
+
+import graft.schema.{CPlan, CompiledSchema}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Primary execution backend: compiles a CPlan to native Catalyst Column
+  * predicates over a VARIANT column — "each schema constraint becomes a typed
+  * Column predicate" (BASELINE.json north_star). The whole validation is one
+  * shuffle-free projection; Catalyst/Tungsten whole-stage-codegen is the
+  * engine's analog of jvst's assembled opcode program
+  * (reference:src/validate_op.c → validate_vm.c).
+  *
+  * Design rules:
+  *  - Every compiled predicate is a NEVER-NULL boolean with draft-04 vacuous
+  *    truth baked in (e.g. `minimum` is true on non-numbers) — the tri-state
+  *    trap (SURVEY.md §7.4) is handled by construction: wrong-type guards
+  *    short-circuit before any null-producing cast.
+  *  - Numbers: two-tier decimal(38,18) exact path with double fallback
+  *    (variant stores JSON decimals losslessly; exponent forms parse as
+  *    DOUBLE, mirroring jvst's double model).
+  *  - Deep equality (enum/uniqueItems) uses to_json(variant) — already
+  *    key-sorted — re-normalized by CanonicalJsonExpr so DOUBLE renderings
+  *    ("100.0") collapse to canonical ("100").
+  *  - `$ref` is unrolled to RefUnrollDepth; recursion beyond that (or a plan
+  *    exceeding NodeBudget, protecting codegen limits) returns None and the
+  *    caller falls back to the row backend (SURVEY.md §4.3).
+  */
+object ColumnBackend {
+
+  /** Max $ref inline-expansion depth before falling back to the row backend. */
+  val RefUnrollDepth = 6
+  /** Rough cap on compiled plan size (CPlan nodes visited), protecting
+    * against Janino codegen blowup on pathological schemas. */
+  val NodeBudget = 4096
+
+  private final class Budget(var left: Int) {
+    def take(): Boolean = { left -= 1; left >= 0 }
+  }
+
+  /** A named top-level constraint predicate (true = satisfied). */
+  final case class ConstraintPred(name: String, pred: Column)
+
+  // ----------------------------------------------------------- type helpers
+
+  /** A variant whose value is JSON null (for normalizing SQL-null children). */
+  private def jnull: Column = parse_json(lit("null"))
+  private def normChild(c: Column): Column = coalesce(c, jnull)
+
+  private def sch(v: Column): Column = schema_of_variant(v)
+  private def isObject(v: Column): Column =
+    sch(v).startsWith("OBJECT") || sch(v).startsWith("STRUCT")
+  private def isArray(v: Column): Column = sch(v).startsWith("ARRAY")
+  private def isString(v: Column): Column = sch(v) === "STRING"
+  private def isBoolean(v: Column): Column = sch(v) === "BOOLEAN"
+  private def isJNull(v: Column): Column = sch(v) === "VOID"
+  private def isNumber(v: Column): Column =
+    sch(v) === "BIGINT" || sch(v).startsWith("DECIMAL") ||
+    sch(v) === "DOUBLE" || sch(v) === "FLOAT" ||
+    sch(v) === "INT" || sch(v) === "SMALLINT" || sch(v) === "TINYINT"
+  private def isIntegral(v: Column): Column =
+    sch(v) === "BIGINT" || sch(v) === "INT" || sch(v) === "SMALLINT" ||
+    sch(v) === "TINYINT" || sch(v).rlike("^DECIMAL\\([0-9]+,0\\)$") ||
+    ((sch(v) === "DOUBLE" || sch(v) === "FLOAT") &&
+      coalesce(asDouble(v) === floor(asDouble(v)), lit(false)))
+
+  private def asDouble(v: Column): Column = try_variant_get(v, "$", "double")
+  private def asDecimal(v: Column): Column = try_variant_get(v, "$", "decimal(38,18)")
+  private def asString(v: Column): Column = try_variant_get(v, "$", "string")
+  private def asArray(v: Column): Column = try_variant_get(v, "$", "array<variant>")
+  private def asMap(v: Column): Column = try_variant_get(v, "$", "map<string,variant>")
+
+  /** Canonical deep-equality string of a variant value (never null for a
+    * well-typed variant; to_json(variant) is key-sorted already). */
+  private def canonV(v: Column): Column =
+    coalesce(Exprs.canonicalJson(to_json(v)), when(is_variant_null(v), lit("null")))
+
+  private def nn(c: Column): Column = coalesce(c, lit(false))
+
+  // -------------------------------------------------------------- compile
+
+  /** Compile the full plan to one native boolean predicate over variant `v`.
+    * None when not natively expressible within budgets. */
+  def compilePlan(cs: CompiledSchema, v: Column): Option[Column] =
+    compile(cs.root, v, cs, 0, new Budget(NodeBudget))
+
+  /** Per-row validity over a raw JSON-text column. Falls back to the row
+    * backend automatically; malformed/null content is invalid. */
+  def passColumn(cs: CompiledSchema, content: Column): Column = {
+    compilePlan(cs, try_parse_json(content)) match {
+      case Some(pred) =>
+        val v = try_parse_json(content)
+        nn(v.isNotNull && pred)
+      case None => Exprs.validateBool(cs, content)
+    }
+  }
+
+  /** Whether the full plan compiles natively (for tests / plan reporting). */
+  def isNative(cs: CompiledSchema): Boolean =
+    compilePlan(cs, lit(null).cast("variant")).isDefined
+
+  /** Top-level conjuncts as named predicates (native where possible; a
+    * non-native conjunct falls back to the row backend for just that part).
+    * All operate on the same parsed variant — Catalyst subexpression
+    * elimination shares the parse and the casts across predicates. */
+  def constraintPreds(cs: CompiledSchema, content: Column): Seq[ConstraintPred] = {
+    val v = try_parse_json(content)
+    val conjuncts = cs.root match {
+      case CPlan.AllOf(subs) => subs
+      case other             => Vector(other)
+    }
+    val named = conjuncts.zipWithIndex.map { case (p, i) =>
+      val nm = s"${nodeName(p)}#$i"
+      val pred = compile(p, v, cs, 0, new Budget(NodeBudget)) match {
+        case Some(c) => nn(v.isNotNull && c)
+        case None    => Exprs.validateBool(CompiledSchema(p, cs.defs), content)
+      }
+      ConstraintPred(nm, pred)
+    }
+    ConstraintPred("_parse.json", v.isNotNull) +: named
+  }
+
+  def nodeName(p: CPlan): String = p match {
+    case CPlan.Valid            => "valid"
+    case CPlan.Invalid          => "false"
+    case _: CPlan.TypeIs        => "type"
+    case _: CPlan.InEnum        => "enum"
+    case _: CPlan.StrPattern    => "pattern"
+    case _: CPlan.NumRange      => "range"
+    case _: CPlan.NumMultipleOf => "multipleOf"
+    case _: CPlan.StrLen        => "length"
+    case _: CPlan.Required      => "required"
+    case _: CPlan.Props         => "properties"
+    case _: CPlan.PropCount     => "propertyCount"
+    case _: CPlan.Dependencies  => "dependencies"
+    case _: CPlan.ItemsAll      => "items"
+    case _: CPlan.ItemsTuple    => "items"
+    case _: CPlan.ItemCount     => "itemCount"
+    case CPlan.UniqueItems      => "uniqueItems"
+    case _: CPlan.AllOf         => "allOf"
+    case _: CPlan.AnyOf         => "anyOf"
+    case _: CPlan.OneOf         => "oneOf"
+    case _: CPlan.Not           => "not"
+    case _: CPlan.Ref           => "$ref"
+  }
+
+  /** v is a non-SQL-null variant (JSON null arrives as variant VOID). */
+  private def compile(p: CPlan, v: Column, cs: CompiledSchema,
+                      refDepth: Int, budget: Budget): Option[Column] = {
+    import CPlan._
+    if (!budget.take()) return None
+    p match {
+      case Valid   => Some(lit(true))
+      case Invalid => Some(lit(false))
+
+      case TypeIs(ts) =>
+        val tests = ts.toSeq.sorted.map {
+          case "object"  => isObject(v)
+          case "array"   => isArray(v)
+          case "string"  => isString(v)
+          case "boolean" => isBoolean(v)
+          case "null"    => isJNull(v)
+          case "number"  => isNumber(v)
+          case "integer" => isNumber(v) && isIntegral(v)
+          case _         => lit(false) // unknown type name matches nothing
+        }
+        Some(nn(tests.reduceOption(_ || _).getOrElse(lit(false))))
+
+      case InEnum(canon) =>
+        Some(nn(canonV(v).isin(canon.toSeq: _*)))
+
+      case StrPattern(pat) =>
+        Some(!isString(v) || nn(regexp_like(asString(v), lit(pat))))
+
+      case NumRange(min, minE, max, maxE) =>
+        def cmp(bound: BigDecimal, exclusive: Boolean, isMin: Boolean): Column = {
+          val dec = asDecimal(v); val dbl = asDouble(v)
+          def rel(x: Column, b: Column): Column =
+            (isMin, exclusive) match {
+              case (true, false)  => x >= b
+              case (true, true)   => x > b
+              case (false, false) => x <= b
+              case (false, true)  => x < b
+            }
+          coalesce(rel(dec, lit(bound.underlying)), rel(dbl, lit(bound.toDouble)), lit(false))
+        }
+        val minP = min.map(b => cmp(b, minE, isMin = true)).getOrElse(lit(true))
+        val maxP = max.map(b => cmp(b, maxE, isMin = false)).getOrElse(lit(true))
+        Some(!isNumber(v) || (minP && maxP))
+
+      case NumMultipleOf(k) =>
+        val dec = asDecimal(v); val dbl = asDouble(v)
+        val exact = dec % lit(k.underlying) === lit(java.math.BigDecimal.ZERO)
+        val approx = dbl % lit(k.toDouble) === lit(0.0d)
+        Some(!isNumber(v) || nn(coalesce(exact, approx)))
+
+      case StrLen(min, max) =>
+        val n = length(asString(v))
+        val minP = min.map(m => n >= lit(m)).getOrElse(lit(true))
+        val maxP = max.map(m => n <= lit(m)).getOrElse(lit(true))
+        Some(!isString(v) || nn(minP && maxP))
+
+      case Required(keys) =>
+        val m = asMap(v)
+        val all = keys.map(k => map_contains_key(m, lit(k)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        Some(!isObject(v) || nn(all))
+
+      case Props(props, patterns, additional) =>
+        val m = asMap(v)
+        val namedPreds: Seq[Option[Column]] = props.toSeq.sortBy(_._1).map {
+          case (k, sub) =>
+            compile(sub, normChild(element_at(m, lit(k))), cs, refDepth, budget)
+              .map(subPred => !map_contains_key(m, lit(k)) || nn(subPred))
+        }
+        val patternPreds: Seq[Option[Column]] = patterns.map { case (re, sub) =>
+          // forall over entries: non-matching keys pass; matching keys must satisfy sub
+          compileFn(sub, cs, refDepth, budget).map { subFn =>
+            forall(map_entries(m), e =>
+              !nn(regexp_like(e.getField("key"), lit(re))) ||
+              nn(subFn(normChild(e.getField("value")))))
+          }
+        }
+        val addPred: Option[Column] = additional match {
+          case None => Some(lit(true))
+          case Some(sub) =>
+            compileFn(sub, cs, refDepth, budget).map { subFn =>
+              def matched(k: Column): Column = {
+                val byName = if (props.isEmpty) lit(false)
+                  else k.isin(props.keys.toSeq: _*)
+                val byPat = patterns.map { case (re, _) =>
+                  nn(regexp_like(k, lit(re))) }.reduceOption(_ || _).getOrElse(lit(false))
+                byName || byPat
+              }
+              forall(map_entries(m), e =>
+                matched(e.getField("key")) || nn(subFn(normChild(e.getField("value")))))
+            }
+        }
+        sequence(namedPreds ++ patternPreds :+ addPred).map { ps =>
+          !isObject(v) || nn(ps.reduceOption(_ && _).getOrElse(lit(true)))
+        }
+
+      case PropCount(min, max) =>
+        val n = size(map_keys(asMap(v)))
+        val minP = min.map(m => n >= lit(m)).getOrElse(lit(true))
+        val maxP = max.map(m => n <= lit(m)).getOrElse(lit(true))
+        Some(!isObject(v) || nn(minP && maxP))
+
+      case Dependencies(pd, sd) =>
+        val m = asMap(v)
+        val pdPreds: Seq[Option[Column]] = pd.map { case (k, reqs) =>
+          val need = reqs.map(r => map_contains_key(m, lit(r)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          Some(!map_contains_key(m, lit(k)) || nn(need)): Option[Column]
+        }
+        val sdPreds: Seq[Option[Column]] = sd.map { case (k, sub) =>
+          compile(sub, v, cs, refDepth, budget)
+            .map(subPred => !map_contains_key(m, lit(k)) || nn(subPred))
+        }
+        sequence(pdPreds ++ sdPreds).map { ps =>
+          !isObject(v) || nn(ps.reduceOption(_ && _).getOrElse(lit(true)))
+        }
+
+      case ItemsAll(sub) =>
+        compileFn(sub, cs, refDepth, budget).map { subFn =>
+          !isArray(v) || nn(forall(asArray(v), x => nn(subFn(normChild(x)))))
+        }
+
+      case ItemsTuple(subs, additional) =>
+        val arr = asArray(v)
+        val n = subs.length
+        val tuplePreds: Seq[Option[Column]] = subs.zipWithIndex.map { case (sub, i) =>
+          compile(sub, normChild(get(arr, lit(i))), cs, refDepth, budget)
+            .map(subPred => size(arr) <= lit(i) || nn(subPred))
+        }
+        val addPred: Option[Column] = additional match {
+          case None => Some(lit(true))
+          case Some(sub) =>
+            compileFn(sub, cs, refDepth, budget).map { subFn =>
+              when(size(arr) > lit(n),
+                forall(slice(arr, lit(n + 1), size(arr) - lit(n)),
+                  x => nn(subFn(normChild(x)))))
+                .otherwise(lit(true))
+            }
+        }
+        sequence(tuplePreds :+ addPred).map { ps =>
+          !isArray(v) || nn(ps.reduceOption(_ && _).getOrElse(lit(true)))
+        }
+
+      case ItemCount(min, max) =>
+        val n = size(asArray(v))
+        val minP = min.map(m => n >= lit(m)).getOrElse(lit(true))
+        val maxP = max.map(m => n <= lit(m)).getOrElse(lit(true))
+        Some(!isArray(v) || nn(minP && maxP))
+
+      case UniqueItems =>
+        val arr = asArray(v)
+        val canon = transform(arr, x => canonV(normChild(x)))
+        Some(!isArray(v) || nn(size(array_distinct(canon)) === size(arr)))
+
+      case AllOf(subs) =>
+        sequence(subs.map(s => compile(s, v, cs, refDepth, budget)))
+          .map(_.reduceOption(_ && _).getOrElse(lit(true)))
+
+      case AnyOf(subs) =>
+        sequence(subs.map(s => compile(s, v, cs, refDepth, budget)))
+          .map(_.reduceOption(_ || _).getOrElse(lit(false)))
+
+      case OneOf(subs) =>
+        // jvst lowers oneOf to SPLIT + popcount on the verdict bitmask
+        // (reference:src/validate_ir.c); here: sum of 0/1 verdicts == 1.
+        sequence(subs.map(s => compile(s, v, cs, refDepth, budget))).map { ps =>
+          ps.map(p => when(p, lit(1)).otherwise(lit(0)))
+            .reduceOption(_ + _).getOrElse(lit(0)) === lit(1)
+        }
+
+      case Not(sub) =>
+        compile(sub, v, cs, refDepth, budget).map(p => !p)
+
+      case Ref(target) =>
+        if (refDepth >= RefUnrollDepth) None
+        else compile(cs.resolve(target), v, cs, refDepth + 1, budget)
+    }
+  }
+
+  /** Compile a sub-plan as a reusable Column function (for HOF lambdas). */
+  private def compileFn(p: CPlan, cs: CompiledSchema, refDepth: Int,
+                        budget: Budget): Option[Column => Column] = {
+    // Dry-run compile against a placeholder to validate expressibility and
+    // charge the budget once; then return a closure that recompiles against
+    // the actual lambda variable (cheap — plan is already known compilable).
+    compile(p, lit(null).cast("variant"), cs, refDepth, budget).map { _ =>
+      (x: Column) =>
+        compile(p, x, cs, refDepth, new Budget(NodeBudget)).get
+    }
+  }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}

@@ -1,0 +1,86 @@
+package graft.eval
+
+import graft.json.Json
+import graft.schema.CompiledSchema
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions backing the validation engine.
+  *
+  * Kept to the minimum the built-in operator set can't express (SURVEY.md
+  * §7.3): a JSON canonicalizer (deep-equality string form for enum /
+  * uniqueItems — jvst's canonical-buffer trick for its UNIQUE opcode,
+  * reference:src/validate_vm.c) and the whole-plan row evaluator used as
+  * (a) the fallback when a plan exceeds the native Column algebra and
+  * (b) the detail pass producing Violation rows for failing rows only.
+  * All are CodegenFallback scalar expressions: the surrounding projection
+  * still whole-stage-codegens; these evaluate via boxed calls.
+  */
+object Exprs {
+  def column(e: Expression): Column = Bridge.column(e)
+  def expr(c: Column): Expression = Bridge.expression(c)
+
+  val failStruct: StructType = StructType(Seq(
+    StructField("constraint", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false)))
+
+  /** Canonical JSON string of a JSON text (sorted keys, normalized numbers);
+    * null if malformed. */
+  def canonicalJson(c: Column): Column = column(CanonicalJsonExpr(expr(c)))
+
+  /** Whole-plan verdict via the row backend: true/false; false for malformed. */
+  def validateBool(schema: CompiledSchema, c: Column): Column =
+    column(ValidateBoolExpr(expr(c), schema))
+
+  /** Whole-plan labeled failures via the row backend:
+    * array<struct<constraint,detail>>, empty when valid. */
+  def validateFails(schema: CompiledSchema, c: Column): Column =
+    column(ValidateFailsExpr(expr(c), schema))
+}
+
+case class CanonicalJsonExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "canonical_json"
+  override def nullSafeEval(input: Any): Any =
+    Json.canonicalize(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ValidateBoolExpr(child: Expression, schema: CompiledSchema)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jsonschema_valid"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else java.lang.Boolean.valueOf(
+      RowEval.isValidText(schema, v.asInstanceOf[UTF8String].toString))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ValidateFailsExpr(child: Expression, schema: CompiledSchema)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(Exprs.failStruct, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "jsonschema_violations"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val fails =
+      if (v == null) Vector(Fail("_parse.json", "content is null"))
+      else RowEval.validateText(schema, v.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(fails.map(f => InternalRow(
+      UTF8String.fromString(f.constraint), UTF8String.fromString(f.detail))).toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.schema.SchemaCompiler
+import graft.eval.ColumnBackend
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val cs = SchemaCompiler.compile("""{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0}}}""")
+    println("native=" + ColumnBackend.isNative(cs))
+    val out = ev.select(col("event_id"), col("props"),
+      ColumnBackend.passColumn(cs, col("props")).as("pass"))
+    out.groupBy(col("pass")).count().show()
+    out.filter(!col("pass")).show(5, 60)
+    out.explain("formatted")
+    spark.stop()
+  }
+}

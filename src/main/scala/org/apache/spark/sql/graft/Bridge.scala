@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression <-> Column bridge. Spark 4 hides the classic constructor
+  * behind private[sql] ExpressionUtils; this shim (in the sql package
+  * namespace, the standard extension-library pattern) re-exports it for the
+  * engine's custom expressions.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json._
+import graft.schema.SchemaCompiler
+import graft.eval.ColumnBackend
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The same embedded mini JSON-Schema-Test-Suite, executed through the
+  * NATIVE Column backend (variant + Catalyst predicates). One DataFrame per
+  * schema group — all of a schema's cases evaluated in one Spark job.
+  * Also records which schemas compiled natively vs fell back.
+  */
+class ColumnSuiteSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val suiteDir = Paths.get("src/test/resources/suite")
+  private val files = Files.list(suiteDir).iterator().asScala
+    .filter(_.toString.endsWith(".json")).toVector.sortBy(_.getFileName.toString)
+
+  for (file <- files) {
+    val JArr(groups) = Json.parse(Files.readString(file)): @unchecked
+    for (group <- groups) {
+      val g = group.asInstanceOf[JObj]
+      val JStr(gdesc) = g.get("description").get: @unchecked
+      val schema = g.get("schema").get
+      val JArr(cases) = g.get("tests").get: @unchecked
+
+      test(s"[column] ${file.getFileName}: $gdesc") {
+        val compiled = SchemaCompiler.compile(schema)
+        val rows = cases.map { c =>
+          val co = c.asInstanceOf[JObj]
+          val JStr(cdesc) = co.get("description").get: @unchecked
+          val JBool(expected) = co.get("valid").get: @unchecked
+          (cdesc, Json.compact(co.get("data").get), expected)
+        }
+        val df = rows.toDF("case", "content", "expected")
+        val got = df.select(col("case"), col("expected"),
+            ColumnBackend.passColumn(compiled, col("content")).as("got"))
+          .collect()
+        val bad = got.filter(r => r.getBoolean(1) != r.getBoolean(2))
+        assert(bad.isEmpty,
+          s"\nnative=${ColumnBackend.isNative(compiled)} schema=${Json.compact(schema)}\n" +
+          bad.map(r => s"  case '${r.getString(0)}': expected ${r.getBoolean(1)}, got ${r.getBoolean(2)}")
+            .mkString("\n"))
+      }
+    }
+  }
+}

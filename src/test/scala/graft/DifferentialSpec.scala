@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.json._
+import graft.schema.{SchemaCompiler, CompiledSchema}
+import graft.eval.{RowEval, ColumnBackend}
+import org.apache.spark.sql.functions.col
+import scala.collection.immutable.VectorMap
+
+/** Backend differential testing (SURVEY.md §5.2 layer 3): ScalaCheck
+  * generators produce random (schema, document) pairs inside the supported
+  * draft-04 grammar; the native Column backend and the row evaluator must
+  * agree on every verdict. Runs batched: many pairs per Spark job.
+  */
+class DifferentialSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  // ---- document generator (bounded depth; numbers bounded scale: the
+  // native decimal path is exact to scale 18 — divergence beyond is a
+  // documented deviation, see ColumnBackend scaladoc)
+  private def genNum: Gen[JValue] = Gen.oneOf(
+    Gen.chooseNum(-1000000L, 1000000L).map(n => JNum(BigDecimal(n))),
+    Gen.chooseNum(-100000, 100000).flatMap(m => Gen.choose(1, 6).map(s =>
+      JNum(BigDecimal(m) / BigDecimal(10).pow(s)))))
+
+  private def genStr: Gen[JValue] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => JStr(s.take(12))),
+    Gen.oneOf("", "a", "aa", "foo", "bar", "héllo", "123-abc", "x y").map(JStr(_)))
+
+  private def genLeaf: Gen[JValue] = Gen.oneOf(
+    Gen.const(JNull), Gen.oneOf(true, false).map(JBool(_)), genNum, genStr)
+
+  private def genDoc(depth: Int): Gen[JValue] =
+    if (depth <= 0) genLeaf
+    else Gen.frequency(
+      4 -> genLeaf,
+      2 -> Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, genDoc(depth - 1)).map(xs => JArr(xs.toVector))),
+      2 -> Gen.choose(0, 4).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b", "c", "foo", "bar", "v1", "zz"), genDoc(depth - 1)))
+        .map(kvs => JObj(VectorMap(kvs: _*)))))
+
+  // ---- schema generator
+  private val typeNames = Seq("null", "boolean", "number", "integer", "string", "array", "object")
+
+  private def genSchema(depth: Int): Gen[JValue] = {
+    val leafKeywords: Seq[Gen[(String, JValue)]] = Seq(
+      Gen.someOf(typeNames).suchThat(_.nonEmpty).map(ts =>
+        "type" -> (if (ts.size == 1) JStr(ts.head) else JArr(ts.map(JStr(_)).toVector))),
+      Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genDoc(1))).map(vs =>
+        "enum" -> JArr(vs.toVector)),
+      Gen.oneOf("^a", "a+", "^[a-z]+$", "\\d", "o{2}").map(p => "pattern" -> JStr(p)),
+      genNum.map(n => "minimum" -> n),
+      genNum.map(n => "maximum" -> n),
+      Gen.oneOf(true, false).map(b => "exclusiveMinimum" -> JBool(b)),
+      Gen.oneOf(true, false).map(b => "exclusiveMaximum" -> JBool(b)),
+      Gen.oneOf(BigDecimal(1), BigDecimal(2), BigDecimal("0.5"), BigDecimal("0.01"), BigDecimal(3))
+        .map(k => "multipleOf" -> JNum(k)),
+      Gen.choose(0, 6).map(n => "minLength" -> JNum(BigDecimal(n))),
+      Gen.choose(0, 10).map(n => "maxLength" -> JNum(BigDecimal(n))),
+      Gen.choose(0, 3).map(n => "minItems" -> JNum(BigDecimal(n))),
+      Gen.choose(0, 5).map(n => "maxItems" -> JNum(BigDecimal(n))),
+      Gen.const("uniqueItems" -> JBool(true)),
+      Gen.choose(0, 3).map(n => "minProperties" -> JNum(BigDecimal(n))),
+      Gen.choose(0, 4).map(n => "maxProperties" -> JNum(BigDecimal(n))),
+      Gen.someOf(Seq("a", "b", "foo")).map(ks => "required" -> JArr(ks.map(JStr(_)).toVector))
+    )
+    val nestedKeywords: Seq[Gen[(String, JValue)]] =
+      if (depth <= 0) Seq.empty
+      else Seq(
+        Gen.choose(1, 2).flatMap(n => Gen.listOfN(n,
+          Gen.zip(Gen.oneOf("a", "b", "foo", "bar"), genSchema(depth - 1))))
+          .map(kvs => "properties" -> JObj(VectorMap(kvs: _*))),
+        genSchema(depth - 1).map(s => "items" -> s),
+        Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genSchema(depth - 1)))
+          .map(ss => "items" -> JArr(ss.toVector)),
+        Gen.oneOf(genSchema(depth - 1), Gen.const(JBool(false)))
+          .map(s => "additionalItems" -> s),
+        Gen.oneOf(genSchema(depth - 1), Gen.const(JBool(false)))
+          .map(s => "additionalProperties" -> s),
+        Gen.zip(Gen.oneOf("^a", "o+"), genSchema(depth - 1))
+          .map { case (re, s) => "patternProperties" -> JObj(VectorMap(re -> s)) },
+        Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genSchema(depth - 1)))
+          .map(ss => "allOf" -> JArr(ss.toVector)),
+        Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genSchema(depth - 1)))
+          .map(ss => "anyOf" -> JArr(ss.toVector)),
+        Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genSchema(depth - 1)))
+          .map(ss => "oneOf" -> JArr(ss.toVector)),
+        genSchema(depth - 1).map(s => "not" -> s),
+        Gen.zip(Gen.oneOf("a", "b"), Gen.someOf(Seq("foo", "bar")))
+          .map { case (k, reqs) => "dependencies" ->
+            JObj(VectorMap(k -> JArr(reqs.map(JStr(_)).toVector))) }
+      )
+    Gen.choose(1, 3).flatMap { n =>
+      Gen.listOfN(n, Gen.oneOf((leafKeywords ++ nestedKeywords).toIndexedSeq).flatMap(identity))
+        .map(kvs => JObj(VectorMap(kvs: _*)))
+    }
+  }
+
+  private def runBatch(pairs: Seq[(JValue, JValue)]): Unit = {
+    // group by schema so each schema is one Spark job over all its docs
+    pairs.groupBy(p => Json.canonical(p._1)).foreach { case (_, grp) =>
+      val schema = grp.head._1
+      val compiled: CompiledSchema =
+        try SchemaCompiler.compile(schema)
+        catch { case e: graft.schema.SchemaCompileException => return }
+      val docs = grp.map(_._2)
+      val expected = docs.map(d => RowEval.isValid(compiled, d))
+      val df = docs.map(Json.compact).toDF("content")
+      val got = df.select(ColumnBackend.passColumn(compiled, col("content")).as("got"))
+        .collect().map(_.getBoolean(0)).toSeq
+      val diffs = docs.lazyZip(expected).lazyZip(got).filter((_, e, g) => e != g)
+      assert(diffs.isEmpty,
+        s"\nschema=${Json.compact(schema)}\nnative=${ColumnBackend.isNative(compiled)}\n" +
+        diffs.map { case (d, e, g) => s"  doc=${Json.compact(d)} row=$e column=$g" }.mkString("\n"))
+    }
+  }
+
+  test("column backend == row backend on random (schema, doc) pairs") {
+    val gen = Gen.zip(genSchema(2), Gen.listOfN(8, genDoc(3)))
+    var seed = Seed(42L)
+    val batch = Vector.newBuilder[(JValue, JValue)]
+    for (_ <- 0 until 120) {
+      val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      docs.foreach(d => batch += (schema -> d))
+    }
+    runBatch(batch.result())
+  }
+}

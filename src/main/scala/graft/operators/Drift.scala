@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift report between two commit snapshots. */
+final case class Drift(column: String, commitA: String, commitB: String,
+                       kl: Double, buckets: Int)
+
+/** KL-divergence drift between commit snapshots (BASELINE.json north_star:
+  * "KL-divergence distribution-drift checks between commit snapshots").
+  *
+  * One aggregation computes the shared-bucketizer histograms for BOTH
+  * snapshots (groupBy(commit, bucket) — partition pruning limits the scan to
+  * the two commit partitions); the histograms are tiny (commits × 64
+  * buckets), so the divergence itself is computed on the collected
+  * histogram — a driver-side fold over ≤128 aggregated rows, not over data.
+  * Laplace (+1) smoothing keeps KL finite when a bucket is empty on one side.
+  */
+object Drift {
+
+  val Buckets = 64
+
+  /** Exact integer log2-scale bucket of a non-negative length expression. */
+  def lenBucket(len: Column): Column =
+    least(floor(log(2.0, len.cast("double") + 1.0)).cast("int"), lit(Buckets - 1))
+
+  /** Histogram of `metric` per commit: (commit, bucket, cnt). */
+  def histogram(df: DataFrame, metric: Column): DataFrame =
+    df.groupBy(col("commit"), lenBucket(metric).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def klBetween(df: DataFrame, commitA: String, commitB: String,
+                metric: Column = length(col("content")),
+                metricName: String = "content_length"): Dataset[Drift] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = histogram(df.filter(col("commit").isin(commitA, commitB)), metric)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def dist(c: String): Array[Double] = {
+      val raw = Array.tabulate(Buckets)(b => hist.getOrElse((c, b), 0L).toDouble + 1.0)
+      val tot = raw.sum
+      raw.map(_ / tot)
+    }
+    val (p, q) = (dist(commitA), dist(commitB))
+    val kl = p.indices.map(i => p(i) * math.log(p(i) / q(i))).sum
+    spark.createDataset(Seq(Drift(metricName, commitA, commitB, kl, Buckets)))
+  }
+}

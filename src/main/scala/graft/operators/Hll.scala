@@ -1,0 +1,57 @@
+package graft.operators
+
+/** Minimal mergeable HyperLogLog (Flajolet–Fuchs–Gandouet–Meunier 2007,
+  * with the standard small-range linear-counting correction). p = 12 →
+  * 4096 one-byte registers, ~1.6% relative error — plenty for data-quality
+  * distinct counts, and the byte-array register file merges associatively
+  * across partitions/runs (the property the north star's "distinct count via
+  * HLL" needs for single-pass + resumable aggregation).
+  *
+  * jvst has no distinct-count analog; this is pure north-rule surface
+  * (BASELINE.json north_star).
+  */
+object Hll {
+  val P = 12
+  val M: Int = 1 << P // 4096 registers
+  private val Alpha = 0.7213 / (1 + 1.079 / M)
+
+  def emptyRegisters: Array[Byte] = new Array[Byte](M)
+
+  /** splitmix64 finalizer over the value's hash — well-mixed 64 bits. */
+  def hash64(s: String): Long = {
+    var x = 0L
+    var i = 0
+    while (i < s.length) { x = x * 31 + s.charAt(i); i += 1 }
+    graft.sources.RepoFiles.mix64(x)
+  }
+
+  def add(regs: Array[Byte], value: String): Unit = {
+    val h = hash64(value)
+    val idx = (h >>> (64 - P)).toInt
+    val rest = h << P
+    val rank = (if (rest == 0) 64 - P else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  /** In-place merge of `other` into `regs` (register-wise max). */
+  def merge(regs: Array[Byte], other: Array[Byte]): Unit = {
+    var i = 0
+    while (i < M) { if (other(i) > regs(i)) regs(i) = other(i); i += 1 }
+  }
+
+  def estimate(regs: Array[Byte]): Long = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += 1.0 / (1L << (regs(i) & 0xff)).toDouble
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = Alpha * M * M / sum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+}

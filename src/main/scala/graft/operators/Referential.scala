@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Referential integrity of cross-row `$ref` pointers (BASELINE.json
+  * north_star: "referential checks of $ref targets across rows").
+  *
+  * Documents embed pointers of the form `repo://<org>/<repo>/<path>`;
+  * extraction is a codegen'd regexp over content (no JSON re-parse), then a
+  * LEFT ANTI join of exploded pointers against the table's own (repo, path)
+  * key space. The engine's only join-shaped operator, so its physical
+  * strategy matters at 100 TB:
+  *  - `broadcastKeys = true`: broadcast-hash anti join — right side is the
+  *    2-column key projection, fine when the key set fits executors
+  *    (≲ a few GB; Spark prunes to exactly repo+path via column pruning);
+  *  - otherwise: shuffle anti join on (repo, path) — high-cardinality key,
+  *    well distributed even when one repo is giant because path
+  *    disambiguates; AQE's skew-join split covers residual skew.
+  * No `distinct` on the right side: anti join semantics don't need it, and
+  * skipping it saves a full dedup shuffle of the key space.
+  */
+object Referential {
+
+  private val RefPattern = "repo://([^\"\\s]+)"
+
+  /** Exploded pointer table: (repo, path, refRepo, refPath). */
+  def extractedRefs(df: DataFrame): DataFrame = {
+    val refs = df
+      .filter(col("lang") === "json" && col("content").contains("repo://"))
+      .select(col("repo"), col("path"),
+        explode(regexp_extract_all(col("content"), lit(RefPattern), lit(1)))
+          .as("target"))
+    // target = "<org>/<repo>/<path...>": repo is the first two segments.
+    refs
+      .withColumn("refRepo",
+        concat_ws("/", slice(split(col("target"), "/"), 1, 2)))
+      .withColumn("refPath",
+        concat_ws("/", slice(split(col("target"), "/"), 3, 1000000)))
+      .drop("target")
+  }
+
+  /** Pointers whose (refRepo, refPath) target row does not exist. */
+  def danglingRefs(df: DataFrame, broadcastKeys: Boolean = false): DataFrame = {
+    val targets0 = df.select(col("repo").as("refRepo"), col("path").as("refPath"))
+    val targets = if (broadcastKeys) broadcast(targets0) else targets0
+    extractedRefs(df).join(targets, Seq("refRepo", "refPath"), "left_anti")
+  }
+
+  def violations(df: DataFrame, broadcastKeys: Boolean = false): Dataset[Violation] = {
+    import df.sparkSession.implicits._
+    danglingRefs(df, broadcastKeys)
+      .select(col("repo"), col("path"),
+        lit("_referential.ref").as("constraint"),
+        concat(lit("dangling $ref repo://"), col("refRepo"), lit("/"),
+               col("refPath")).as("detail"))
+      .as[Violation]
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.eval.Exprs
+import graft.schema.CompiledSchema
+import graft.sources.TableIO
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class RunReport(runId: String, bucketsTotal: Int,
+                           bucketsSkipped: Int, bucketsProcessed: Int,
+                           rows: Long, violations: Long)
+
+/** Checkpointed, resumable validation run (BASELINE.json north_rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  *
+  * The checkpoint unit is a STABLE bucket — `pmod(xxhash64(repo, path,
+  * commit), buckets)` — rather than Spark's ephemeral input-partition id,
+  * which changes with split planning and cluster size; a resumed run at 4N
+  * executors must still agree with the N-executor run about what is done.
+  *
+  * Protocol (idempotent at every step):
+  *  1. completed buckets = audit rows already present for this output —
+  *     a tiny driver-side set (≤ `buckets` ints), pushed into the scan as
+  *     a NOT-IN filter, so resumed runs re-read only pending data;
+  *  2. violations are written `partitionBy(bucket)` with dynamic partition
+  *     overwrite — re-processing a bucket after a crash mid-write simply
+  *     replaces that bucket's directory, never duplicates rows;
+  *  3. the audit row for a bucket (lineage: runId, inputVersion; metrics:
+  *     rows, violations, bytes, wall time) is appended only AFTER the
+  *     bucket's violation write committed — audit presence == bucket done.
+  *
+  * `maxBucketsPerRun` caps how many pending buckets one invocation takes —
+  * production knob for incremental runs, and the crash simulator for the
+  * resume test (a run that "dies" after K buckets is a run capped at K).
+  */
+object ResumableValidate {
+
+  def bucketCol(buckets: Int) =
+    pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(buckets)).cast("int")
+
+  def completedBuckets(spark: SparkSession, auditDir: String): Set[Int] =
+    if (!TableIO.auditExists(auditDir)) Set.empty
+    else TableIO.readAudit(spark, auditDir)
+      .select("partitionId").distinct().collect().map(_.getInt(0)).toSet
+
+  /** Violations (schema + integrity) with the bucket column retained. */
+  private def violationsWithBucket(df: DataFrame, cs: CompiledSchema): DataFrame = {
+    val inScope = col("lang") === "json"
+    val pass = Validate.passCol(cs, col("content"))
+    val schemaViol = df.filter(inScope && !pass)
+      .select(col("bucket"), col("repo"), col("path"),
+        explode(Exprs.validateFails(cs, col("content"))).as("f"))
+      .select(col("bucket"), col("repo"), col("path"),
+        col("f.constraint").as("constraint"), col("f.detail").as("detail"))
+    val integViol = df.filter(sha2(col("content"), 256) =!= col("sha256"))
+      .select(col("bucket"), col("repo"), col("path"),
+        lit("_integrity.sha256").as("constraint"),
+        concat(lit("content digest "), sha2(col("content"), 256),
+               lit(" != recorded "), col("sha256")).as("detail"))
+    schemaViol.unionByName(integViol)
+  }
+
+  def run(spark: SparkSession, inputDir: String, outDir: String,
+          runId: String, cs: CompiledSchema, buckets: Int = 64,
+          maxBucketsPerRun: Option[Int] = None): RunReport = {
+    val auditDir = s"$outDir/audit"
+    val violDir = s"$outDir/violations"
+    val t0 = System.currentTimeMillis()
+
+    val df = TableIO.readRepoFiles(spark, inputDir)
+      .withColumn("bucket", bucketCol(buckets))
+    val done = completedBuckets(spark, auditDir)
+    val take: Set[Int] = {
+      val pendingIds = (0 until buckets).filterNot(done)
+      maxBucketsPerRun.fold(pendingIds.toSet)(k => pendingIds.take(k).toSet)
+    }
+    if (take.isEmpty)
+      return RunReport(runId, buckets, done.size, 0, 0L, 0L)
+    val pending = df.filter(col("bucket").isin(take.toSeq: _*))
+
+    violationsWithBucket(pending, cs).write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(violDir)
+
+    // Per-bucket lineage + metrics; empty buckets still get an audit row
+    // (else they would be re-scanned forever on resume).
+    val violCounts = spark.read.parquet(violDir)
+      .filter(col("bucket").isin(take.toSeq: _*))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("nviol"))
+    val bucketIds = spark.createDataFrame(
+      take.toSeq.sorted.map(Tuple1(_))).toDF("bucket")
+    val metrics = pending
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"),
+           sum(octet_length(col("content")).cast("long")).as("bytes"))
+      .join(bucketIds, Seq("bucket"), "right")
+      .join(violCounts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("rows", "bytes", "nviol"))
+      .select(
+        lit(runId).as("runId"),
+        col("bucket").as("partitionId"),
+        col("rows"),
+        col("nviol").as("violations"),
+        col("bytes"),
+        lit(System.currentTimeMillis() - t0).as("wallMs"),
+        lit(inputDir).as("inputVersion"),
+        lit(t0).as("ts"))
+    TableIO.appendAudit(metrics, auditDir)
+
+    val mine = TableIO.readAudit(spark, auditDir)
+      .filter(col("runId") === runId)
+      .agg(coalesce(sum("rows"), lit(0L)).as("r"),
+           coalesce(sum("violations"), lit(0L)).as("v"),
+           count(lit(1)).as("b")).head()
+    RunReport(runId, buckets, done.size, mine.getLong(2).toInt,
+              mine.getLong(0), mine.getLong(1))
+  }
+
+  def violationsOf(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/violations")
+      .select("repo", "path", "constraint", "detail")
+}

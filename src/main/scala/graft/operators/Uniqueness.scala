@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Cross-partition uniqueness on (repo, path, commit) — BASELINE.json
+  * north_star — with the skew treatment the rule mandates ("salting the repo
+  * key before the uniqueness/referential shuffles").
+  *
+  * Shape: two-phase salted aggregation. Phase 1 pre-aggregates on
+  * (key, salt) where the salt is derived from a column OUTSIDE the key
+  * (the content digest), so a pathologically hot key — a giant repo whose
+  * rows would all hash to one reducer — is split across `saltBuckets`
+  * reducers and combined map-side. Phase 2 merges the ≤ saltBuckets partial
+  * counts per key. At 100 TB phase 1 is where the data volume dies: the
+  * exchange carries (key, salt, count) rows, not input rows.
+  */
+object Uniqueness {
+
+  val DefaultSaltBuckets = 16
+
+  /** Keys occurring more than once, with their multiplicity. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String] = Seq("repo", "path", "commit"),
+                    saltCol: Column = col("sha256"),
+                    saltBuckets: Int = DefaultSaltBuckets): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(saltCol), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as("multiplicity"))
+      .filter(col("multiplicity") > 1)
+  }
+
+  /** Duplicate keys as Violation rows. */
+  def violations(df: DataFrame): Dataset[Violation] = {
+    import df.sparkSession.implicits._
+    duplicateKeys(df)
+      .select(col("repo"), col("path"),
+        lit("_unique.repo_path_commit").as("constraint"),
+        concat(lit("key occurs "), col("multiplicity"),
+               lit(" times at commit "), col("commit")).as("detail"))
+      .as[Violation]
+  }
+}

@@ -256,7 +256,9 @@ object SchemaCompiler {
       }
 
       val props = obj.get("properties").map {
-        case JObj(fs) => fs.map { case (k, s) =>
+        // .iterator: detach from VectorMap (not java.io.Serializable) — the
+        // compiled plan ships inside task closures.
+        case JObj(fs) => fs.iterator.map { case (k, s) =>
           k -> compileSchema(s, s"$where/properties/$k") }.toMap
         case _ => throw new SchemaCompileException(s"$where/properties malformed")
       }.getOrElse(Map.empty[String, CPlan])

@@ -1,0 +1,232 @@
+package graft.sources
+
+import graft.json._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One row of the north-rule input table (BASELINE.json input_hint:
+  * `repo:string, path:string, commit:string, lang:string, content:string`)
+  * plus the generator-recorded `sha256` used for the per-row integrity
+  * invariant ("every row's content sha256 is verified against the
+  * reference", BASELINE.json north_star).
+  */
+final case class RepoFile(repo: String, path: String, commit: String,
+                          lang: String, content: String, sha256: String)
+
+/** Deterministic, index-addressable synthesizer of the `repo_files` table
+  * (FIXTURES.md §1; seed is fixed — row i is a pure function of (i, n), so
+  * any row is reproducible independently on any executor, which is what makes
+  * resume/checkpoint tests and the two-parallelism scaling runs exactly
+  * comparable).
+  *
+  * Strata by `i % 20`:
+  *  - 0–9  (50%): well-formed JSON documents VALID against [[schemaJson]]
+  *  - 10–12 (15%): non-JSON source text (lang scala/c/py/md) — validation
+  *    targets `lang = 'json'` rows only, these exercise stats/histograms
+  *  - 13   (5%): valid JSON docs carrying a cross-row `repo://` pointer;
+  *    90% resolve to an existing (repo, path) row, 10% dangle by
+  *    construction (referential-check fixture, SURVEY.md A9)
+  *  - 14–18 (25%): JSON docs violating exactly one constraint family each
+  *    (cycled by `i % 10` over 10 families) with a known expected
+  *    constraint path — the golden violation fixture
+  *  - 19   (5%): duplicate of row i-1's (repo, path, commit) key
+  *    (uniqueness fixture, SURVEY.md A8)
+  *
+  * Skew: ~40% of rows land in one giant repo (`org0/mega`) so the salted
+  * uniqueness/referential shuffles (SURVEY.md A11) are exercised for real.
+  * Commits: two snapshots c000/c111; c111 content carries a +192-char pad so
+  * the per-commit length distributions differ (KL-drift fixture, A10).
+  */
+object RepoFiles {
+
+  val Commits: Vector[String] = Vector("c000", "c111")
+  private val CodeLangs = Vector("scala", "c", "py", "md")
+
+  /** Flagship draft-04 validation schema — covers the full ★ gate set
+    * (type, enum, pattern, min/max, required, uniqueItems, $ref) plus
+    * multipleOf, length bounds, items and oneOf, with a recursive $ref
+    * (definitions/meta) to exercise unroll-depth handling. */
+  val schemaJson: String =
+    """{
+      |  "type": "object",
+      |  "required": ["name", "size", "tags"],
+      |  "properties": {
+      |    "name":  {"type": "string", "pattern": "^[a-z][a-z0-9_]*$",
+      |              "minLength": 1, "maxLength": 64},
+      |    "size":  {"type": "integer", "minimum": 0, "maximum": 1000000},
+      |    "kind":  {"enum": ["blob", "tree", "doc"]},
+      |    "tags":  {"type": "array", "items": {"type": "string"},
+      |              "uniqueItems": true, "maxItems": 8},
+      |    "score": {"type": "number", "minimum": 0,
+      |              "maximum": 1, "exclusiveMaximum": true},
+      |    "count": {"type": "integer", "multipleOf": 5},
+      |    "flag":  {"oneOf": [{"type": "boolean"}, {"type": "null"}]},
+      |    "meta":  {"$ref": "#/definitions/meta"},
+      |    "ref":   {"type": "string", "pattern": "^repo://"}
+      |  },
+      |  "definitions": {
+      |    "meta": {"type": "object",
+      |             "properties": {"depth": {"type": "integer", "minimum": 0},
+      |                            "child": {"$ref": "#/definitions/meta"}}}
+      |  }
+      |}""".stripMargin
+
+  /** splitmix64 — deterministic per-index hash stream. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def h(i: Long, stream: Int): Long = mix64(mix64(i) ^ stream.toLong)
+  private def pos(x: Long): Long = x & Long.MaxValue
+
+  // ------------------------------------------------------------- key fields
+
+  def repoOf(i: Long): String = {
+    val r = pos(h(i, 1))
+    if (r % 10 < 4) "org0/mega" // the giant repo (skew fixture)
+    else s"org${r % 7}/repo${r % 97}"
+  }
+  def pathOf(i: Long): String = {
+    val r = pos(h(i, 2))
+    s"src/d${r % 13}/file_$i.${extOf(i)}"
+  }
+  def commitOf(i: Long): String = Commits((i % 2).toInt)
+  def langOf(i: Long): String = stratum(i) match {
+    case s if s >= 10 && s <= 12 => CodeLangs((pos(h(i, 3)) % CodeLangs.length).toInt)
+    case _                       => "json"
+  }
+  private def extOf(i: Long): String = langOf(i) match {
+    case "json" => "json"; case "scala" => "scala"; case "c" => "c"
+    case "py" => "py"; case _ => "md"
+  }
+  def stratum(i: Long): Int = (i % 20).toInt
+
+  /** Key identity of row i: the duplicate stratum (19) copies row i-1's key. */
+  def keyOf(i: Long): (String, String, String) = {
+    val src = if (stratum(i) == 19 && i > 0) i - 1 else i
+    (repoOf(src), pathOf(src), commitOf(src))
+  }
+
+  // --------------------------------------------------------------- content
+
+  private def padFor(i: Long, commit: String): String = {
+    val base = (pos(h(i, 4)) % 64).toInt
+    val extra = if (commit == Commits(1)) 192 else 0 // drift between snapshots
+    "x" * (base + extra)
+  }
+
+  private def validDoc(i: Long, commit: String): JObj = {
+    val r = pos(h(i, 5))
+    val tags = (0L until (r % 5)).map(k => JStr(s"t${(r + k) % 100}_$k")).toVector
+    val meta =
+      if (r % 3 == 0)
+        JObj("depth" -> JNum(BigDecimal(r % 7)),
+             "child" -> JObj("depth" -> JNum(BigDecimal((r + 1) % 7))))
+      else JObj("depth" -> JNum(BigDecimal(r % 7)))
+    JObj(
+      "name"  -> JStr(s"file_${i}_v${r % 9}"),
+      "size"  -> JNum(BigDecimal(r % 1000000)),
+      "kind"  -> JStr(Vector("blob", "tree", "doc")((r % 3).toInt)),
+      "tags"  -> JArr(tags),
+      "score" -> JNum(BigDecimal(r % 1000) / 1001),
+      "count" -> JNum(BigDecimal((r % 1000) * 5)),
+      "flag"  -> (if (r % 2 == 0) JBool(r % 4 == 0) else JNull),
+      "meta"  -> meta,
+      "pad"   -> JStr(padFor(i, commit)))
+  }
+
+  /** The 10 violating families; returns (doc, expected constraint path as
+    * produced by graft.eval.RowEval.collect). */
+  def violatingDoc(i: Long, commit: String): (JObj, String) = {
+    val base = validDoc(i, commit)
+    def set(k: String, v: JValue): JObj =
+      JObj(base.fields.updated(k, v))
+    (i % 10) match {
+      case 0 => (set("size", JStr("big")), "properties/size/type")
+      case 1 => (set("kind", JStr("weird")), "properties/kind/enum")
+      case 2 => (set("name", JStr("9bad!")), "properties/name/pattern")
+      case 3 => (set("size", JNum(BigDecimal(-5))), "properties/size/minimum")
+      case 4 => (JObj(base.fields.removed("tags")), "required")
+      case 5 => (set("tags", JArr(Vector(JStr("a"), JStr("a")))),
+                 "properties/tags/uniqueItems")
+      case 6 => (set("meta", JObj("depth" -> JNum(BigDecimal(-1)))),
+                 "properties/meta/$ref")
+      case 7 => (set("name", JStr("n" * 80)), "properties/name/maxLength")
+      case 8 => (set("count", JNum(BigDecimal(7))), "properties/count/multipleOf")
+      case 9 => (set("flag", JStr("yes")), "properties/flag/oneOf")
+      case _ => throw new IllegalStateException
+    }
+  }
+
+  /** Cross-row ref target for stratum-13 row i: resolving 90% of the time. */
+  def refTarget(i: Long, n: Long): (String, String, Boolean) = {
+    val dangling = pos(h(i, 6)) % 10 == 0
+    if (dangling) ("ghost/none", s"missing_$i.json", false)
+    else {
+      val t = pos(h(i, 7)) % n
+      (repoOf(if (stratum(t) == 19 && t > 0) t - 1 else t),
+       pathOf(if (stratum(t) == 19 && t > 0) t - 1 else t), true)
+    }
+  }
+
+  private def codeText(i: Long, commit: String): String = {
+    val r = pos(h(i, 8))
+    val lines = (0L until (3 + r % 6)).map { k =>
+      s"def fn_${i}_$k(x) = x * ${(r + k) % 91} + ${(r ^ k) % 17}"
+    }
+    lines.mkString("\n") + "\n// " + padFor(i, commit)
+  }
+
+  def contentOf(i: Long, n: Long): String = {
+    val commit = commitOf(i)
+    stratum(i) match {
+      case s if s <= 9 => Json.compact(validDoc(i, commit))
+      case s if s <= 12 => codeText(i, commit)
+      case 13 =>
+        val (tr, tp, _) = refTarget(i, n)
+        val doc = validDoc(i, commit)
+        Json.compact(JObj(doc.fields.updated("ref", JStr(s"repo://$tr/$tp"))))
+      case s if s <= 18 => Json.compact(violatingDoc(i, commit)._1)
+      case _ => Json.compact(validDoc(i, commit)) // dup stratum: fresh content
+    }
+  }
+
+  def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Pure row constructor — the whole generator. */
+  def row(i: Long, n: Long): RepoFile = {
+    val (repo, path, commit) = keyOf(i)
+    val content = contentOf(i, n)
+    RepoFile(repo, path, commit, langOf(i), content, sha256Hex(content))
+  }
+
+  /** Distributed generation: `spark.range` partitions the index space, each
+    * executor materializes only its slice — no driver-side collection, scales
+    * to any n (at 100 TB the same pattern generates from a range scan). */
+  def dataset(spark: SparkSession, n: Long): Dataset[RepoFile] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map(i => row(i, n)))
+  }
+
+  // --------------------------------------------- construction-known goldens
+
+  /** Expected count of rows whose (repo,path,commit) key is duplicated. */
+  def expectedDupRowCount(n: Long): Long =
+    2 * (0L until n).count(i => stratum(i) == 19 && i > 0)
+
+  /** Expected violating JSON rows (one constraint family each). */
+  def expectedViolatingRows(n: Long): Seq[(Long, String)] =
+    (0L until n).collect {
+      case i if stratum(i) >= 14 && stratum(i) <= 18 =>
+        i -> violatingDoc(i, commitOf(i))._2
+    }
+
+  /** Expected dangling cross-row refs. */
+  def expectedDanglingRefs(n: Long): Seq[Long] =
+    (0L until n).collect { case i if stratum(i) == 13 && !refTarget(i, n)._3 => i }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table I/O seam. The north rule mandates Iceberg tables; this sandbox has
+  * no Iceberg runtime jar (offline coursier — SURVEY.md §1.2 documented
+  * deviation), so the layout is Hive-style commit-partitioned Parquet with an
+  * append-only audit directory. Every read/write goes through this object so
+  * swapping in `format("iceberg")` + `MERGE`/snapshot reads is a local change.
+  *
+  * Scale notes (100 TB): commit-partitioned layout gives partition pruning on
+  * snapshot reads (the drift job reads exactly two partitions); the fixed
+  * 5-column schema is always supplied on read (`spark.read.schema`) so no
+  * inference pass ever scans data.
+  */
+object TableIO {
+
+  val repoFilesSchema: StructType = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("sha256", StringType, nullable = false)))
+
+  def writeRepoFiles(ds: Dataset[RepoFile], dir: String): Unit =
+    ds.write.mode(SaveMode.Overwrite).partitionBy("commit").parquet(dir)
+
+  def readRepoFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(repoFilesSchema).parquet(dir)
+
+  val auditSchema: StructType = StructType(Seq(
+    StructField("runId", StringType, nullable = false),
+    StructField("partitionId", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("violations", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("wallMs", LongType, nullable = false),
+    StructField("inputVersion", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false)))
+
+  def appendAudit(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(dir)
+
+  def readAudit(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(auditSchema).parquet(dir)
+
+  def auditExists(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators._
+import graft.sources.RepoFiles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val N = 2000L
+  lazy val ds = RepoFiles.dataset(spark, N).cache()
+  lazy val df = ds.toDF()
+
+  test("single-pass stats: counts, null fractions, HLL, histograms") {
+    val stats = Stats.columnStats(ds).collect().map(s => s.column -> s).toMap
+    assert(stats.keySet == StatsAgg.Columns.toSet)
+    stats.values.foreach { s =>
+      assert(s.rows == N)
+      assert(s.nulls == 0 && s.nullFraction == 0.0)
+      assert(s.lengthHist.sum == N)
+    }
+    // small-cardinality columns are exact under linear counting
+    assert(stats("commit").distinctHll == 2)
+    assert(stats("lang").distinctHll == 5)
+    // content is ~unique; HLL error bound ~1.6% at p=12
+    val c = stats("content").distinctHll
+    assert(c > N * 0.94 && c < N * 1.06, s"content hll=$c")
+  }
+
+  test("stats plan has exactly one shuffle (partial→final agg)") {
+    val plan = ds.select(StatsAgg.toColumn.name("stats"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("HLL unit: merge associativity and accuracy") {
+    val a = Hll.emptyRegisters; val b = Hll.emptyRegisters
+    (0 until 50000).foreach(i => Hll.add(if (i % 2 == 0) a else b, s"v$i"))
+    Hll.merge(a, b)
+    val est = Hll.estimate(a)
+    assert(math.abs(est - 50000) < 50000 * 0.05, s"est=$est")
+    val sparse = Hll.emptyRegisters
+    (0 until 17).foreach(i => Hll.add(sparse, s"x$i"))
+    assert(Hll.estimate(sparse) == 17)
+  }
+
+  test("salted uniqueness finds exactly the constructed duplicate keys") {
+    val dups = Uniqueness.duplicateKeys(df).collect()
+    val expectedKeys = (0L until N).collect {
+      case i if RepoFiles.stratum(i) == 19 && i > 0 => RepoFiles.keyOf(i)
+    }.toSet
+    assert(dups.length == expectedKeys.size)
+    assert(dups.forall(_.getLong(3) == 2L))
+    val gotKeys = dups.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(gotKeys == expectedKeys)
+  }
+
+  test("referential: dangling refs found, resolving refs pass") {
+    val dangling = Referential.danglingRefs(df).collect()
+    val expected = RepoFiles.expectedDanglingRefs(N).map(RepoFiles.pathOf).toSet
+    assert(dangling.map(_.getAs[String]("path")).toSet == expected)
+    // total extracted = all stratum-13 rows
+    val total = Referential.extractedRefs(df).count()
+    assert(total == (0L until N).count(RepoFiles.stratum(_) == 13))
+    // broadcast variant agrees
+    assert(Referential.danglingRefs(df, broadcastKeys = true).count() ==
+      dangling.length)
+  }
+
+  test("KL drift between commits is positive (c111 carries +192-char pad)") {
+    val d = Drift.klBetween(df, "c000", "c111").head()
+    assert(d.kl > 0.01, s"kl=${d.kl}")
+    assert(d.commitA == "c000" && d.commitB == "c111")
+    // self-drift is ~zero
+    val self = Drift.klBetween(df, "c000", "c000").head()
+    assert(math.abs(self.kl) < 1e-12)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Validate
+import graft.schema.SchemaCompiler
+import graft.sources.{RepoFiles, TableIO}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RepoFilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val N = 2000L
+  lazy val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+  lazy val df = RepoFiles.dataset(spark, N).toDF().cache()
+
+  test("generator is deterministic and index-addressable") {
+    val a = RepoFiles.row(1234L, N)
+    val b = RepoFiles.row(1234L, N)
+    assert(a == b)
+    assert(df.count() == N)
+    // regenerating yields byte-identical rows
+    val again = RepoFiles.dataset(spark, N).toDF()
+    assert(df.exceptAll(again).count() == 0)
+  }
+
+  test("sha256 invariant: recorded digest == sha2(content,256) on every row") {
+    assert(df.filter(sha2(col("content"), 256) =!= col("sha256")).count() == 0)
+    assert(Validate.integrityViolations(df).count() == 0)
+  }
+
+  test("valid strata pass; violating strata fail — exact counts") {
+    val verdicts = Validate.withVerdict(df, cs)
+    val failed = verdicts.filter(col("validated") && !col("pass")).count()
+    val expectedFailing = (0L until N).count(i =>
+      RepoFiles.stratum(i) >= 14 && RepoFiles.stratum(i) <= 18)
+    assert(failed == expectedFailing)
+    // non-json rows are out of scope, never failed
+    assert(verdicts.filter(!col("validated") && col("lang") =!= "json").count() ==
+      verdicts.filter(!col("validated")).count())
+  }
+
+  test("violation constraint paths match construction-known goldens") {
+    val got = Validate.violations(df, cs)
+      .select("path", "constraint").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = RepoFiles.expectedViolatingRows(N)
+      .map { case (i, c) => (RepoFiles.pathOf(i), c) }.toSet
+    // every expected (path, constraint) is reported...
+    val missing = expected -- got
+    assert(missing.isEmpty, s"missing violations: ${missing.take(5)}")
+    // ...and nothing unexpected beyond the known families is reported
+    val extra = got.filterNot { case (p, c) =>
+      expected.contains((p, c)) }
+    assert(extra.isEmpty, s"unexpected violations: ${extra.take(5)}")
+  }
+
+  test("partition summary totals reconcile with the table") {
+    val s = Validate.partitionSummary(df, cs).collect()
+    assert(s.map(_.rows).sum == N)
+    assert(s.map(_.sha256Failures).sum == 0)
+    val expectedFailing = (0L until N).count(i =>
+      RepoFiles.stratum(i) >= 14 && RepoFiles.stratum(i) <= 18)
+    assert(s.map(_.failed).sum == expectedFailing)
+    assert(s.map(_.passed).sum + expectedFailing == s.map(_.validated).sum)
+  }
+
+  test("TableIO round-trips the commit-partitioned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("repofiles").toString
+    TableIO.writeRepoFiles(RepoFiles.dataset(spark, 200L), dir)
+    val back = TableIO.readRepoFiles(spark, dir)
+    assert(back.count() == 200)
+    assert(back.select("commit").distinct().count() == 2)
+    // partition pruning: single-commit read plans only that partition
+    val pruned = back.filter(col("commit") === "c000")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0 && scan.contains("PartitionFilters"))
+  }
+}

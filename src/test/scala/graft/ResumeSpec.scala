@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.ResumableValidate
+import graft.schema.SchemaCompiler
+import graft.sources.{RepoFiles, TableIO}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val N = 1000L
+  lazy val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("kill-after-K resume produces identical outputs + two-run lineage") {
+    val in = tmp("resume-in")
+    TableIO.writeRepoFiles(RepoFiles.dataset(spark, N), in)
+    val B = 8
+
+    // reference: one uninterrupted run
+    val full = tmp("resume-full")
+    val r0 = ResumableValidate.run(spark, in, full, "ref-run", cs, buckets = B)
+    assert(r0.bucketsProcessed == B && r0.rows == N)
+
+    // crashed run: dies after 3 buckets, then a second run resumes
+    val out = tmp("resume-out")
+    val r1 = ResumableValidate.run(spark, in, out, "run-1", cs,
+      buckets = B, maxBucketsPerRun = Some(3))
+    assert(r1.bucketsProcessed == 3 && r1.bucketsSkipped == 0)
+    val r2 = ResumableValidate.run(spark, in, out, "run-2", cs, buckets = B)
+    assert(r2.bucketsSkipped == 3 && r2.bucketsProcessed == B - 3)
+    assert(r1.rows + r2.rows == N)
+
+    // outputs are identical to the uninterrupted run (set equality)
+    val a = ResumableValidate.violationsOf(spark, full)
+    val b = ResumableValidate.violationsOf(spark, out)
+    assert(a.count() == b.count() && a.exceptAll(b).count() == 0)
+
+    // audit: every bucket done exactly once, two distinct runIds, lineage set
+    val audit = TableIO.readAudit(spark, s"$out/audit")
+    assert(audit.select("partitionId").distinct().count() == B)
+    assert(audit.count() == B) // no bucket double-processed
+    assert(audit.select("runId").distinct().count() == 2)
+    assert(audit.filter(col("inputVersion") =!= in).count() == 0)
+    assert(audit.agg(sum("rows")).head().getLong(0) == N)
+
+    // a third run is a no-op
+    val r3 = ResumableValidate.run(spark, in, out, "run-3", cs, buckets = B)
+    assert(r3.bucketsProcessed == 0 && r3.bucketsSkipped == B)
+  }
+}

@@ -1,24 +1,114 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: times every SparkEntry query at SPARK_GRAFT_CPUS
+  * parallelism on SPARK_GRAFT_SF_DIR, plus a dedicated validated-files/sec
+  * measurement of the flagship validation pass (BASELINE.json metric).
+  * Prints exactly one JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Flagship throughput: full validation verdict over repo_files.
+    val n = SparkEntry.repoRowsFor(sfDir)
+    val fps = ScalingBench.validatedFilesPerSec(spark, n)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_files_per_sec":$fps,"repo_rows":$n,"cpus":$cpus}""")
     spark.stop()
+  }
+}
+
+/** Two-parallelism scaling harness (BASELINE.json north_rule: throughput
+  * scaling efficiency ≥ 0.8 from N to 4N executors; sandbox stand-in =
+  * local[N] vs local[4N] per driver instruction). Writes the same flagship
+  * validation job against the same on-disk input at both levels and prints
+  * throughput + efficiency. Run: `sbt "runMain graft.ScalingBench [rows]"`. */
+object ScalingBench {
+
+  /** rows/sec of the full validation pass (verdict on every row, violation
+    * details on failing rows, per-partition summary agg) over a pre-written
+    * parquet input — measures the engine, not the generator. */
+  def validatedFilesPerSecFromDir(spark: SparkSession, dir: String): Double = {
+    val df = graft.sources.TableIO.readRepoFiles(spark, dir)
+    val n = df.count() // warm file listing/footers; cheap vs validation
+    val t0 = System.nanoTime()
+    val s = graft.operators.Validate
+      .partitionSummary(df, SparkEntry.fixtureSchema).collect()
+    val viol = graft.operators.Validate
+      .violations(df, SparkEntry.fixtureSchema).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(s.map(_.rows).sum == n && viol > 0)
+    n / secs
+  }
+
+  /** In-memory variant used by Bench (generation fused with validation). */
+  def validatedFilesPerSec(spark: SparkSession, n: Long): Double = {
+    val df = graft.sources.RepoFiles.dataset(spark, n).toDF()
+    val t0 = System.nanoTime()
+    val s = graft.operators.Validate
+      .partitionSummary(df, SparkEntry.fixtureSchema).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(s.map(_.rows).sum == n)
+    n / secs
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(400000L)
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val input = s"/tmp/graft_scale_input_$rows"
+
+    // write input once (at high parallelism), then measure at N and 4N
+    val prep = session(32)
+    if (!new java.io.File(s"$input/_SUCCESS").exists())
+      graft.sources.TableIO.writeRepoFiles(
+        graft.sources.RepoFiles.dataset(prep, rows).repartition(64), input)
+    prep.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    def measure(cores: Int): Double = {
+      val s = session(cores)
+      try {
+        validatedFilesPerSecFromDir(s, input) // warm-up (JIT, codegen, page cache)
+        val runs = (1 to 2).map(_ => validatedFilesPerSecFromDir(s, input))
+        runs.max
+      } finally {
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    }
+
+    val thrN = measure(nCores)
+    val thr4N = measure(nCores * 4)
+    val eff = (thr4N / thrN) / 4.0
+    println(f"""{"metric":"scaling","rows":$rows,"coresN":$nCores,"cores4N":${nCores * 4},"files_per_sec_N":$thrN%.1f,"files_per_sec_4N":$thr4N%.1f,"efficiency":$eff%.3f}""")
   }
 }

@@ -1,13 +1,218 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.schema.SchemaCompiler
+import graft.sources.RepoFiles
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` for every
+  * SQL-expressible one. Column names/aliases match the oracle exactly
+  * (driver hash-compares after sorting columns by name).
+  *
+  * Determinism notes: float-valued outputs are either exact-by-construction
+  * (integral doubles, decimal casts) or confined to rows-only queries; the
+  * repo_files queries synthesize their input from the fixed seed at a scale
+  * derived from the sf directory, so reruns are byte-stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  lazy val fixtureSchema = SchemaCompiler.compile(RepoFiles.schemaJson)
+
+  /** repo_files rows for a testdata dir: sf × 2,000,000 (sf0.001 → 2k). */
+  def repoRowsFor(sfDir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(2000L, (sf * 2000000L).toLong)
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def repoFiles(s: SparkSession, dir: String): DataFrame =
+    RepoFiles.dataset(s, repoRowsFor(dir)).toDF()
+
+  /** Flagship: full validation of repo_files — violations of every family. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = RepoFiles.dataset(spark, 2000L).toDF()
+    Validate.allViolations(df, fixtureSchema).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ oracle-checked (SQL)
+    "q_doc_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).cast("long").as("sum_chars"),
+             countDistinct(col("source")).as("n_sources"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))),
+
+    "q_len_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(floor(col("n_chars") / 64).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket"))),
+
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long").as("tokens"))
+        .orderBy(col("lang"))),
+
+    "q_quality_chars" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(length(regexp_replace(col("text"), "[^A-Za-z]", "")))
+               .cast("long").as("alpha_chars"),
+             sum(length(col("text"))).cast("long").as("total_chars"))
+        .orderBy(col("lang"))),
+
+    "q_uniqueness_events" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("user_id"), col("event_type"))),
+
+    "q_referential_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      orders.join(li, orders("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    }),
+
+    "q_events_json" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+        .orderBy(col("event_type"))),
+
+    "q_lineitem_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_top_sources" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("source")).limit(5)),
+
+    "q_embedding_dims" -> ((s, dir) =>
+      t(s, dir, "embeddings").groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             sum(size(col("embedding"))).cast("long").as("total_dims"))
+        .orderBy(col("label"))),
+
+    // --------------------------------------- rows-only (not SQL-expressible)
+    "q_validate_flagship" -> ((s, dir) =>
+      Validate.allViolations(repoFiles(s, dir), fixtureSchema).toDF()
+        .orderBy(col("path"), col("constraint"))),
+
+    "q_partition_summary" -> ((s, dir) =>
+      Validate.partitionSummary(repoFiles(s, dir), fixtureSchema).toDF()
+        .orderBy(col("partitionId"))),
+
+    "q_repo_column_stats" -> ((s, dir) =>
+      Stats.columnStats(RepoFiles.dataset(s, repoRowsFor(dir))).toDF()
+        .withColumn("lengthHist", col("lengthHist").cast("string"))
+        .orderBy(col("column"))),
+
+    "q_repo_uniqueness" -> ((s, dir) =>
+      Uniqueness.duplicateKeys(repoFiles(s, dir))
+        .orderBy(col("repo"), col("path"), col("commit"))),
+
+    "q_repo_referential" -> ((s, dir) =>
+      Referential.violations(repoFiles(s, dir)).toDF()
+        .orderBy(col("path"))),
+
+    "q_repo_drift" -> ((s, dir) =>
+      Drift.klBetween(repoFiles(s, dir), "c000", "c111").toDF()),
+
+    "q_doc_features" -> ((s, dir) =>
+      TextOps.documentFeatures(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "q_minhash_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs.filter(col("doc_id") % 37 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000)
+        .withColumn("text", concat(col("text"), lit(" graftdup")))
+      Dedup.nearDuplicates(docs.unionByName(copies), threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_simhash_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs.filter(col("doc_id") % 41 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000000)
+      Dedup.simhashNearDuplicates(docs.unionByName(copies), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queries, 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries, 10, bits = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.features(Multimodal.dataset(s, 1000L)).toDF()
+        .withColumn("histogram", col("histogram").cast("string"))
+        .orderBy(col("mediaId"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | count(DISTINCT source) AS n_sources,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_len_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 64.0) AS BIGINT) AS bucket, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang, CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_chars" ->
+      """SELECT lang,
+        | CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS alpha_chars,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_uniqueness_events" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |GROUP BY user_id, event_type HAVING count(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_referential_orders" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_top_sources" ->
+      """SELECT source, count(*) AS n FROM documents
+        |GROUP BY source ORDER BY n DESC, source LIMIT 5""".stripMargin,
+    "q_embedding_dims" ->
+      """SELECT label, count(*) AS n, CAST(sum(len(embedding)) AS BIGINT) AS total_dims
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
 }

@@ -1,0 +1,56 @@
+package graft.eval
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash (Charikar 2002) over a token array: per-token 64-bit hash votes
+  * ±1 on each bit position weighted by multiplicity; the sign vector is the
+  * fingerprint. Near-duplicates differ in few bits, so candidate generation
+  * can band the 64 bits into chunks (Dedup.simhashNearDuplicates) and
+  * verification is a codegen'd `bit_count(a ^ b)`.
+  *
+  * A custom scalar Expression (CodegenFallback) — the 64-lane vote loop has
+  * no reasonable built-in-function spelling; the surrounding projection
+  * still whole-stage-codegens around it.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = graft.sources.RepoFiles.mix64(s.hashCode.toLong ^ (s.numBytes().toLong << 32))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExprs {
+  /** SimHash fingerprint of an array<string> token column. */
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+}

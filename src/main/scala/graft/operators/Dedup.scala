@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.eval.TextExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines over `documents`
+  * (doc_id, text, ...). Four tiers, all shaped for 100 TB:
+  *
+  *  - exact: hash-groupBy on sha2(text) — one shuffle of (digest, id), never
+  *    of text bytes;
+  *  - MinHash + LSH: shingle → k-minhash signature → band buckets →
+  *    bucket-join candidates → exact Jaccard verify on candidates ONLY.
+  *    The all-pairs O(n²) comparison never happens; cost is
+  *    O(n·k + candidate pairs);
+  *  - SimHash: 64-bit fingerprint, banded into 16-bit chunks for candidate
+  *    generation, `bit_count(a ^ b)` hamming verify;
+  *  - n-gram Jaccard: the exact verifier, also exposed directly.
+  *
+  * Signature/fingerprint computation is a narrow codegen'd pass; the only
+  * shuffles are the bucket joins, whose keys (band, bucket) are uniformly
+  * distributed by construction. A degenerate corpus (one shingle set
+  * repeated millions of times) would hot-spot one bucket; the candidate
+  * count cap (`maxBucketSize`) drops such buckets with a log, the standard
+  * LSH guard.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Groups of byte-identical texts (digest, count, doc_ids). */
+  def exactDuplicateGroups(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("n") > 1)
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, "\\s+")
+    when(size(toks) < n, array(text)).otherwise(
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Evaluate `in` ONCE and apply `f` to it. Catalyst's CollapseProject
+    * inlines projected expressions into every downstream reference — for an
+    * expensive array expression referenced k times that means k recomputes.
+    * Binding it as a higher-order-function lambda variable forces single
+    * evaluation (lambda args are materialized per element). */
+  def bindOnce(in: Column, f: Column => Column): Column =
+    element_at(transform(array(in), x => f(x)), 1)
+
+  /** k-permutation MinHash signature (array<long>) of a shingle array.
+    * The shingle array is bound once (not once per seed). */
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    bindOnce(shingleArr, sh =>
+      transform(sequence(lit(0), lit(k - 1)),
+        seed => array_min(transform(sh, x => xxhash64(x, seed)))))
+
+  /** Candidate near-duplicate pairs via LSH banding: two docs collide if any
+    * band of their signatures matches exactly. Returns (a, b) id pairs,
+    * a < b, distinct. `maxBucketSize` drops degenerate buckets. */
+  def minhashCandidatePairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    // signature bound once; per-band bucket hashes derived from the binding
+    val bandBuckets = bindOnce(minhashSignature(shingles(col(textCol)), k),
+      sig => transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r))), b)))
+    val sig = docs.select(col(idCol).as("id"), posexplode(bandBuckets))
+      .toDF("id", "band", "bucket")
+    val sized = sig.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val l = sized.select(col("band"), col("bucket"), col("id").as("a"))
+    val rgt = sized.select(col("band"), col("bucket"), col("id").as("b"))
+    l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH near-duplicates, verified: candidate pairs whose exact
+    * shingle Jaccard ≥ threshold. The verify join re-fetches shingles by id
+    * (broadcast-friendly candidate side at production selectivity). */
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.8,
+                     k: Int = 32, bands: Int = 8,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cand = minhashCandidatePairs(docs, k, bands, textCol, idCol)
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard", round(jaccard(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  def simhash(text: Column): Column = TextExprs.simhash64(split(text, "\\s+"))
+
+  /** SimHash near-duplicates: 4×16-bit band candidate generation, exact
+    * hamming-distance verify via bit_count(xor). */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"), posexplode(
+        array((0 until 4).map(b =>
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("id", "fp", "band", "bucket")
+    val sized = banded.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val l = sized.select(col("band"), col("bucket"),
+      col("id").as("a"), col("fp").as("fpa"))
+    val rgt = sized.select(col("band"), col("bucket"),
+      col("id").as("b"), col("fp").as("fpb"))
+    l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming").distinct()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.sources.RepoFiles.mix64
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Typed metadata for an opaque media payload. */
+final case class MediaMeta(mime: String, width: Int, height: Int,
+                           durationMs: Long, sampleRate: Int)
+
+/** One multimodal row: media as an opaque binary column + typed metadata —
+  * the Spark-native representation for image/audio/video at 100 TB (payload
+  * bytes stay columnar/compressed in parquet; metadata is predicate-pushdown
+  * friendly). */
+final case class MediaFile(mediaId: Long, kind: String,
+                           bytes: Array[Byte], meta: MediaMeta)
+
+final case class MediaFeatures(mediaId: Long, kind: String, byteLen: Int,
+                               histogram: Seq[Long], brightness: Double)
+
+final case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long,
+                       bytes: Array[Byte])
+
+/** Multimodal-column operators. The image/audio codecs are NOT in this
+  * container, so the decode step is a clearly-marked deterministic FAKE
+  * (`fakeDecode`): it synthesizes pixel-like bytes from the payload with
+  * splitmix64. Everything around it — the binary-column schema, the
+  * partition-preserving `mapPartitions` batch shape, the explode to frames,
+  * the feature aggregation — is the real Spark plumbing a production codec
+  * drops into (swap `fakeDecode` for the JNI/lib call; nothing else moves).
+  */
+object Multimodal {
+
+  val Kinds = Vector("image", "audio", "video")
+
+  /** Deterministic synthetic media table (index-addressable, like RepoFiles). */
+  def dataset(spark: SparkSession, n: Long): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val kind = Kinds((mix64(i) & Long.MaxValue % 3).toInt % 3)
+      val len = 64 + (mix64(i ^ 7) & 0xff).toInt
+      val bytes = Array.tabulate[Byte](len)(j => (mix64(i * 131 + j) & 0xff).toByte)
+      val meta = kind match {
+        case "image" => MediaMeta("image/png", 32 + (i % 64).toInt, 32, 0L, 0)
+        case "audio" => MediaMeta("audio/wav", 0, 0, 1000L + i % 5000, 16000)
+        case _       => MediaMeta("video/mp4", 64, 48, 2000L + i % 9000, 0)
+      }
+      MediaFile(i, kind, bytes, meta)
+    }
+  }
+
+  /** STUB decode — stands in for the real codec (not in this container).
+    * Deterministic: output depends only on the payload bytes. */
+  def fakeDecode(bytes: Array[Byte]): Array[Byte] =
+    Array.tabulate[Byte](bytes.length)(j =>
+      (mix64(bytes(j).toLong * 31 + j) & 0xff).toByte)
+
+  /** Per-partition feature extraction: decode + byte histogram + mean
+    * "brightness". One narrow mapPartitions pass, no shuffle — the batch
+    * shape a vectorized codec (or Pandas-UDF equivalent) would use. */
+  def features(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val px = fakeDecode(m.bytes)
+      val hist = new Array[Long](16)
+      var sum = 0L
+      px.foreach { b => val v = b & 0xff; hist(v / 16) += 1; sum += v }
+      MediaFeatures(m.mediaId, m.kind, m.bytes.length,
+        hist.toSeq, if (px.isEmpty) 0.0 else sum.toDouble / px.length)
+    })
+  }
+
+  /** Frame sampling for video rows: every `everyMs` ms → one Frame row.
+    * flatMap (one-to-many) keeps partitioning; frame payloads are stub
+    * slices of the decoded stream. */
+  def sampleFrames(media: Dataset[MediaFile], everyMs: Long = 1000L): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val px = fakeDecode(m.bytes)
+      val nFrames = math.max(1, (m.meta.durationMs / everyMs).toInt)
+      (0 until nFrames).map { f =>
+        val off = f * px.length / nFrames
+        Frame(m.mediaId, f, f * everyMs, px.slice(off, math.min(px.length, off + 16)))
+      }
+    }
+  }
+}

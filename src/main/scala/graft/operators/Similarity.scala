@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.sources.RepoFiles.mix64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. Queries are a
+  *    small broadcast side; the scan side is one narrow pass computing
+  *    dot products with codegen'd higher-order functions. O(n·q) — exact,
+  *    and the right choice whenever q is small, even at 100 TB.
+  *  - LSH (random hyperplane / SRP) top-k: the scale path when q is large.
+  *    Sign-pattern buckets on both sides, equi-join on bucket, top-k within
+  *    candidates. Hyperplanes are deterministic (splitmix64 seeds) literals
+  *    compiled into the plan — no side channel, identical across executors
+  *    and cluster sizes.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic random hyperplanes: `bits` planes × `dim` components in
+    * [-1, 1), from splitmix64 — embedded as a typed literal. */
+  def hyperplanes(bits: Int, dim: Int): Column = {
+    val planes: Seq[Seq[Double]] = (0 until bits).map { p =>
+      (0 until dim).map { i =>
+        val h = mix64(p.toLong * 1000003L + i)
+        (h.toDouble / Long.MaxValue.toDouble) // ~uniform in [-1, 1]
+      }
+    }
+    typedLit(planes)
+  }
+
+  /** Sign-random-projection bucket id of an embedding: fold the ordered
+    * sign bits into a long (acc*2 + bit). */
+  def srpBucket(emb: Column, bits: Int, dim: Int): Column =
+    aggregate(
+      transform(hyperplanes(bits, dim),
+        plane => when(dot(plane, emb) > 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc * 2 + x)
+
+  /** Exact cosine top-k of each query against the corpus.
+    * queries: (query_id, qvec); corpus: (vec_id, embedding). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col("embedding"), col("qvec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: only candidates sharing the query's
+    * SRP bucket are scored. Recall trades off with `bits`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.withColumn("bucket", srpBucket(col("embedding"), bits, dim))
+    val q = queries.withColumn("bucket", srpBucket(col("qvec"), bits, dim))
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cosine", cosine(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (bucketed, verified). */
+  def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,
+                           bits: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), bits, dim).as("bucket"))
+    val l = c.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = c.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table (driver tables, TESTDATA.md). Everything here is built from
+  * codegen'd built-in functions — no UDFs — so the whole feature extraction
+  * is one narrow whole-stage-codegen'd pass at any scale.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count (empty string → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(trim(text))))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation —
+    * the standard pre-tokenizer shape used by byte-pair encoders. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Stopword sets for the 5 corpus languages (heuristic language-ID).
+    * Tiny on purpose: broadcast as literals into the plan. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "on"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "dans", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "que", "en", "los"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "bu"))
+
+  /** Per-language stopword hit count over the token array. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(tokens(lower(text)), t => t.isin(set: _*)))
+  }
+
+  /** Heuristic language-ID: argmax of stopword hits; "und" (undetermined)
+    * when nothing matches. Deterministic tie-break by language order. */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val hits = langs.map(l => stopwordHits(text, l))
+    val best = greatest(hits: _*)
+    val cases = langs.zip(hits).foldLeft(when(best === 0, "und")) {
+      case (acc, (l, h)) => acc.when(h === best, l)
+    }
+    cases.otherwise("und")
+  }
+
+  /** Quality score in [0,1]: alpha-char ratio, moderated by punctuation
+    * density and mean token length in the plausible-text band. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val punct = regexp_count(text, lit("[.!?,;:]")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val meanTok = when(toks > 0, (len - toks + 1) / toks).otherwise(0.0)
+    val alphaRatio = when(len > 0, alpha / len).otherwise(0.0)
+    val punctPenalty = when(len > 0, least(punct / len * 4.0, lit(1.0))).otherwise(0.0)
+    val tokOk = when(meanTok.between(2.0, 12.0), 1.0).otherwise(0.5)
+    round(greatest(lit(0.0), least(lit(1.0),
+      alphaRatio * tokOk * (lit(1.0) - punctPenalty * 0.5))), 6)
+  }
+
+  /** Order-sensitive document fingerprint: rolling hash chain over tokens
+    * (acc ← xxhash64(acc, token)), entirely in codegen'd HOFs. Overflow-free
+    * under ANSI arithmetic. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1469598103934665603L),
+      (acc, t) => xxhash64(acc, t))
+
+  /** Feature-extraction pass over `documents`. */
+  def documentFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      tokenCount(col("text")).as("token_count"),
+      bpeishTokenCount(col("text")).as("bpeish_count"),
+      langId(col("text")).as("lang_id"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fingerprint"))
+}

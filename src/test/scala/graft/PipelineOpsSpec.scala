@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("document features: counts, quality bounds, deterministic fingerprint") {
+    val feats = TextOps.documentFeatures(docs).cache()
+    assert(feats.count() == docs.count())
+    assert(feats.filter(col("token_count") <= 0).count() == 0)
+    assert(feats.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(feats.filter(!col("lang_id").isin("en", "fr", "de", "es", "zh", "und"))
+      .count() == 0)
+    // fingerprint is a pure function of text: recompute equals
+    val again = TextOps.documentFeatures(docs)
+    assert(feats.select("doc_id", "fingerprint")
+      .exceptAll(again.select("doc_id", "fingerprint")).count() == 0)
+    // token_count agrees with a Scala-side recount on a sample
+    val sample = docs.limit(20).collect()
+    val got = feats.filter(col("doc_id") < 20)
+      .select("doc_id", "token_count").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sample.foreach { r =>
+      val expected = r.getAs[String]("text").trim.split("\\s+").length
+      assert(got(r.getLong(0)) == expected)
+    }
+  }
+
+  test("exact dedup finds constructed duplicates and nothing else") {
+    assert(Dedup.exactDuplicateGroups(docs).count() == 0) // corpus is dup-free
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") < 10).withColumn("doc_id", col("doc_id") + 100000))
+    val groups = Dedup.exactDuplicateGroups(withDups).collect()
+    assert(groups.length == 10)
+    assert(groups.forall(_.getAs[Long]("n") == 2))
+  }
+
+  test("minhash-LSH near-dup: planted near-copies are recovered, verified by exact jaccard") {
+    // plant copies with one word appended — jaccard just below 1
+    val copies = docs.filter(col("doc_id") < 15)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" extraword")))
+    val corpus = docs.unionByName(copies)
+    val pairs = Dedup.nearDuplicates(corpus, threshold = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 15L).foreach { i =>
+      assert(found.contains((i, i + 100000)), s"missing planted pair $i")
+    }
+    // every reported pair really has jaccard >= threshold (verified column)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash near-dup: identical texts collide at hamming 0") {
+    val copies = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 200000)
+    val corpus = docs.unionByName(copies)
+    val pairs = Dedup.simhashNearDuplicates(corpus, maxHamming = 3).collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    (0L until 8L).foreach { i =>
+      assert(byPair.get((i, i + 200000)).contains(0), s"missing identical pair $i")
+    }
+  }
+
+  test("brute-force cosine top-k: self is rank 1 with cosine ~1") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(emb, queries, k = 10).cache()
+    val top1 = top.filter(col("rank") === 1).collect()
+    assert(top1.length == 5)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    assert(top.count() == 50)
+  }
+
+  test("LSH top-k: self-bucket guarantee + recall vs brute force reported") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, 10, bits = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the query vector itself always shares its own bucket
+    (0L until 5L).foreach(q => assert(lsh.contains((q, q))))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@10 vs brute force (4 bits): $recall%.2f")
+    assert(recall > 0.1)
+  }
+
+  test("multimodal plumbing: schema, determinism, frame explode") {
+    val media = Multimodal.dataset(spark, 300L).cache()
+    assert(media.count() == 300)
+    val feats = Multimodal.features(media).cache()
+    assert(feats.count() == 300)
+    feats.collect().foreach { f =>
+      assert(f.histogram.sum == f.byteLen)
+      assert(f.brightness >= 0 && f.brightness <= 255)
+    }
+    // decode stub is deterministic
+    val again = Multimodal.features(media)
+    assert(feats.toDF().exceptAll(again.toDF()).count() == 0)
+    val frames = Multimodal.sampleFrames(media).cache()
+    val vids = media.filter(_.kind == "video").count()
+    assert(frames.select("mediaId").distinct().count() == vids)
+    assert(frames.filter(col("frameIdx") < 0).count() == 0)
+  }
+}

@@ -85,7 +85,11 @@ object ColumnBackend {
     compile(cs.root, v, cs, 0, new Budget(NodeBudget))
 
   /** Per-row validity over a raw JSON-text column. Falls back to the row
-    * backend automatically; malformed/null content is invalid. */
+    * backend automatically; malformed/null content is invalid.
+    * NOTE: the parse expression is textually repeated at constraint leaves;
+    * codegen subexpression elimination dedupes the unconditional ones.
+    * (A lambda-bound parse-once variant was measured and REGRESSED 15×
+    * at 32 cores — variant-typed higher-order functions run interpreted.) */
   def passColumn(cs: CompiledSchema, content: Column): Column = {
     compilePlan(cs, try_parse_json(content)) match {
       case Some(pred) =>

@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.eval.Exprs
+import graft.sources.TableIO
+import graft.{ScalingBench, SparkEntry}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures native-Column backend vs row-evaluator backend throughput on the
+  * flagship verdict, at a given core count, over the pre-written scaling
+  * input. Usage: runMain graft.tools.BackendRace [cores] [rows] */
+object BackendRace {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.getOrElse("32").toInt
+    val rows = args.lift(1).getOrElse("4000000").toLong
+    val input = s"/tmp/graft_scale_input_$rows"
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cs = SparkEntry.fixtureSchema
+    val df = TableIO.readRepoFiles(spark, input)
+    val n = df.count()
+
+    def time(name: String)(body: => Long): Unit = {
+      body // warm
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: ${n / runs.min}%.0f rows/s (best of 2)")
+    }
+
+    time("native-column") {
+      df.agg(sum(when(graft.eval.ColumnBackend.passColumn(cs, col("content")), 1L)
+        .otherwise(0L))).head().getLong(0)
+    }
+    time("row-eval     ") {
+      df.agg(sum(when(Exprs.validateBool(cs, col("content")), 1L)
+        .otherwise(0L))).head().getLong(0)
+    }
+    time("sha2-only    ") {
+      df.agg(sum(when(sha2(col("content"), 256) === col("sha256"), 1L)
+        .otherwise(0L))).head().getLong(0)
+    }
+    spark.stop()
+  }
+}

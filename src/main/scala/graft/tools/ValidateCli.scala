@@ -9,13 +9,44 @@ import java.nio.file.{Files, Paths}
   * verdict + violations. Exit code 0 iff all documents valid.
   * Driver-free local surface for the core engine (no SparkSession).
   *
-  * Usage: runMain graft.tools.ValidateCli <schema.json> [doc.json ...]
+  * Usage: runMain graft.tools.ValidateCli [-d] <schema.json> [doc.json ...]
   *        with no doc args, reads one document from stdin.
+  *        -d dumps the compiled constraint plan (analog of `jvst -d cnode`,
+  *        the reference's IR-dump debug path) instead of validating.
   */
 object ValidateCli {
-  def main(args: Array[String]): Unit = {
+  private def dumpPlan(p: graft.schema.CPlan, indent: Int, sb: StringBuilder): Unit = {
+    import graft.schema.CPlan._
+    val pad = "  " * indent
+    def line(s: String): Unit = sb.append(pad).append(s).append('\n')
+    p match {
+      case AllOf(ss) => line("AND"); ss.foreach(dumpPlan(_, indent + 1, sb))
+      case AnyOf(ss) => line("OR"); ss.foreach(dumpPlan(_, indent + 1, sb))
+      case OneOf(ss) => line("XOR(one)"); ss.foreach(dumpPlan(_, indent + 1, sb))
+      case Not(s)    => line("NOT"); dumpPlan(s, indent + 1, sb)
+      case Props(ps, pats, add) =>
+        line("PROPS")
+        ps.toSeq.sortBy(_._1).foreach { case (k, s) =>
+          line(s"  prop '$k':"); dumpPlan(s, indent + 2, sb) }
+        pats.foreach { case (r, s) =>
+          line(s"  pattern /$r/:"); dumpPlan(s, indent + 2, sb) }
+        add.foreach { s => line("  additional:"); dumpPlan(s, indent + 2, sb) }
+      case ItemsAll(s) => line("ITEMS(all)"); dumpPlan(s, indent + 1, sb)
+      case ItemsTuple(ss, add) =>
+        line("ITEMS(tuple)"); ss.foreach(dumpPlan(_, indent + 1, sb))
+        add.foreach { s => line("  additional:"); dumpPlan(s, indent + 2, sb) }
+      case Dependencies(pd, sd) =>
+        line(s"DEPENDENCIES props=${pd.map { case (k, v) => s"$k->${v.mkString("+")}" }.mkString(",")}")
+        sd.foreach { case (k, s) => line(s"  if '$k':"); dumpPlan(s, indent + 2, sb) }
+      case other => line(other.toString)
+    }
+  }
+
+  def main(args0: Array[String]): Unit = {
+    val dump = args0.headOption.contains("-d")
+    val args = if (dump) args0.drop(1) else args0
     if (args.isEmpty) {
-      System.err.println("usage: ValidateCli <schema.json> [doc.json ...]")
+      System.err.println("usage: ValidateCli [-d] <schema.json> [doc.json ...]")
       sys.exit(2)
     }
     val schemaText = Files.readString(Paths.get(args(0)))
@@ -26,6 +57,15 @@ object ValidateCli {
           System.err.println(s"schema error: ${e.getMessage}")
           sys.exit(2); throw e
       }
+    if (dump) {
+      val sb = new StringBuilder
+      sb.append("ROOT\n"); dumpPlan(compiled.root, 1, sb)
+      compiled.defs.foreach { case (name, p) =>
+        sb.append(s"DEF $name\n"); dumpPlan(p, 1, sb)
+      }
+      print(sb)
+      sys.exit(0)
+    }
     val docs: Seq[(String, String)] =
       if (args.length > 1)
         args.drop(1).toSeq.map(p => p -> Files.readString(Paths.get(p)))

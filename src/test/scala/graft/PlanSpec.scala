@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators._
+import graft.schema.SchemaCompiler
+import graft.sources.{RepoFiles, TableIO}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make the operators
+  * survive a 100× scale-up are checked here, not just eyeballed in
+  * .explain() output. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  lazy val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("planspec").toString
+    TableIO.writeRepoFiles(RepoFiles.dataset(spark, 500L), d)
+    d
+  }
+  def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+
+  test("validation verdict pass is shuffle-free and codegen'd") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(Validate.withVerdict(df, cs))
+    assert(exchanges(p) == 0, s"validation must not shuffle:\n$p")
+    // vectorized parquet scan feeding one narrow projection (the verdict
+    // expression itself is CodegenFallback by design; the scan codegens)
+    assert(p.contains("Batched: true") && p.contains("*(1)"), p)
+  }
+
+  test("violations scan pushes the lang filter into the parquet reader") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(Validate.violations(df, cs).toDF())
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,json)]"),
+      s"lang=json must reach the scan:\n$p")
+    assert(exchanges(p) == 0)
+  }
+
+  test("column pruning: verdict pass reads only needed columns") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val narrow = Validate.withVerdict(df, cs).select("repo", "pass")
+    val p = plan(narrow)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("?")
+    assert(!read.contains("sha256") && !read.contains("path"),
+      s"unused columns must be pruned from the scan, got: $read")
+  }
+
+  test("partition pruning on commit snapshot reads") {
+    val df = TableIO.readRepoFiles(spark, dir).filter(col("commit") === "c000")
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("c000"), p)
+  }
+
+  test("single-pass stats = exactly one exchange (asserted elsewhere too)") {
+    val ds = RepoFiles.dataset(spark, 100L)
+    val p = ds.select(StatsAgg.toColumn).queryExecution.executedPlan.toString
+    assert(exchanges(p) == 1, p)
+  }
+
+  test("salted uniqueness = exactly two exchanges (partial by salt, final by key)") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(Uniqueness.duplicateKeys(df))
+    assert(exchanges(p) == 2, s"expected 2-phase salted agg:\n$p")
+    assert(p.contains("partial"), "phase 1 must map-side combine")
+  }
+
+  test("referential broadcast variant uses BroadcastHashJoin, default uses shuffle join") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val pb = plan(Referential.danglingRefs(df, broadcastKeys = true))
+    assert(pb.contains("BroadcastHashJoin") && pb.contains("LeftAnti"), pb)
+    val ps = plan(Referential.danglingRefs(df, broadcastKeys = false))
+    assert(ps.contains("LeftAnti"), ps)
+  }
+
+  test("row-eval and native column backends agree on the generated corpus") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val both = df.filter(col("lang") === "json").select(
+      Validate.passCol(cs, col("content")).as("rowEval"),
+      Validate.passColNative(cs, col("content")).as("native"))
+    assert(both.filter(col("rowEval") =!= col("native")).count() == 0)
+  }
+}

@@ -106,33 +106,29 @@ object SparkEntry {
         .orderBy(col("label"))),
 
     // --------------------------------------- rows-only (not SQL-expressible)
+    // no orderBy: range-partitioned sort would recompute the whole
+    // validation for the sampling pass; rows-only check needs no order
     "q_validate_flagship" -> ((s, dir) =>
-      Validate.allViolations(repoFiles(s, dir), fixtureSchema).toDF()
-        .orderBy(col("path"), col("constraint"))),
+      Validate.allViolations(repoFiles(s, dir), fixtureSchema).toDF()),
 
     "q_partition_summary" -> ((s, dir) =>
-      Validate.partitionSummary(repoFiles(s, dir), fixtureSchema).toDF()
-        .orderBy(col("partitionId"))),
+      Validate.partitionSummary(repoFiles(s, dir), fixtureSchema).toDF()),
 
     "q_repo_column_stats" -> ((s, dir) =>
       Stats.columnStats(RepoFiles.dataset(s, repoRowsFor(dir))).toDF()
-        .withColumn("lengthHist", col("lengthHist").cast("string"))
-        .orderBy(col("column"))),
+        .withColumn("lengthHist", col("lengthHist").cast("string"))),
 
     "q_repo_uniqueness" -> ((s, dir) =>
-      Uniqueness.duplicateKeys(repoFiles(s, dir))
-        .orderBy(col("repo"), col("path"), col("commit"))),
+      Uniqueness.duplicateKeys(repoFiles(s, dir))),
 
     "q_repo_referential" -> ((s, dir) =>
-      Referential.violations(repoFiles(s, dir)).toDF()
-        .orderBy(col("path"))),
+      Referential.violations(repoFiles(s, dir)).toDF()),
 
     "q_repo_drift" -> ((s, dir) =>
       Drift.klBetween(repoFiles(s, dir), "c000", "c111").toDF()),
 
     "q_doc_features" -> ((s, dir) =>
-      TextOps.documentFeatures(t(s, dir, "documents"))
-        .orderBy(col("doc_id"))),
+      TextOps.documentFeatures(t(s, dir, "documents"))),
 
     "q_minhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -140,7 +136,6 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 10000000)
         .withColumn("text", concat(col("text"), lit(" graftdup")))
       Dedup.nearDuplicates(docs.unionByName(copies), threshold = 0.5)
-        .orderBy(col("a"), col("b"))
     }),
 
     "q_simhash_near_dup" -> ((s, dir) => {
@@ -148,7 +143,6 @@ object SparkEntry {
       val copies = docs.filter(col("doc_id") % 41 === 0)
         .withColumn("doc_id", col("doc_id") + 20000000)
       Dedup.simhashNearDuplicates(docs.unionByName(copies), maxHamming = 3)
-        .orderBy(col("a"), col("b"))
     }),
 
     "q_ann_brute" -> ((s, dir) => {
@@ -157,7 +151,6 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(emb, queries, 10)
         .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
@@ -166,13 +159,11 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.lshTopK(emb, queries, 10, bits = 4)
         .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.dataset(s, 1000L)).toDF()
-        .withColumn("histogram", col("histogram").cast("string"))
-        .orderBy(col("mediaId"))))
+        .withColumn("histogram", col("histogram").cast("string"))))
 
   def oracleSql: Map[String, String] = Map(
     "q_doc_stats" ->

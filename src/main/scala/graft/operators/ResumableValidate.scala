@@ -46,8 +46,7 @@ object ResumableValidate {
   /** Violations (schema + integrity) with the bucket column retained. */
   private def violationsWithBucket(df: DataFrame, cs: CompiledSchema): DataFrame = {
     val inScope = col("lang") === "json"
-    val pass = Validate.passCol(cs, col("content"))
-    val schemaViol = df.filter(inScope && !pass)
+    val schemaViol = df.filter(inScope)
       .select(col("bucket"), col("repo"), col("path"),
         explode(Exprs.validateFails(cs, col("content"))).as("f"))
       .select(col("bucket"), col("repo"), col("path"),

@@ -62,10 +62,15 @@ object Validate {
     df.withColumn("validated", inScope(df))
       .withColumn("pass", passCol(cs, df("content")))
 
-  /** Labeled violations for failing rows only (narrow, no shuffle). */
+  /** Labeled violations (narrow, no shuffle). Single pass: the labeled
+    * evaluator runs once per in-scope row and `explode` drops the empty
+    * arrays of passing rows. (A verdict-prefilter two-phase variant was
+    * measured SLOWER — with the row-evaluator backend the verdict costs the
+    * same parse+walk as the labeled pass, so prefiltering doubles the work;
+    * prefiltering only pays when phase 1 is much cheaper per row.) */
   def violations(df: DataFrame, cs: CompiledSchema): Dataset[Violation] = {
     import df.sparkSession.implicits._
-    df.filter(inScope(df) && !passCol(cs, df("content")))
+    df.filter(inScope(df))
       .select(col("repo"), col("path"),
         explode(Exprs.validateFails(cs, col("content"))).as("f"))
       .select($"repo", $"path", $"f.constraint".as("constraint"),

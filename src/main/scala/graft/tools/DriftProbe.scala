@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.operators.Drift
+import graft.sources.RepoFiles
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object DriftProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = RepoFiles.dataset(spark, n).toDF()
+    def time(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime(); body
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("gen count        ")(df.count())
+    time("filter isin count")(df.filter(col("commit").isin("c000", "c111")).count())
+    time("histogram collect")(Drift.histogram(
+      df.filter(col("commit").isin("c000", "c111")), length(col("content"))).collect())
+    time("klBetween        ")(Drift.klBetween(df, "c000", "c111").collect())
+    time("klBetween again  ")(Drift.klBetween(df, "c000", "c111").collect())
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.operators.Validate
+import graft.sources.RepoFiles
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Step timings for the flagship violations query at a given row count. */
+object FlagshipProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cs = SparkEntry.fixtureSchema
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (result $r)")
+    }
+    val df = RepoFiles.dataset(spark, n).toDF()
+    time("generate+count      ")(df.count())
+    time("verdict filter count")(df.filter(col("lang") === "json" &&
+      !Validate.passCol(cs, col("content"))).count())
+    time("violations          ")(Validate.violations(df, cs).count())
+    time("integrity           ")(Validate.integrityViolations(df).count())
+    time("allViolations       ")(Validate.allViolations(df, cs).count())
+    time("allViolations+sort  ")(Validate.allViolations(df, cs).toDF()
+      .orderBy(col("path"), col("constraint")).count())
+    time("fails expr, all rows")(df.filter(col("lang") === "json")
+      .select(explode(graft.eval.Exprs.validateFails(cs, col("content"))))
+      .count())
+    // single-threaded RowEval baseline over the same failing docs
+    val docs = (0L until n).filter(i =>
+      RepoFiles.stratum(i) >= 14 && RepoFiles.stratum(i) <= 18)
+      .map(i => RepoFiles.contentOf(i, n))
+    time("scala 1-thread fails")(docs.map(d =>
+      graft.eval.RowEval.validateText(cs, d).length.toLong).sum)
+    spark.stop()
+  }
+}

@@ -161,6 +161,14 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
     "q_media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.dataset(s, 1000L)).toDF()
         .withColumn("histogram", col("histogram").cast("string"))))

@@ -1,7 +1,5 @@
 package graft.json
 
-import scala.collection.immutable.VectorMap
-
 /** Minimal, dependency-free JSON value model + parser + canonicalizer.
   *
   * Design notes (vs the reference, sfstewman/jvst):
@@ -39,14 +37,96 @@ final case class JBool(value: Boolean) extends JValue
 final case class JNum(value: BigDecimal) extends JValue
 final case class JStr(value: String) extends JValue
 final case class JArr(items: Vector[JValue]) extends JValue
-final case class JObj(fields: VectorMap[String, JValue]) extends JValue {
+final case class JObj(fields: JFields) extends JValue {
   def get(key: String): Option[JValue] = fields.get(key)
-  def keys: Iterable[String] = fields.keys
+  def keys: Iterable[String] = fields.keysIterable
 }
 
 object JObj {
-  val empty: JObj = JObj(VectorMap.empty[String, JValue])
-  def apply(kvs: (String, JValue)*): JObj = JObj(VectorMap(kvs: _*))
+  val empty: JObj = JObj(JFields.empty)
+  def apply(kvs: (String, JValue)*): JObj = JObj(JFields(kvs: _*))
+}
+
+/** Insertion-ordered string→JValue map backed by two flat arrays.
+  * JSON objects are small (median well under 20 keys), where a linear scan
+  * beats hashing and the two-array layout is the cheapest possible
+  * materialization — this is the hot allocation site of the per-row parse
+  * (it replaced VectorMap: vector + champ-map + entry tuples per object).
+  * Serializable by construction (ships inside compiled plans). */
+final class JFields(private val ks: Array[String],
+                    private val vs: Array[JValue])
+    extends Iterable[(String, JValue)] with Serializable {
+  def size0: Int = ks.length
+  override def size: Int = ks.length
+  private def indexOf(key: String): Int = {
+    var i = 0
+    while (i < ks.length) { if (ks(i) == key) return i; i += 1 }
+    -1
+  }
+  def contains(key: String): Boolean = indexOf(key) >= 0
+  def get(key: String): Option[JValue] = {
+    val i = indexOf(key)
+    if (i >= 0) Some(vs(i)) else None
+  }
+  def keysIterable: Iterable[String] = ks.toSeq
+  def keyAt(i: Int): String = ks(i)
+  def valueAt(i: Int): JValue = vs(i)
+  def updated(key: String, v: JValue): JFields = {
+    val i = indexOf(key)
+    if (i >= 0) { val nvs = vs.clone(); nvs(i) = v; new JFields(ks, nvs) }
+    else new JFields(ks :+ key, vs :+ v)
+  }
+  def removed(key: String): JFields = {
+    val i = indexOf(key)
+    if (i < 0) this
+    else new JFields(ks.patch(i, Nil, 1), vs.patch(i, Nil, 1))
+  }
+  def iterator: Iterator[(String, JValue)] = new Iterator[(String, JValue)] {
+    private var i = 0
+    def hasNext: Boolean = i < ks.length
+    def next(): (String, JValue) = { val t = (ks(i), vs(i)); i += 1; t }
+  }
+  override def equals(o: Any): Boolean = o match {
+    case f: JFields =>
+      ks.length == f.ks.length &&
+        java.util.Arrays.equals(ks.asInstanceOf[Array[AnyRef]],
+                                f.ks.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(vs.asInstanceOf[Array[AnyRef]],
+                                f.vs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.hashCode(ks.asInstanceOf[Array[AnyRef]]) * 31 +
+      java.util.Arrays.hashCode(vs.asInstanceOf[Array[AnyRef]])
+}
+
+object JFields {
+  val empty: JFields = new JFields(Array.empty, Array.empty)
+  def apply(kvs: (String, JValue)*): JFields = {
+    val b = new Builder
+    kvs.foreach { case (k, v) => b.add(k, v) }
+    b.result()
+  }
+  /** Last-wins on duplicate keys (matches JSON common practice + our tests). */
+  final class Builder {
+    private var ks = new Array[String](8)
+    private var vs = new Array[JValue](8)
+    private var n = 0
+    def add(k: String, v: JValue): Unit = {
+      var i = 0
+      while (i < n) {
+        if (ks(i) == k) { vs(i) = v; return }
+        i += 1
+      }
+      if (n == ks.length) {
+        ks = java.util.Arrays.copyOf(ks, n * 2)
+        vs = java.util.Arrays.copyOf(vs, n * 2)
+      }
+      ks(n) = k; vs(n) = v; n += 1
+    }
+    def result(): JFields =
+      new JFields(java.util.Arrays.copyOf(ks, n), java.util.Arrays.copyOf(vs, n))
+  }
 }
 
 final class JsonParseException(msg: String, val pos: Int)
@@ -143,6 +223,14 @@ object Json {
   }
 
   def writeString(s: String, sb: StringBuilder): Unit = {
+    // fast path: nothing to escape → bulk append
+    var k = 0
+    var clean = true
+    while (clean && k < s.length) {
+      val c = s.charAt(k)
+      if (c == '"' || c == '\\' || c < ' ') clean = false else k += 1
+    }
+    if (clean) { sb.append('"').append(s).append('"'); return }
     sb.append('"')
     var i = 0
     while (i < s.length) {
@@ -203,14 +291,14 @@ object Json {
     private def parseObject(): JObj = {
       expect('{'); skipWs()
       if (!atEnd && s.charAt(i) == '}') { i += 1; return JObj.empty }
-      val b = VectorMap.newBuilder[String, JValue]
+      val b = new JFields.Builder
       var done = false
       while (!done) {
         skipWs()
         val k = parseString()
         skipWs(); expect(':')
         val v = parseValue()
-        b += (k -> v)
+        b.add(k, v)
         skipWs()
         if (atEnd) fail("unterminated object")
         s.charAt(i) match {
@@ -242,6 +330,19 @@ object Json {
 
     private def parseString(): String = {
       expect('"')
+      // fast path: escape-free string → zero-copy substring (the common
+      // case for keys and machine-generated content by a wide margin)
+      val start = i
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '"') { val out = s.substring(start, i); i += 1; return out }
+        else if (c == '\\' || c < ' ') { i = start; return parseStringSlow() }
+        else i += 1
+      }
+      fail("unterminated string")
+    }
+
+    private def parseStringSlow(): String = {
       val sb = new StringBuilder
       while (true) {
         if (atEnd) fail("unterminated string")
@@ -276,6 +377,7 @@ object Json {
 
     private def parseNumber(): JNum = {
       val start = i
+      var hasFracOrExp = false
       if (!atEnd && s.charAt(i) == '-') i += 1
       if (atEnd) fail("truncated number")
       if (s.charAt(i) == '0') i += 1
@@ -283,17 +385,28 @@ object Json {
         while (!atEnd && s.charAt(i).isDigit) i += 1
       } else fail("invalid number")
       if (!atEnd && s.charAt(i) == '.') {
+        hasFracOrExp = true
         i += 1
         if (atEnd || !s.charAt(i).isDigit) fail("invalid fraction")
         while (!atEnd && s.charAt(i).isDigit) i += 1
       }
       if (!atEnd && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        hasFracOrExp = true
         i += 1
         if (!atEnd && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
         if (atEnd || !s.charAt(i).isDigit) fail("invalid exponent")
         while (!atEnd && s.charAt(i).isDigit) i += 1
       }
-      JNum(BigDecimal(s.substring(start, i)))
+      // fast path: plain integer fitting a Long → skip BigDecimal(String)
+      val len = i - start
+      if (!hasFracOrExp && len <= 18) {
+        var j = start
+        var neg = false
+        if (s.charAt(j) == '-') { neg = true; j += 1 }
+        var acc = 0L
+        while (j < i) { acc = acc * 10 + (s.charAt(j) - '0'); j += 1 }
+        JNum(BigDecimal(if (neg) -acc else acc))
+      } else JNum(BigDecimal(s.substring(start, i)))
     }
   }
 }

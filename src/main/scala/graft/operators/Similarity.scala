@@ -74,6 +74,53 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** IVF-flat approximate top-k: corpus vectors are assigned to their
+    * nearest of K coarse centroids (the inverted-file cells); a query scores
+    * only vectors in its `nprobe` nearest cells. Centroids here are a
+    * deterministic sample of the corpus (ids with smallest hash — a
+    * reasonable coarse quantizer without a training pass; swap in k-means
+    * centroids for production recall). Cells are an equi-join key, so the
+    * probe is a broadcast-join + per-query top-k — same scale shape as LSH
+    * but with data-adaptive cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic coarse centroids: numCells corpus vectors w/ smallest hashed id
+    val centroids: Seq[(Int, Seq[Double])] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(numCells)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble) }
+    // One literal array<struct<vec,halfNorm>>; scores via a single transform
+    // (flat expression — a 16-way nested when-fold was measured to choke the
+    // optimizer). Score = dot(c,e) - ||c||²/2, the argmax of which is the
+    // nearest-centroid argmin of euclidean distance.
+    val centLit = typedLit(centroids.map { case (_, c) =>
+      (c, c.map(x => x * x).sum / 2.0) })
+    def scoresOf(emb: Column): Column =
+      transform(centLit, c => dot(c.getField("_1"), emb) - c.getField("_2"))
+    // cells ranked by score desc: [{score, idx}] sorted
+    def rankedCells(emb: Column): Column =
+      reverse(array_sort(zip_with(scoresOf(emb),
+        sequence(lit(0), lit(centroids.size - 1)),
+        (s, i) => struct(s.as("s"), i.as("i")))))
+    def cellOf(emb: Column): Column =
+      element_at(rankedCells(emb), 1).getField("i")
+    def probeCells(emb: Column): Column =
+      transform(slice(rankedCells(emb), 1, nprobe), s => s.getField("i"))
+    val c = corpus.withColumn("cell", cellOf(col("embedding")))
+    val q = queries.withColumn("cell", explode(probeCells(col("qvec"))))
+    c.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine", cosine(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (bucketed, verified). */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,
                            bits: Int = 8, dim: Int = 64): DataFrame = {

@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.eval.RowEval
+import graft.json.Json
+import graft.sources.RepoFiles
+import graft.SparkEntry
+
+/** Single-threaded microbench of the row-evaluator hot path:
+  * parse-only vs parse+check vs parse+collect. */
+object ParseProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val cs = SparkEntry.fixtureSchema
+    val docs = (0 until n).map(i => RepoFiles.contentOf(i * 20 % (n * 20), n * 20L)).toArray
+    def bench(name: String)(body: String => Long): Unit = {
+      (0 until 2).foreach(_ => docs.foreach(body)) // warm
+      val t0 = System.nanoTime()
+      var acc = 0L
+      docs.foreach(d => acc += body(d))
+      val us = (System.nanoTime() - t0) / 1e3 / n
+      println(f"$name: $us%.2f us/doc (acc $acc)")
+    }
+    bench("parse-only   ")(d => Json.parseOpt(d).size.toLong)
+    bench("parse+check  ")(d => if (RowEval.isValidText(cs, d)) 1L else 0L)
+    bench("parse+collect")(d => RowEval.validateText(cs, d).length.toLong)
+    bench("canonical    ")(d => Json.canonicalize(d).map(_.length.toLong).getOrElse(0L))
+  }
+}

@@ -7,7 +7,7 @@ import graft.json._
 import graft.schema.{SchemaCompiler, CompiledSchema}
 import graft.eval.{RowEval, ColumnBackend}
 import org.apache.spark.sql.functions.col
-import scala.collection.immutable.VectorMap
+
 
 /** Backend differential testing (SURVEY.md §5.2 layer 3): ScalaCheck
   * generators produce random (schema, document) pairs inside the supported
@@ -41,7 +41,7 @@ class DifferentialSpec extends AnyFunSuite {
       2 -> Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, genDoc(depth - 1)).map(xs => JArr(xs.toVector))),
       2 -> Gen.choose(0, 4).flatMap(n => Gen.listOfN(n,
         Gen.zip(Gen.oneOf("a", "b", "c", "foo", "bar", "v1", "zz"), genDoc(depth - 1)))
-        .map(kvs => JObj(VectorMap(kvs: _*)))))
+        .map(kvs => JObj(kvs: _*))))
 
   // ---- schema generator
   private val typeNames = Seq("null", "boolean", "number", "integer", "string", "array", "object")
@@ -73,7 +73,7 @@ class DifferentialSpec extends AnyFunSuite {
       else Seq(
         Gen.choose(1, 2).flatMap(n => Gen.listOfN(n,
           Gen.zip(Gen.oneOf("a", "b", "foo", "bar"), genSchema(depth - 1))))
-          .map(kvs => "properties" -> JObj(VectorMap(kvs: _*))),
+          .map(kvs => "properties" -> JObj(kvs: _*)),
         genSchema(depth - 1).map(s => "items" -> s),
         Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genSchema(depth - 1)))
           .map(ss => "items" -> JArr(ss.toVector)),
@@ -82,7 +82,7 @@ class DifferentialSpec extends AnyFunSuite {
         Gen.oneOf(genSchema(depth - 1), Gen.const(JBool(false)))
           .map(s => "additionalProperties" -> s),
         Gen.zip(Gen.oneOf("^a", "o+"), genSchema(depth - 1))
-          .map { case (re, s) => "patternProperties" -> JObj(VectorMap(re -> s)) },
+          .map { case (re, s) => "patternProperties" -> JObj(re -> s) },
         Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genSchema(depth - 1)))
           .map(ss => "allOf" -> JArr(ss.toVector)),
         Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genSchema(depth - 1)))
@@ -92,11 +92,11 @@ class DifferentialSpec extends AnyFunSuite {
         genSchema(depth - 1).map(s => "not" -> s),
         Gen.zip(Gen.oneOf("a", "b"), Gen.someOf(Seq("foo", "bar")))
           .map { case (k, reqs) => "dependencies" ->
-            JObj(VectorMap(k -> JArr(reqs.map(JStr(_)).toVector))) }
+            JObj(k -> JArr(reqs.map(JStr(_)).toVector)) }
       )
     Gen.choose(1, 3).flatMap { n =>
       Gen.listOfN(n, Gen.oneOf((leafKeywords ++ nestedKeywords).toIndexedSeq).flatMap(identity))
-        .map(kvs => JObj(VectorMap(kvs: _*)))
+        .map(kvs => JObj(kvs: _*))
     }
   }
 

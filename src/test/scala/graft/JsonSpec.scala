@@ -45,7 +45,7 @@ class JsonSpec extends AnyFunSuite {
 
   test("duplicate keys: last wins") {
     val JObj(fs) = Json.parse("""{"a":1,"a":2}"""): @unchecked
-    assert(fs("a") == JNum(2))
+    assert(fs.get("a").contains(JNum(2)))
     assert(fs.size == 1)
   }
 }

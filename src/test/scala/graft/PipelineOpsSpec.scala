@@ -94,6 +94,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.1)
   }
 
+  test("IVF top-k: self is rank 1; recall vs brute force reported") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 4)
+      .select("query_id", "vec_id", "rank").collect()
+    val top1 = ivf.filter(_.getAs[Int]("rank") == 1)
+    assert(top1.length == 5)
+    top1.foreach(r => assert(r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"IVF recall@10 vs brute force (16 cells, nprobe 4): $recall%.2f")
+    assert(recall > 0.1)
+  }
+
   test("multimodal plumbing: schema, determinism, frame explode") {
     val media = Multimodal.dataset(spark, 300L).cache()
     assert(media.count() == 300)

@@ -31,7 +31,8 @@ object Bench {
     }
 
     // Flagship throughput: full validation verdict over repo_files.
-    val n = SparkEntry.repoRowsFor(sfDir)
+    // Floor of 1M rows so the sample isn't dominated by job fixed costs.
+    val n = math.max(SparkEntry.repoRowsFor(sfDir), 1000000L)
     val fps = ScalingBench.validatedFilesPerSec(spark, n)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

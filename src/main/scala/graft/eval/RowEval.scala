@@ -106,13 +106,33 @@ object RowEval {
 
       case Props(props, patterns, additional) => v match {
         case JObj(fs) =>
-          fs.forall { case (k, child) =>
-            val named = props.get(k)
-            val pats  = patterns.filter { case (r, _) => regex(r).matcher(k).find() }
-            val applied = named.toVector ++ pats.map(_._2)
-            val plans = if (applied.nonEmpty) applied else additional.toVector
-            plans.forall(sub => check(sub, child, cs, depth))
+          // indexed loop over the flat field arrays — this is the hottest
+          // path of document validation; avoids per-field tuple allocation
+          var i = 0
+          var ok = true
+          while (ok && i < fs.size0) {
+            val k = fs.keyAt(i); val child = fs.valueAt(i)
+            var applied = false
+            props.get(k) match {
+              case Some(sub) => applied = true; ok = check(sub, child, cs, depth)
+              case None      => ()
+            }
+            var p = 0
+            while (ok && p < patterns.length) {
+              val (r, sub) = patterns(p)
+              if (regex(r).matcher(k).find()) {
+                applied = true
+                ok = check(sub, child, cs, depth)
+              }
+              p += 1
+            }
+            if (ok && !applied) additional match {
+              case Some(sub) => ok = check(sub, child, cs, depth)
+              case None      => ()
+            }
+            i += 1
           }
+          ok
         case _ => true
       }
 
@@ -158,7 +178,13 @@ object RowEval {
 
       case AllOf(subs) => subs.forall(s => check(s, v, cs, depth))
       case AnyOf(subs) => subs.exists(s => check(s, v, cs, depth))
-      case OneOf(subs) => subs.count(s => check(s, v, cs, depth)) == 1
+      case OneOf(subs) =>
+        // short-circuit at the second match (jvst's SPLIT popcount also
+        // needs only the 0/1/many distinction)
+        var n = 0
+        val it = subs.iterator
+        while (n < 2 && it.hasNext) if (check(it.next(), v, cs, depth)) n += 1
+        n == 1
       case Not(sub)    => !check(sub, v, cs, depth)
 
       case Ref(target) =>

@@ -23,7 +23,8 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ")) ++
+  jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8", // JDK17 defaults to the POSIX-locale charset;
                            // variant parse_json mangles non-ASCII without it
   "-Dspark.ui.enabled=false",

@@ -107,7 +107,10 @@ object ScalingBench {
       val s = session(cores)
       try {
         validatedFilesPerSecFromDir(s, input) // warm-up (JIT, codegen, page cache)
-        val runs = (1 to 2).map(_ => validatedFilesPerSecFromDir(s, input))
+        // best of 4: the single-JVM sandbox shows large exogenous swings
+        // (host noise, GC phase); max approximates the uncontended rate
+        val runs = (1 to 4).map(_ => validatedFilesPerSecFromDir(s, input))
+        println(f"# cores=$cores runs=${runs.map(r => f"$r%.0f").mkString(",")}")
         runs.max
       } finally {
         s.stop()

@@ -105,6 +105,13 @@ object SparkEntry {
              sum(size(col("embedding"))).cast("long").as("total_dims"))
         .orderBy(col("label"))),
 
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("text")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(sha2(col("text"), 256).as("digest"), col("n"))
+        .orderBy(col("digest"))),
+
     // --------------------------------------- rows-only (not SQL-expressible)
     // no orderBy: range-partitioned sort would recompute the whole
     // validation for the sampling pass; rows-only check needs no order
@@ -161,6 +168,27 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("a"), col("text").as("ta"))
+      val b = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 30000000).as("b"),
+          concat(col("text"), lit(" tailword")).as("tb"))
+      a.join(b, col("a") + 30000000 === col("b"))
+        .select(col("a"), col("b"),
+          round(Dedup.jaccard(Dedup.shingles(col("ta")),
+                              Dedup.shingles(col("tb"))), 6).as("jaccard"))
+    }),
+
+    "q_cosine_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val copies = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 40000000)
+      Similarity.cosineNearDuplicates(emb.unionByName(copies),
+        threshold = 0.99, bits = 4)
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
@@ -208,6 +236,9 @@ object SparkEntry {
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS digest, count(*) AS n FROM documents
+        |GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin,
     "q_top_sources" ->
       """SELECT source, count(*) AS n FROM documents
         |GROUP BY source ORDER BY n DESC, source LIMIT 5""".stripMargin,

@@ -1,9 +1,10 @@
 package graft
 
+import graft.eval.Exprs
 import graft.operators._
 import graft.schema.SchemaCompiler
 import graft.sources.RepoFiles
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -38,6 +39,45 @@ object SparkEntry {
     val df = RepoFiles.dataset(spark, 2000L).toDF()
     Validate.allViolations(df, fixtureSchema).toDF()
   }
+
+  /** Golden-oracle parquet written by Verify: the construction-known expected
+    * violations for the sf0.01 repo_files table (driver's correctness sf).
+    * `oracleSql` reads it back with DuckDB `read_parquet`, giving the
+    * constraint engine a driver-verified hash-compare without DuckDB needing
+    * JSON-Schema support. */
+  def goldenDir(n: Long): String = s"/tmp/graft_golden/expected_violations_$n"
+
+  // -------------------- constraint-verdict queries over events.props -------
+  // Each builds a JSON document per event row from the TYPED columns
+  // (to_json(struct(...))), runs the engine's flagship verdict expression
+  // against a one-family draft-04 schema, and aggregates pass/fail counts per
+  // event_type. DuckDB oracles recompute the verdict from the same typed
+  // columns with plain SQL — driver-verified correctness for each §2.1 gate
+  // family (type, enum, pattern, min/max, required, uniqueItems, $ref) plus
+  // multipleOf, maxLength, items and the combinators.
+
+  private def kCol: Column = get_json_object(col("props"), "$.k").cast("long")
+
+  private def verdictCounts(s: SparkSession, dir: String,
+                            schemaJson: String, doc: Column): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        Exprs.validateBool(SchemaCompiler.compile(schemaJson), doc).as("pass"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("passed"),
+           sum(when(!col("pass"), 1L).otherwise(0L)).as("failed"))
+      .orderBy(col("event_type"))
+
+  private val constraintVerdictOracle =
+    """WITH e AS (SELECT event_type, value, user_id, event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type,
+      | CAST(sum(CASE WHEN %s THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+      | CAST(sum(CASE WHEN %s THEN 0 ELSE 1 END) AS BIGINT) AS failed
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def verdictOracle(pred: String): String =
+    constraintVerdictOracle.format(pred, pred)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ oracle-checked (SQL)
@@ -152,19 +192,24 @@ object SparkEntry {
       Dedup.simhashNearDuplicates(docs.unionByName(copies), maxHamming = 3)
     }),
 
+    // oracle-checked: double-cast on BOTH sides so Spark and DuckDB do the
+    // identical IEEE-double dot/norm arithmetic; rank as long to match
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(emb, queries, 10)
         .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.lshTopK(emb, queries, 10, bits = 4)
+      Similarity.lshTopK(emb, queries, 10)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
@@ -179,27 +224,105 @@ object SparkEntry {
         .select(col("a"), col("b"),
           round(Dedup.jaccard(Dedup.shingles(col("ta")),
                               Dedup.shingles(col("tb"))), 6).as("jaccard"))
+        .orderBy(col("a"))
     }),
 
     "q_cosine_near_dup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val copies = emb.filter(col("vec_id") < 10)
         .withColumn("vec_id", col("vec_id") + 40000000)
-      Similarity.cosineNearDuplicates(emb.unionByName(copies),
-        threshold = 0.99, bits = 4)
+      Similarity.cosineNearDuplicates(emb.unionByName(copies), threshold = 0.99)
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 4)
+      Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
     "q_media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.dataset(s, 1000L)).toDF()
-        .withColumn("histogram", col("histogram").cast("string"))))
+        .withColumn("histogram", col("histogram").cast("string"))),
+
+    // ------------------------------------------- oracle-checked (continued)
+    "q_doc_token_features" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(TextOps.tokenCount(col("text"))).cast("long").as("ws_tokens"),
+             sum(TextOps.bpeishTokenCount(col("text"))).cast("long").as("bpeish_tokens"))
+        .orderBy(col("lang"))),
+
+    // engine violations vs the construction-known golden set (written by
+    // Verify to goldenDir; DuckDB hash-compares via read_parquet)
+    "q_validate_golden" -> ((s, dir) =>
+      Validate.violations(repoFiles(s, dir), fixtureSchema).toDF()
+        .select(col("repo"), col("path"), col("constraint"))
+        .orderBy(col("repo"), col("path"), col("constraint"))),
+
+    // ------------------- constraint-verdict queries (gate set, §2.1) ------
+    "q_constraint_type" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"v":{"type":"integer"}}}""",
+        to_json(struct(col("value").as("v"))))),
+
+    "q_constraint_enum" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"t":{"enum":["click","view","signup"]}}}""",
+        to_json(struct(col("event_type").as("t"))))),
+
+    "q_constraint_pattern" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"t":{"type":"string","pattern":"^[cv]"}}}""",
+        to_json(struct(col("event_type").as("t"))))),
+
+    "q_constraint_minmax" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"k":{"type":"integer","minimum":25,
+          |  "maximum":75,"exclusiveMaximum":true}}}""".stripMargin,
+        to_json(struct(kCol.as("k"))))),
+
+    "q_constraint_required" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"type":"object","required":["t","value"]}""",
+        // to_json omits null fields: "value" is present only when > 10
+        to_json(struct(col("event_type").as("t"),
+                       when(col("value") > 10, col("value")).as("value"))))),
+
+    "q_constraint_uniqueitems" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"a":{"type":"array","uniqueItems":true}}}""",
+        to_json(struct(array(kCol % 7, col("user_id") % 7,
+                             col("event_id") % 7).as("a"))))),
+
+    "q_constraint_ref" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"t":{"$ref":"#/definitions/short"}},
+          | "definitions":{"short":{"type":"string","maxLength":4}}}""".stripMargin,
+        to_json(struct(col("event_type").as("t"))))),
+
+    "q_constraint_multipleof" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"k":{"multipleOf":5}}}""",
+        to_json(struct(kCol.as("k"))))),
+
+    "q_constraint_oneof" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"k":{"oneOf":[{"minimum":50},{"multipleOf":3}]}}}""",
+        to_json(struct(kCol.as("k"))))),
+
+    "q_constraint_combinators" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"k":{"allOf":[{"minimum":10}],
+          |  "anyOf":[{"maximum":30},{"multipleOf":7}],
+          |  "not":{"multipleOf":11}}}}""".stripMargin,
+        to_json(struct(kCol.as("k"))))),
+
+    "q_constraint_items" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"a":{"items":{"type":"integer","maximum":80},
+          |  "minItems":1,"maxItems":5}}}""".stripMargin,
+        to_json(struct(array(kCol, col("user_id")).as("a"))))))
 
   def oracleSql: Map[String, String] = Map(
     "q_doc_stats" ->
@@ -244,5 +367,59 @@ object SparkEntry {
         |GROUP BY source ORDER BY n DESC, source LIMIT 5""".stripMargin,
     "q_embedding_dims" ->
       """SELECT label, count(*) AS n, CAST(sum(len(embedding)) AS BIGINT) AS total_dims
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(list_zip(e.v, q.qvec), x -> x[1] * x[2]))
+        |     / (sqrt(list_sum(list_transform(e.v, y -> y*y)))
+        |        * sqrt(list_sum(list_transform(q.qvec, y -> y*y)))) AS c
+        |  FROM e CROSS JOIN q)
+        |SELECT query_id, vec_id, round(c, 6) AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |sha AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(text,'\s+')) - 2),
+        |    i -> string_split_regex(text,'\s+')[i] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+1] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+2])) AS s FROM d),
+        |shb AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(text || ' tailword','\s+')) - 2),
+        |    i -> string_split_regex(text || ' tailword','\s+')[i] || ' ' ||
+        |         string_split_regex(text || ' tailword','\s+')[i+1] || ' ' ||
+        |         string_split_regex(text || ' tailword','\s+')[i+2])) AS s FROM d)
+        |SELECT a.doc_id AS a, a.doc_id + 30000000 AS b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
+        |FROM sha a JOIN shb b USING (doc_id) ORDER BY a""".stripMargin,
+    "q_doc_token_features" ->
+      """SELECT lang,
+        | CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_validate_golden" ->
+      s"""SELECT repo, path, "constraint"
+         |FROM read_parquet('${goldenDir(20000L)}/*.parquet')
+         |ORDER BY repo, path, "constraint"""".stripMargin,
+    "q_constraint_type" -> verdictOracle("value = floor(value)"),
+    "q_constraint_enum" ->
+      verdictOracle("event_type IN ('click','view','signup')"),
+    "q_constraint_pattern" -> verdictOracle("regexp_matches(event_type, '^[cv]')"),
+    "q_constraint_minmax" -> verdictOracle("k >= 25 AND k < 75"),
+    "q_constraint_required" -> verdictOracle("value > 10"),
+    "q_constraint_uniqueitems" -> verdictOracle(
+      "NOT (k % 7 = user_id % 7 OR k % 7 = event_id % 7 OR user_id % 7 = event_id % 7)"),
+    "q_constraint_ref" -> verdictOracle("length(event_type) <= 4"),
+    "q_constraint_multipleof" -> verdictOracle("k % 5 = 0"),
+    "q_constraint_oneof" -> verdictOracle("(k >= 50) <> (k % 3 = 0)"),
+    "q_constraint_combinators" -> verdictOracle(
+      "k >= 10 AND (k <= 30 OR k % 7 = 0) AND NOT (k % 11 = 0)"),
+    "q_constraint_items" -> verdictOracle("k <= 80 AND user_id <= 80"))
 }

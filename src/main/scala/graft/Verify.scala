@@ -15,6 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Golden oracle export: construction-known expected violations for this
+    // sf's repo_files table, read back by the q_validate_golden oracle SQL
+    // via DuckDB read_parquet (driver-verified flagship correctness).
+    locally {
+      val n = SparkEntry.repoRowsFor(sfDir)
+      val golden = graft.sources.RepoFiles.expectedViolatingRows(n)
+        .map { case (i, c) =>
+          val (repo, path, _) = graft.sources.RepoFiles.keyOf(i)
+          (repo, path, c)
+        }
+      spark.createDataFrame(golden).toDF("repo", "path", "constraint")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(SparkEntry.goldenDir(n))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

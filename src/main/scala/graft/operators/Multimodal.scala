@@ -36,7 +36,7 @@ object Multimodal {
   def dataset(spark: SparkSession, n: Long): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).map { i =>
-      val kind = Kinds((mix64(i) & Long.MaxValue % 3).toInt % 3)
+      val kind = Kinds(((mix64(i) & Long.MaxValue) % 3).toInt)
       val len = 64 + (mix64(i ^ 7) & 0xff).toInt
       val bytes = Array.tabulate[Byte](len)(j => (mix64(i * 131 + j) & 0xff).toByte)
       val meta = kind match {

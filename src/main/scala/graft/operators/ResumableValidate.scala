@@ -38,6 +38,31 @@ object ResumableValidate {
   def bucketCol(buckets: Int) =
     pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(buckets)).cast("int")
 
+  /** Schema of the violations output (bucket is the partition column).
+    * Supplied explicitly on read: a fully valid input writes zero data files,
+    * and schema inference on an empty directory would throw. */
+  private val violSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("constraint", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("detail", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+
+  /** The bucket count is part of the checkpoint identity: audit partitionIds
+    * from a run with a different count would silently mis-map rows to "done"
+    * buckets. Recorded in outDir on first run; mismatch on resume fails fast. */
+  private def checkBucketCount(outDir: String, buckets: Int): Unit = {
+    val f = java.nio.file.Paths.get(s"$outDir/_bucket_count")
+    if (java.nio.file.Files.exists(f)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(f)).trim.toInt
+      require(prev == buckets,
+        s"outDir $outDir was checkpointed with $prev buckets; cannot resume with $buckets")
+    } else {
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, buckets.toString.getBytes)
+    }
+  }
+
   def completedBuckets(spark: SparkSession, auditDir: String): Set[Int] =
     if (!TableIO.auditExists(auditDir)) Set.empty
     else TableIO.readAudit(spark, auditDir)
@@ -64,6 +89,7 @@ object ResumableValidate {
           maxBucketsPerRun: Option[Int] = None): RunReport = {
     val auditDir = s"$outDir/audit"
     val violDir = s"$outDir/violations"
+    checkBucketCount(outDir, buckets)
     val t0 = System.currentTimeMillis()
 
     val df = TableIO.readRepoFiles(spark, inputDir)
@@ -83,7 +109,7 @@ object ResumableValidate {
 
     // Per-bucket lineage + metrics; empty buckets still get an audit row
     // (else they would be re-scanned forever on resume).
-    val violCounts = spark.read.parquet(violDir)
+    val violCounts = spark.read.schema(violSchema).parquet(violDir)
       .filter(col("bucket").isin(take.toSeq: _*))
       .groupBy(col("bucket")).agg(count(lit(1)).as("nviol"))
     val bucketIds = spark.createDataFrame(
@@ -116,6 +142,6 @@ object ResumableValidate {
   }
 
   def violationsOf(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/violations")
+    spark.read.schema(violSchema).parquet(s"$outDir/violations")
       .select("repo", "path", "constraint", "detail")
 }

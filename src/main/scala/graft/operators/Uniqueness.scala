@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * reducers and combined map-side. Phase 2 merges the ≤ saltBuckets partial
   * counts per key. At 100 TB phase 1 is where the data volume dies: the
   * exchange carries (key, salt, count) rows, not input rows.
+  *
+  * When the salt earns its keep: for count-shaped aggregates Spark's own
+  * map-side partial aggregation already collapses a hot key to one row per
+  * map task, so the explicit salt phase is a near-no-op (it costs a second
+  * tiny exchange). It becomes load-bearing when the per-key state is NOT
+  * partially-aggregatable at full fidelity — e.g. collecting the duplicate
+  * row ids (collect_list) or per-key sketches — where an unsalted shuffle
+  * would send every hot-key row to one reducer. The salted shape is kept as
+  * the north rule mandates it and `duplicateKeys` is the template for those
+  * heavier per-key variants.
   */
 object Uniqueness {
 

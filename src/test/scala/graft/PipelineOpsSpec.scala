@@ -80,24 +80,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.count() == 50)
   }
 
-  test("LSH top-k: self-bucket guarantee + recall vs brute force reported") {
+  test("multi-probe LSH top-k: self always found; recall@10 >= 0.8 vs brute") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(emb, queries, 10, bits = 4)
+    val lsh = Similarity.lshTopK(emb, queries, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the query vector itself always shares its own bucket
+    // the query vector itself always shares its own bucket in every table
     (0L until 5L).foreach(q => assert(lsh.contains((q, q))))
     val recall = (brute & lsh).size.toDouble / brute.size
-    info(f"LSH recall@10 vs brute force (4 bits): $recall%.2f")
-    assert(recall > 0.1)
+    info(f"multi-probe LSH recall@10 vs brute force: $recall%.2f")
+    assert(recall >= 0.8, f"LSH recall $recall%.2f below 0.8")
   }
 
-  test("IVF top-k: self is rank 1; recall vs brute force reported") {
+  test("IVF top-k (k-means cells): self is rank 1; recall vs brute reported") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val ivf = Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 4)
+    val ivf = Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 8)
       .select("query_id", "vec_id", "rank").collect()
     val top1 = ivf.filter(_.getAs[Int]("rank") == 1)
     assert(top1.length == 5)
@@ -106,13 +106,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = (brute & got).size.toDouble / brute.size
-    info(f"IVF recall@10 vs brute force (16 cells, nprobe 4): $recall%.2f")
-    assert(recall > 0.1)
+    info(f"IVF recall@10 vs brute force (16 k-means cells, nprobe 8): $recall%.2f")
+    assert(recall >= 0.8, f"IVF recall $recall%.2f below 0.8")
+  }
+
+  test("cosine near-dup: planted copies found; candidate stage is O(n) on a uniform corpus") {
+    val copies = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 400000)
+    val pairs = Similarity
+      .cosineNearDuplicates(emb.unionByName(copies), threshold = 0.99)
+      .collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach(i =>
+      assert(found.contains((i, i + 400000)), s"missing planted pair $i"))
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.99))
+    // no planted dups: candidate pairs stay linear in n, far from n²/2
+    val n = emb.count()
+    val cands = Similarity.cosineCandidatePairs(emb).count()
+    info(s"cosine near-dup candidates: $cands for n=$n (n²/2=${n * n / 2})")
+    assert(cands < 10 * n, s"candidate blow-up: $cands pairs for n=$n")
   }
 
   test("multimodal plumbing: schema, determinism, frame explode") {
     val media = Multimodal.dataset(spark, 300L).cache()
     assert(media.count() == 300)
+    // all three kinds are actually generated, roughly a third each
+    val byKind = media.toDF().groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind.keySet == Set("image", "audio", "video"))
+    byKind.values.foreach(n => assert(n > 60 && n < 140, s"skewed kinds: $byKind"))
     val feats = Multimodal.features(media).cache()
     assert(feats.count() == 300)
     feats.collect().foreach { f =>
@@ -124,7 +146,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(feats.toDF().exceptAll(again.toDF()).count() == 0)
     val frames = Multimodal.sampleFrames(media).cache()
     val vids = media.filter(_.kind == "video").count()
+    assert(vids > 0)
+    assert(frames.count() > 0)
     assert(frames.select("mediaId").distinct().count() == vids)
     assert(frames.filter(col("frameIdx") < 0).count() == 0)
+    // per-video frame count matches duration / everyMs (1s default)
+    val expectedFrames = media.filter(_.kind == "video").collect()
+      .map(m => m.mediaId -> math.max(1, (m.meta.durationMs / 1000L).toInt)).toMap
+    val gotFrames = frames.groupBy("mediaId").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFrames == expectedFrames.map { case (k, v) => k -> v.toLong })
   }
 }

@@ -5,8 +5,34 @@ import org.apache.spark.sql.SparkSession
 /** Round benchmark: times every SparkEntry query at SPARK_GRAFT_CPUS
   * parallelism on SPARK_GRAFT_SF_DIR, plus a dedicated validated-files/sec
   * measurement of the flagship validation pass (BASELINE.json metric).
-  * Prints exactly one JSON line. */
+  *
+  * Methodology (per round-1 findings): every query runs `RunsPerQuery` times
+  * and the reported number is the MEDIAN — the sandbox host shows
+  * multi-second exogenous stalls, so n=1 timings are untrustworthy. Query
+  * failures are NOT swallowed: they land in `query_errors` with the query
+  * excluded from the total. The metric JSON is both printed and written to
+  * BENCH.json so the driver never has to fish it out of sbt log noise.
+  */
 object Bench {
+
+  val RunsPerQuery = 3
+  val FlagshipRuns = 5
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,29 +50,53 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results: Seq[(String, Either[String, Seq[Double]])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (try {
+          Right((1 to RunsPerQuery).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          })
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200))
+        })
+      }
 
     // Flagship throughput: full validation verdict over an on-disk
     // repo_files table (generation is NOT part of the measured engine work).
     // Floor of 4M rows so the sample isn't dominated by job fixed costs
-    // (at 32 cores the engine validates ~4M rows/sec — a smaller sample
+    // (at 32 cores the engine validates ~2M+ rows/sec — a smaller sample
     // measures scheduling, not validation).
     val n = math.max(SparkEntry.repoRowsFor(sfDir), 4000000L)
     val input = s"/tmp/graft_bench_input_$n"
     if (!new java.io.File(s"$input/_SUCCESS").exists())
       graft.sources.TableIO.writeRepoFiles(
         graft.sources.RepoFiles.dataset(spark, n).repartition(64), input)
-    val fps = (1 to 3).map(_ =>
-      ScalingBench.validatedFilesPerSecFromDir(spark, input)).max
+    ScalingBench.validatedFilesPerSecFromDir(spark, input) // warm-up run
+    val fpsRuns = (1 to FlagshipRuns).map(_ =>
+      ScalingBench.validatedFilesPerSecFromDir(spark, input))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val medians = results.collect { case (k, Right(runs)) => k -> median(runs) }
+    val qs = medians.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_files_per_sec":$fps,"repo_rows":$n,"cpus":$cpus}""")
+    val runsJson = results.collect { case (k, Right(runs)) =>
+      jstr(k) + ":" + runs.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val errsJson = results.collect { case (k, Left(err)) =>
+      jstr(k) + ":" + jstr(err) }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_runs":$runsJson,"query_errors":$errsJson,""" +
+      s""""runs_per_query":$RunsPerQuery,"sf":${jstr(sfDir)},""" +
+      s""""validated_files_per_sec":${median(fpsRuns)},""" +
+      s""""validated_files_per_sec_max":${fpsRuns.max},""" +
+      s""""flagship_runs":${fpsRuns.mkString("[", ",", "]")},""" +
+      s""""repo_rows":$n,"cpus":$cpus}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
+    println(json)
     spark.stop()
   }
 }
@@ -55,7 +105,9 @@ object Bench {
   * scaling efficiency ≥ 0.8 from N to 4N executors; sandbox stand-in =
   * local[N] vs local[4N] per driver instruction). Writes the same flagship
   * validation job against the same on-disk input at both levels and prints
-  * throughput + efficiency. Run: `sbt "runMain graft.ScalingBench [rows]"`. */
+  * per-run throughputs plus MEDIAN-based efficiency (max also reported; the
+  * honest headline is the median — round-1's max-of-4 was flagged as
+  * inflating the claim). Run: `sbt "runMain graft.ScalingBench [rows]"`. */
 object ScalingBench {
 
   /** rows/sec of the full validation pass (verdict on every row, violation
@@ -74,7 +126,7 @@ object ScalingBench {
     n / secs
   }
 
-  /** In-memory variant used by Bench (generation fused with validation). */
+  /** In-memory variant (generation fused with validation). */
   def validatedFilesPerSec(spark: SparkSession, n: Long): Double = {
     val df = graft.sources.RepoFiles.dataset(spark, n).toDF()
     val t0 = System.nanoTime()
@@ -96,9 +148,15 @@ object ScalingBench {
     s
   }
 
+  final case class Level(cores: Int, runs: Seq[Double]) {
+    def med: Double = Bench.median(runs)
+    def max: Double = runs.max
+  }
+
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(400000L)
     val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "5").toInt
     val input = s"/tmp/graft_scale_input_$rows"
 
     // write input once (at high parallelism), then measure at N and 4N
@@ -111,24 +169,31 @@ object ScalingBench {
     prep.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
-    def measure(cores: Int): Double = {
+    def measure(cores: Int): Level = {
       val s = session(cores)
       try {
         validatedFilesPerSecFromDir(s, input) // warm-up (JIT, codegen, page cache)
-        // best of 4: the single-JVM sandbox shows large exogenous swings
-        // (host noise, GC phase); max approximates the uncontended rate
-        val runs = (1 to 4).map(_ => validatedFilesPerSecFromDir(s, input))
+        val runs = (1 to runsPer).map(_ => validatedFilesPerSecFromDir(s, input))
         println(f"# cores=$cores runs=${runs.map(r => f"$r%.0f").mkString(",")}")
-        runs.max
+        Level(cores, runs)
       } finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       }
     }
 
-    val thrN = measure(nCores)
-    val thr4N = measure(nCores * 4)
-    val eff = (thr4N / thrN) / 4.0
-    println(f"""{"metric":"scaling","rows":$rows,"coresN":$nCores,"cores4N":${nCores * 4},"files_per_sec_N":$thrN%.1f,"files_per_sec_4N":$thr4N%.1f,"efficiency":$eff%.3f}""")
+    val lo = measure(nCores)
+    val hi = measure(nCores * 4)
+    val effMed = (hi.med / lo.med) / 4.0
+    val effMax = (hi.max / lo.max) / 4.0
+    val json =
+      f"""{"metric":"scaling","rows":$rows,"coresN":$nCores,"cores4N":${nCores * 4},""" +
+      f""""files_per_sec_N_median":${lo.med}%.1f,"files_per_sec_N_max":${lo.max}%.1f,""" +
+      f""""files_per_sec_4N_median":${hi.med}%.1f,"files_per_sec_4N_max":${hi.max}%.1f,""" +
+      f""""runs_N":${lo.runs.map(r => f"$r%.0f").mkString("[", ",", "]")},""" +
+      f""""runs_4N":${hi.runs.map(r => f"$r%.0f").mkString("[", ",", "]")},""" +
+      f""""efficiency_median":$effMed%.3f,"efficiency_max":$effMax%.3f}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), json)
+    println(json)
   }
 }

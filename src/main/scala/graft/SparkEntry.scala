@@ -47,6 +47,11 @@ object SparkEntry {
     * JSON-Schema support. */
   def goldenDir(n: Long): String = s"/tmp/graft_golden/expected_violations_$n"
 
+  /** Verify also exports the deterministic repo_files table itself (same
+    * seed/rows as the in-memory generation the queries use) so the DuckDB
+    * oracles can recompute uniqueness/referential results independently. */
+  def repoFilesExportDir(n: Long): String = s"/tmp/graft_golden/repo_files_$n"
+
   // -------------------- constraint-verdict queries over events.props -------
   // Each builds a JSON document per event row from the TYPED columns
   // (to_json(struct(...))), runs the engine's flagship verdict expression
@@ -166,10 +171,12 @@ object SparkEntry {
         .withColumn("lengthHist", col("lengthHist").cast("string"))),
 
     "q_repo_uniqueness" -> ((s, dir) =>
-      Uniqueness.duplicateKeys(repoFiles(s, dir))),
+      Uniqueness.duplicateKeys(repoFiles(s, dir))
+        .orderBy(col("repo"), col("path"), col("commit"))),
 
     "q_repo_referential" -> ((s, dir) =>
-      Referential.violations(repoFiles(s, dir)).toDF()),
+      Referential.violations(repoFiles(s, dir)).toDF()
+        .orderBy(col("repo"), col("path"), col("detail"))),
 
     "q_repo_drift" -> ((s, dir) =>
       Drift.klBetween(repoFiles(s, dir), "c000", "c111").toDF()),
@@ -421,5 +428,27 @@ object SparkEntry {
     "q_constraint_oneof" -> verdictOracle("(k >= 50) <> (k % 3 = 0)"),
     "q_constraint_combinators" -> verdictOracle(
       "k >= 10 AND (k <= 30 OR k % 7 = 0) AND NOT (k % 11 = 0)"),
-    "q_constraint_items" -> verdictOracle("k <= 80 AND user_id <= 80"))
+    "q_constraint_items" -> verdictOracle("k <= 80 AND user_id <= 80"),
+    "q_repo_uniqueness" ->
+      s"""SELECT repo, path, "commit", count(*) AS multiplicity
+         |FROM read_parquet('${repoFilesExportDir(20000L)}/*.parquet')
+         |GROUP BY repo, path, "commit" HAVING count(*) > 1
+         |ORDER BY repo, path, "commit"""".stripMargin,
+    "q_repo_referential" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(20000L)}/*.parquet')),
+         |refs AS (
+         |  SELECT repo, path,
+         |    unnest(regexp_extract_all(content, 'repo://([^"\\s]+)', 1)) AS target
+         |  FROM rf WHERE lang = 'json' AND contains(content, 'repo://')),
+         |sp AS (
+         |  SELECT repo, path,
+         |    array_to_string((string_split(target, '/'))[1:2], '/') AS refRepo,
+         |    array_to_string((string_split(target, '/'))[3:], '/') AS refPath
+         |  FROM refs)
+         |SELECT s.repo, s.path, '_referential.ref' AS "constraint",
+         |  'dangling $$ref repo://' || refRepo || '/' || refPath AS detail
+         |FROM sp s
+         |WHERE NOT EXISTS (SELECT 1 FROM rf t
+         |                  WHERE t.repo = s.refRepo AND t.path = s.refPath)
+         |ORDER BY repo, path, detail""".stripMargin)
 }

@@ -28,6 +28,12 @@ object Verify {
       spark.createDataFrame(golden).toDF("repo", "path", "constraint")
         .coalesce(1).write.mode("overwrite")
         .parquet(SparkEntry.goldenDir(n))
+      // The deterministic repo_files table itself, so DuckDB can replicate
+      // the repo-table analytics (uniqueness, referential) from first
+      // principles rather than trusting the engine.
+      graft.sources.RepoFiles.dataset(spark, n).toDF()
+        .coalesce(2).write.mode("overwrite")
+        .parquet(SparkEntry.repoFilesExportDir(n))
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

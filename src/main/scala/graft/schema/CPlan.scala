@@ -144,6 +144,15 @@ final class SchemaCompileException(msg: String) extends RuntimeException(msg)
   * Mirrors jvst_cnode_translate_ast (reference:src/validate_constraints.c):
   * every keyword contributes one conjunct; unknown keywords are annotations.
   * `$ref` siblings are ignored per draft-04 §7.
+  *
+  * draft-04 `id` scoping is supported WITHIN the single document: an `id`
+  * changes the base URI of its subschema (so relative `$ref`s resolve
+  * against it) and registers the subschema as an addressable anchor — both
+  * the fragment form (`"id": "#name"` ↔ `"$ref": "#name"`) and the
+  * base-URI-change form (`"id": "nested.json"` ↔
+  * `"$ref": "http://host/nested.json#frag"`). Refs that resolve to a URI
+  * not defined inside the document remain unsupported (remote refs — same
+  * stance as jvst, no network at validation time).
   */
 object SchemaCompiler {
 
@@ -152,23 +161,45 @@ object SchemaCompiler {
 
   def compile(root: JValue): CompiledSchema = {
     val ctx = new Ctx(root)
-    val rootPlan = CPlan.simplify(ctx.compileSchema(root, "#"))
+    val rootPlan = CPlan.simplify(ctx.compileSchema(root, "#", ctx.rootBase))
     // Iteratively compile discovered $ref targets until closure.
     var changed = true
     while (changed) {
       changed = false
-      ctx.pendingRefs.toVector.foreach { ptr =>
-        if (!ctx.defs.contains(ptr)) {
+      ctx.pending.toVector.foreach { case (absRef, (node, base)) =>
+        if (!ctx.defs.contains(absRef)) {
           changed = true
-          ctx.defs(ptr) = CPlan.Valid // placeholder breaks cycles
-          val target = resolvePointer(root, ptr).getOrElse(
-            throw new SchemaCompileException(s"unresolvable $$ref: $ptr"))
-          ctx.defs(ptr) = CPlan.simplify(ctx.compileSchema(target, ptr))
+          ctx.defs(absRef) = CPlan.Valid // placeholder breaks cycles
+          ctx.defs(absRef) = CPlan.simplify(ctx.compileSchema(node, absRef, base))
         }
       }
     }
     CompiledSchema(rootPlan, ctx.defs.toMap)
   }
+
+  // ------------------------------------------------------ URI scope helpers
+
+  private def stripFragment(uri: String): String = {
+    val i = uri.indexOf('#')
+    if (i < 0) uri else uri.substring(0, i)
+  }
+
+  private def splitFragment(uri: String): (String, Option[String]) = {
+    val i = uri.indexOf('#')
+    if (i < 0) (uri, None) else (uri.substring(0, i), Some(uri.substring(i + 1)))
+  }
+
+  /** RFC-3986-ish resolution of `ref` against `base`, hand-rolling the
+    * fragment-only case (java.net.URI's same-document handling predates
+    * RFC 3986). Empty base = the anonymous document root. */
+  private[schema] def resolveUri(base: String, ref: String): String =
+    if (ref.startsWith("#")) stripFragment(base) + ref
+    else if (base.isEmpty) ref
+    else try new java.net.URI(stripFragment(base)).resolve(ref).toString
+    catch { case _: Exception => ref }
+
+  private def stripEmptyFragment(uri: String): String =
+    if (uri.endsWith("#")) uri.dropRight(1) else uri
 
   /** Resolve a same-document JSON Pointer ("#", "#/definitions/x", "#/a/0"). */
   def resolvePointer(root: JValue, ref: String): Option[JValue] = {
@@ -190,10 +221,61 @@ object SchemaCompiler {
 
   private final class Ctx(val root: JValue) {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, CPlan]
-    val pendingRefs = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** absolute ref → (target node, base URI active inside the target) */
+    val pending = scala.collection.mutable.LinkedHashMap.empty[String, (JValue, String)]
 
-    def compileSchema(v: JValue, where: String): CPlan = v match {
-      case obj: JObj => compileObj(obj, where)
+    /** Document base: the root schema's own `id`, if any. */
+    val rootBase: String = root match {
+      case o: JObj => o.get("id") match {
+        case Some(JStr(id)) => stripEmptyFragment(id)
+        case _              => ""
+      }
+      case _ => ""
+    }
+
+    /** All `id`-bearing subschemas, keyed by absolute URI (anchor registry).
+      * `enum` values are data, not schemas — never walked. */
+    private val anchors: Map[String, (JValue, String)] = {
+      val b = scala.collection.mutable.LinkedHashMap.empty[String, (JValue, String)]
+      def walk(v: JValue, base: String): Unit = v match {
+        case o: JObj =>
+          val nb = o.get("id") match {
+            case Some(JStr(id)) =>
+              val abs = stripEmptyFragment(resolveUri(base, id))
+              b(abs) = (o, abs)
+              abs
+            case _ => base
+          }
+          o.fields.foreach { case (k, sub) => if (k != "enum") walk(sub, nb) }
+        case JArr(xs) => xs.foreach(walk(_, base))
+        case _        => ()
+      }
+      walk(root, rootBase)
+      b.toMap
+    }
+
+    /** Resolve an absolute ref to (node, base-at-node): exact anchor match
+      * first, then a JSON Pointer into the document (or into an anchored
+      * subschema when the URI part names one). */
+    private def refTarget(absRef: String): Option[(JValue, String)] =
+      anchors.get(absRef).orElse {
+        val (uriPart, frag) = splitFragment(absRef)
+        val within: Option[(JValue, String)] =
+          if (uriPart.isEmpty || uriPart == stripFragment(rootBase))
+            Some((root, rootBase))
+          else anchors.get(uriPart)
+        within.flatMap { case (node, nbase) =>
+          frag match {
+            case None | Some("") => Some((node, nbase))
+            case Some(p) if p.startsWith("/") =>
+              resolvePointer(node, "#" + p).map(n => (n, nbase))
+            case _ => None
+          }
+        }
+      }
+
+    def compileSchema(v: JValue, where: String, base: String): CPlan = v match {
+      case obj: JObj => compileObj(obj, where, base)
       // draft-04 schemas are objects; booleans arrived in draft-6. Accept
       // them anyway (true={} / false={"not":{}}) for forward-compat corpora.
       case JBool(true)  => CPlan.Valid
@@ -201,14 +283,26 @@ object SchemaCompiler {
       case _ => throw new SchemaCompileException(s"schema at $where is not an object")
     }
 
-    private def compileObj(obj: JObj, where: String): CPlan = {
+    private def compileObj(obj: JObj, where: String, base0: String): CPlan = {
       import CPlan._
+
+      // an `id` on this subschema rebases every nested relative $ref
+      val base = obj.get("id") match {
+        case Some(JStr(id)) => stripEmptyFragment(resolveUri(base0, id))
+        case _              => base0
+      }
 
       // draft-04 §7: a $ref object's other keywords are ignored.
       obj.get("$ref").foreach {
         case JStr(r) =>
-          pendingRefs += r
-          return Ref(r)
+          val absRef = stripEmptyFragment(resolveUri(base, r))
+          refTarget(absRef) match {
+            case Some(target) =>
+              if (!defs.contains(absRef)) pending(absRef) = target
+              return Ref(absRef)
+            case None =>
+              throw new SchemaCompileException(s"unresolvable $$ref: $r (at $where)")
+          }
         case _ => throw new SchemaCompileException(s"$where/$$ref must be a string")
       }
 
@@ -259,20 +353,20 @@ object SchemaCompiler {
         // .iterator: detach from VectorMap (not java.io.Serializable) — the
         // compiled plan ships inside task closures.
         case JObj(fs) => fs.iterator.map { case (k, s) =>
-          k -> compileSchema(s, s"$where/properties/$k") }.toMap
+          k -> compileSchema(s, s"$where/properties/$k", base) }.toMap
         case _ => throw new SchemaCompileException(s"$where/properties malformed")
       }.getOrElse(Map.empty[String, CPlan])
 
       val patProps = obj.get("patternProperties").map {
         case JObj(fs) => fs.map { case (r, s) =>
-          r -> compileSchema(s, s"$where/patternProperties/$r") }.toVector
+          r -> compileSchema(s, s"$where/patternProperties/$r", base) }.toVector
         case _ => throw new SchemaCompileException(s"$where/patternProperties malformed")
       }.getOrElse(Vector.empty)
 
       val addProps: Option[CPlan] = obj.get("additionalProperties").map {
         case JBool(true)  => Valid
         case JBool(false) => Invalid
-        case s: JObj      => compileSchema(s, s"$where/additionalProperties")
+        case s: JObj      => compileSchema(s, s"$where/additionalProperties", base)
         case _ => throw new SchemaCompileException(s"$where/additionalProperties malformed")
       }
       if (props.nonEmpty || patProps.nonEmpty ||
@@ -290,7 +384,7 @@ object SchemaCompiler {
           fs.foreach {
             case (k, JArr(xs)) => pd += (k -> xs.collect { case JStr(s) => s })
             case (k, JStr(s))  => pd += (k -> Vector(s)) // draft-03 leniency
-            case (k, s: JObj)  => sd += (k -> compileSchema(s, s"$where/dependencies/$k"))
+            case (k, s: JObj)  => sd += (k -> compileSchema(s, s"$where/dependencies/$k", base))
             case (k, _) => throw new SchemaCompileException(s"$where/dependencies/$k malformed")
           }
           conjuncts += Dependencies(pd.result(), sd.result())
@@ -298,14 +392,14 @@ object SchemaCompiler {
       }
 
       obj.get("items").foreach {
-        case s: JObj  => conjuncts += ItemsAll(compileSchema(s, s"$where/items"))
+        case s: JObj  => conjuncts += ItemsAll(compileSchema(s, s"$where/items", base))
         case JArr(xs) =>
           val subs = xs.zipWithIndex.map { case (s, i) =>
-            compileSchema(s, s"$where/items/$i") }
+            compileSchema(s, s"$where/items/$i", base) }
           val addItems: Option[CPlan] = obj.get("additionalItems").map {
             case JBool(true)  => Valid
             case JBool(false) => Invalid
-            case s: JObj      => compileSchema(s, s"$where/additionalItems")
+            case s: JObj      => compileSchema(s, s"$where/additionalItems", base)
             case _ => throw new SchemaCompileException(s"$where/additionalItems malformed")
           }.filter(_ != Valid)
           conjuncts += ItemsTuple(subs, addItems)
@@ -325,19 +419,20 @@ object SchemaCompiler {
 
       def subList(key: String): Option[Vector[CPlan]] = obj.get(key).map {
         case JArr(xs) => xs.zipWithIndex.map { case (s, i) =>
-          compileSchema(s, s"$where/$key/$i") }
+          compileSchema(s, s"$where/$key/$i", base) }
         case _ => throw new SchemaCompileException(s"$where/$key malformed")
       }
       subList("allOf").foreach(ss => conjuncts += AllOf(ss))
       subList("anyOf").foreach(ss => conjuncts += AnyOf(ss))
       subList("oneOf").foreach(ss => conjuncts += OneOf(ss))
       obj.get("not").foreach { s =>
-        conjuncts += Not(compileSchema(s, s"$where/not"))
+        conjuncts += Not(compileSchema(s, s"$where/not", base))
       }
 
-      // `format`, `title`, `description`, `default`, `definitions`, `id`:
+      // `format`, `title`, `description`, `default`, `definitions`:
       // annotations / containers — not enforced (matches jvst; draft-04 makes
-      // `format` optional and jvst does not implement it).
+      // `format` optional and jvst does not implement it). `id` is handled
+      // above as scope/anchor, never as a constraint.
 
       val cs = conjuncts.result()
       if (cs.isEmpty) Valid

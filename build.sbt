@@ -29,5 +29,8 @@ javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" "))
                            // variant parse_json mangles non-ASCII without it
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: at local[32] the validation pass allocates on 32 threads at
+  // once; an 8g heap turns the benches into GC benchmarks (measured: 3x
+  // throughput swings). The host has 128 GiB; override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

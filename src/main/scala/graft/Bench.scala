@@ -50,6 +50,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
+    // Flagship throughput FIRST (before the query sweep dirties the heap):
+    // full validation verdict over an on-disk repo_files table (generation
+    // is NOT part of the measured engine work). Floor of 4M rows so the
+    // sample isn't dominated by job fixed costs (at 32 cores the engine
+    // validates ~2M+ rows/sec — a smaller sample measures scheduling, not
+    // validation).
+    val n = math.max(SparkEntry.repoRowsFor(sfDir), 4000000L)
+    val input = s"/tmp/graft_bench_input_$n"
+    if (!new java.io.File(s"$input/_SUCCESS").exists())
+      graft.sources.TableIO.writeRepoFiles(
+        graft.sources.RepoFiles.dataset(spark, n).repartition(64), input)
+    ScalingBench.validatedFilesPerSecFromDir(spark, input) // warm-up run
+    val fpsRuns = (1 to FlagshipRuns).map(_ =>
+      ScalingBench.validatedFilesPerSecFromDir(spark, input))
+
     val results: Seq[(String, Either[String, Seq[Double]])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (try {
@@ -64,20 +79,6 @@ object Bench {
               Option(e.getMessage).getOrElse("").take(200))
         })
       }
-
-    // Flagship throughput: full validation verdict over an on-disk
-    // repo_files table (generation is NOT part of the measured engine work).
-    // Floor of 4M rows so the sample isn't dominated by job fixed costs
-    // (at 32 cores the engine validates ~2M+ rows/sec — a smaller sample
-    // measures scheduling, not validation).
-    val n = math.max(SparkEntry.repoRowsFor(sfDir), 4000000L)
-    val input = s"/tmp/graft_bench_input_$n"
-    if (!new java.io.File(s"$input/_SUCCESS").exists())
-      graft.sources.TableIO.writeRepoFiles(
-        graft.sources.RepoFiles.dataset(spark, n).repartition(64), input)
-    ScalingBench.validatedFilesPerSecFromDir(spark, input) // warm-up run
-    val fpsRuns = (1 to FlagshipRuns).map(_ =>
-      ScalingBench.validatedFilesPerSecFromDir(spark, input))
 
     val medians = results.collect { case (k, Right(runs)) => k -> median(runs) }
     val qs = medians.map { case (k, v) => jstr(k) + ":" + v }
@@ -148,50 +149,122 @@ object ScalingBench {
     s
   }
 
-  final case class Level(cores: Int, runs: Seq[Double]) {
-    def med: Double = Bench.median(runs)
-    def max: Double = runs.max
-  }
+  /** Hypervisor steal jiffies from /proc/stat — recorded per run so the
+    * artifact distinguishes engine behavior from noisy-neighbor windows
+    * (this sandbox shows multi-minute bursts of stolen CPU). */
+  private def stealJiffies(): Long =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      l.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+    } catch { case _: Exception => 0L }
 
-  def main(args: Array[String]): Unit = {
-    val rows = args.headOption.map(_.toLong).getOrElse(400000L)
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
-    val runsPer = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "5").toInt
-    val input = s"/tmp/graft_scale_input_$rows"
+  final case class Run(fps: Double, steal: Long)
 
-    // write input once (at high parallelism), then measure at N and 4N
+  private def inputFor(rows: Long) = s"/tmp/graft_scale_input_$rows"
+
+  private def prepInput(rows: Long): Unit = {
     val prep = session(32)
     // 256 even splits: 8 task waves at 32 cores, 32 at 8 — keeps last-wave
     // straggler quantization small at BOTH parallelism levels.
-    if (!new java.io.File(s"$input/_SUCCESS").exists())
+    if (!new java.io.File(s"${inputFor(rows)}/_SUCCESS").exists())
       graft.sources.TableIO.writeRepoFiles(
-        graft.sources.RepoFiles.dataset(prep, rows).repartition(256), input)
+        graft.sources.RepoFiles.dataset(prep, rows).repartition(256), inputFor(rows))
     prep.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+  }
 
-    def measure(cores: Int): Level = {
+  /** Measure ONE parallelism level in THIS JVM and print one JSON line.
+    * Meant to be run under `taskset -c 0-(cores-1)`: pinning the JVM gives
+    * the faithful N-executor stand-in — an 8-core cluster node does not get
+    * 32 cores' worth of GC/JIT helper threads, and an unpinned local[8] on a
+    * 32-core host does (measured: it inflates the small-N level and
+    * understates scaling efficiency). */
+  private def runLevel(cores: Int, rows: Long, runsPer: Int): Unit = {
+    val input = inputFor(rows)
+    require(new java.io.File(s"$input/_SUCCESS").exists(),
+      s"input $input missing — run `ScalingBench prep $rows` first")
+    val s = session(cores)
+    try {
+      // two warm-up runs outside timing (C2 finishes mid-second-run)
+      validatedFilesPerSecFromDir(s, input)
+      validatedFilesPerSecFromDir(s, input)
+      val runs = (1 to runsPer).map { _ =>
+        System.gc()
+        val st0 = stealJiffies()
+        val fps = validatedFilesPerSecFromDir(s, input)
+        Run(fps, stealJiffies() - st0)
+      }
+      println(
+        f"""{"metric":"scaling_level","cores":$cores,"rows":$rows,""" +
+        f""""procs":${Runtime.getRuntime.availableProcessors},""" +
+        f""""runs":${runs.map(r => f"${r.fps}%.0f").mkString("[", ",", "]")},""" +
+        f""""steal":${runs.map(_.steal).mkString("[", ",", "]")}}""")
+    } finally {
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    args.headOption match {
+      case Some("prep") =>
+        prepInput(args(1).toLong); return
+      case Some("level") =>
+        runLevel(args(1).toInt, args(2).toLong,
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "5").toInt)
+        return
+      case _ => ()
+    }
+    val rows = args.headOption.map(_.toLong).getOrElse(400000L)
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "5").toInt
+    val input = inputFor(rows)
+    prepInput(rows)
+
+    def withSession[A](cores: Int)(f: SparkSession => A): A = {
       val s = session(cores)
-      try {
-        validatedFilesPerSecFromDir(s, input) // warm-up (JIT, codegen, page cache)
-        val runs = (1 to runsPer).map(_ => validatedFilesPerSecFromDir(s, input))
-        println(f"# cores=$cores runs=${runs.map(r => f"$r%.0f").mkString(",")}")
-        Level(cores, runs)
-      } finally {
+      try f(s)
+      finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       }
     }
 
-    val lo = measure(nCores)
-    val hi = measure(nCores * 4)
-    val effMed = (hi.med / lo.med) / 4.0
-    val effMax = (hi.max / lo.max) / 4.0
+    // JIT/codegen warm-up at both levels (two runs each: C2 compilation of
+    // the evaluator loop finishes mid-second-run), outside all timing
+    withSession(nCores * 4) { s =>
+      validatedFilesPerSecFromDir(s, input); validatedFilesPerSecFromDir(s, input) }
+    withSession(nCores) { s => validatedFilesPerSecFromDir(s, input) }
+
+    def oneRun(cores: Int): Run = withSession(cores) { s =>
+      System.gc() // clean heap before timing starts
+      val st0 = stealJiffies()
+      val fps = validatedFilesPerSecFromDir(s, input)
+      Run(fps, stealJiffies() - st0)
+    }
+
+    // INTERLEAVED pairs: one N run then one 4N run, repeated — exogenous
+    // noise windows (hypervisor steal bursts) hit both levels equally in
+    // expectation instead of poisoning whichever level ran during the burst
+    val pairs = (1 to runsPer).map { k =>
+      val lo = oneRun(nCores)
+      val hi = oneRun(nCores * 4)
+      println(f"# pair $k: ${nCores}c=${lo.fps}%.0f (steal ${lo.steal}) " +
+              f"${nCores * 4}c=${hi.fps}%.0f (steal ${hi.steal})")
+      (lo, hi)
+    }
+    val lo = pairs.map(_._1)
+    val hi = pairs.map(_._2)
+    val effMed = (Bench.median(hi.map(_.fps)) / Bench.median(lo.map(_.fps))) / 4.0
+    val effMax = (hi.map(_.fps).max / lo.map(_.fps).max) / 4.0
+    def arr(rs: Seq[Run]) = rs.map(r => f"${r.fps}%.0f").mkString("[", ",", "]")
+    def stl(rs: Seq[Run]) = rs.map(_.steal).mkString("[", ",", "]")
     val json =
       f"""{"metric":"scaling","rows":$rows,"coresN":$nCores,"cores4N":${nCores * 4},""" +
-      f""""files_per_sec_N_median":${lo.med}%.1f,"files_per_sec_N_max":${lo.max}%.1f,""" +
-      f""""files_per_sec_4N_median":${hi.med}%.1f,"files_per_sec_4N_max":${hi.max}%.1f,""" +
-      f""""runs_N":${lo.runs.map(r => f"$r%.0f").mkString("[", ",", "]")},""" +
-      f""""runs_4N":${hi.runs.map(r => f"$r%.0f").mkString("[", ",", "]")},""" +
+      f""""files_per_sec_N_median":${Bench.median(lo.map(_.fps))}%.1f,"files_per_sec_N_max":${lo.map(_.fps).max}%.1f,""" +
+      f""""files_per_sec_4N_median":${Bench.median(hi.map(_.fps))}%.1f,"files_per_sec_4N_max":${hi.map(_.fps).max}%.1f,""" +
+      f""""runs_N":${arr(lo)},"runs_4N":${arr(hi)},""" +
+      f""""steal_N":${stl(lo)},"steal_4N":${stl(hi)},""" +
       f""""efficiency_median":$effMed%.3f,"efficiency_max":$effMax%.3f}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"), json)
     println(json)

@@ -179,7 +179,13 @@ object SparkEntry {
         .orderBy(col("repo"), col("path"), col("detail"))),
 
     "q_repo_drift" -> ((s, dir) =>
-      Drift.klBetween(repoFiles(s, dir), "c000", "c111").toDF()),
+      Drift.klBetween(repoFiles(s, dir), "c000", "c111").toDF()
+        .withColumn("kl", round(col("kl"), 9))),
+
+    "q_doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
 
     "q_doc_features" -> ((s, dir) =>
       TextOps.documentFeatures(t(s, dir, "documents"))),
@@ -429,6 +435,36 @@ object SparkEntry {
     "q_constraint_combinators" -> verdictOracle(
       "k >= 10 AND (k <= 30 OR k % 7 = 0) AND NOT (k % 11 = 0)"),
     "q_constraint_items" -> verdictOracle("k <= 80 AND user_id <= 80"),
+    "q_repo_drift" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(20000L)}/*.parquet')),
+         |h AS (SELECT "commit" AS c,
+         |        CAST(least(floor(ln(length(content)+1.0)/ln(2.0)), 63) AS INT) AS b,
+         |        count(*) AS cnt
+         |      FROM rf WHERE "commit" IN ('c000','c111') GROUP BY 1, 2),
+         |grid AS (SELECT c, b FROM (VALUES ('c000'),('c111')) v(c)
+         |         CROSS JOIN generate_series(0,63) t(b)),
+         |f AS (SELECT grid.c, grid.b, CAST(coalesce(h.cnt,0) AS DOUBLE) + 1.0 AS raw
+         |      FROM grid LEFT JOIN h ON h.c=grid.c AND h.b=grid.b),
+         |d AS (SELECT c, b, raw / sum(raw) OVER (PARTITION BY c) AS p FROM f)
+         |SELECT 'content_length' AS "column", 'c000' AS "commitA", 'c111' AS "commitB",
+         |  round(sum(pa.p * ln(pa.p / pb.p)), 9) AS kl, 64 AS buckets
+         |FROM d pa JOIN d pb ON pa.b = pb.b
+         |WHERE pa.c = 'c000' AND pb.c = 'c111'""".stripMargin,
+    "q_doc_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, round(greatest(0.0, least(1.0,
+        |  (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)
+        |  * (CASE WHEN toks > 0 AND (len - toks + 1)/toks BETWEEN 2.0 AND 12.0
+        |     THEN 1.0 ELSE 0.5 END)
+        |  * (1.0 - (CASE WHEN len > 0 THEN least(punct/len*4.0, 1.0)
+        |            ELSE 0.0 END) * 0.5))), 6) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_repo_uniqueness" ->
       s"""SELECT repo, path, "commit", count(*) AS multiplicity
          |FROM read_parquet('${repoFilesExportDir(20000L)}/*.parquet')

@@ -74,6 +74,24 @@ class PlanSpec extends AnyFunSuite {
     assert(ps.contains("LeftAnti"), ps)
   }
 
+  test("ANN plans: brute force broadcasts queries; LSH/IVF never build a cartesian product") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val pb = plan(Similarity.bruteForceTopK(emb, q, 5))
+    assert(pb.contains("BroadcastNestedLoopJoin") || pb.contains("BroadcastExchange"),
+      s"brute force must broadcast the query side:\n$pb")
+    val pl = plan(Similarity.lshTopK(emb, q, 5))
+    assert(!pl.contains("CartesianProduct"),
+      s"LSH must stay an equi-join on (table,bucket):\n$pl")
+    val pi = plan(Similarity.ivfTopK(emb, q, 5, numCells = 4))
+    assert(!pi.contains("CartesianProduct"),
+      s"IVF must stay an equi-join on cell:\n$pi")
+    val pc = plan(Similarity.cosineNearDuplicates(emb, bits = 8))
+    assert(!pc.contains("CartesianProduct"),
+      s"cosine near-dup must stay bucketed:\n$pc")
+  }
+
   test("row-eval and native column backends agree on the generated corpus") {
     val df = TableIO.readRepoFiles(spark, dir)
     val both = df.filter(col("lang") === "json").select(

@@ -50,4 +50,33 @@ class ResumeSpec extends AnyFunSuite {
     val r3 = ResumableValidate.run(spark, in, out, "run-3", cs, buckets = B)
     assert(r3.bucketsProcessed == 0 && r3.bucketsSkipped == B)
   }
+
+  test("fully valid input (zero violations) completes and audits every bucket") {
+    import spark.implicits._
+    // strata 0–9 only: valid JSON docs, no dups, no violating families.
+    // n is a local so the closures don't capture the (non-serializable) spec.
+    val n = N
+    val clean = spark.range(n).filter(_ % 20 <= 9).map(i => RepoFiles.row(i, n))
+    val in = tmp("resume-clean-in")
+    TableIO.writeRepoFiles(clean, in)
+    val expected = clean.count()
+    val out = tmp("resume-clean-out")
+    val r = ResumableValidate.run(spark, in, out, "clean-run", cs, buckets = 4)
+    assert(r.bucketsProcessed == 4 && r.rows == expected && r.violations == 0L)
+    assert(ResumableValidate.violationsOf(spark, out).count() == 0)
+    val audit = TableIO.readAudit(spark, s"$out/audit")
+    assert(audit.count() == 4)
+    assert(audit.agg(sum("violations")).head().getLong(0) == 0L)
+  }
+
+  test("resuming with a different bucket count fails fast") {
+    val in = tmp("resume-bc-in")
+    TableIO.writeRepoFiles(RepoFiles.dataset(spark, 200L), in)
+    val out = tmp("resume-bc-out")
+    ResumableValidate.run(spark, in, out, "bc-1", cs, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      ResumableValidate.run(spark, in, out, "bc-2", cs, buckets = 8)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
 }

@@ -38,6 +38,12 @@ object Exprs {
   def validateBool(schema: CompiledSchema, c: Column): Column =
     column(ValidateBoolExpr(expr(c), schema))
 
+  /** Whole-plan verdict via the streaming evaluator (jvst-VM analog:
+    * constraint-driven scans over the raw text, no tree; falls back to the
+    * row backend on its documented escape hatches). */
+  def validateBoolStream(schema: CompiledSchema, c: Column): Column =
+    column(StreamValidateBoolExpr(expr(c), schema))
+
   /** Whole-plan labeled failures via the row backend:
     * array<struct<constraint,detail>>, empty when valid. */
   def validateFails(schema: CompiledSchema, c: Column): Column =
@@ -65,6 +71,20 @@ case class ValidateBoolExpr(child: Expression, schema: CompiledSchema)
     if (v == null) false
     else java.lang.Boolean.valueOf(
       RowEval.isValidText(schema, v.asInstanceOf[UTF8String].toString))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class StreamValidateBoolExpr(child: Expression, schema: CompiledSchema)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jsonschema_valid_stream"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else java.lang.Boolean.valueOf(
+      StreamEval.isValidText(schema, v.asInstanceOf[UTF8String].toString))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

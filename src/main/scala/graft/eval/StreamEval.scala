@@ -1,0 +1,650 @@
+package graft.eval
+
+import graft.json.Json
+import graft.schema.{CPlan, CompiledSchema}
+
+/** Allocation-light streaming verdict evaluator — the engine's closest
+  * analog of jvst's compiled VM run loop (reference:src/validate_vm.c,
+  * jvst_vm_run): constraints are applied by forward scans over the raw JSON
+  * text with O(depth) state and no document tree. Where RowEval materializes
+  * a JValue per row (the idiomatic but allocation-heavy path), this
+  * evaluator allocates only where a constraint genuinely needs a value
+  * (a BigDecimal under numeric bounds, a decoded string under `pattern`,
+  * canonical forms under `enum`/`uniqueItems`) — on the common
+  * verdict-only path the per-row garbage is one Cursor object, which is
+  * what keeps 32 concurrent validation threads off the GC wall.
+  *
+  * Scope: boolean verdict only; labeled violations (the failing minority)
+  * keep using RowEval. Semantics are intended to be BIT-IDENTICAL to
+  * `RowEval.check` — enforced by differential tests (the embedded suite
+  * corpus through both evaluators, ScalaCheck schema/document pairs, and
+  * the generated repo corpus). Two deliberate escape hatches return
+  * `Fallback` so the caller re-evaluates with RowEval:
+  *  - duplicate keys in an object a constraint walks (JFields is last-wins;
+  *    a streaming first-hit walk would differ) — detected by raw key-span
+  *    comparison, so a duplicate spelled with different escapes of the same
+  *    key would slip past (none of our corpora produce that);
+  *  - stack overflow (pathological nesting) — RowEval's parse guard decides.
+  */
+object StreamEval {
+
+  final val VerdictValid = 1
+  final val VerdictInvalid = 0
+  final val VerdictFallback = -1
+
+  /** Shared no-stack-trace control-flow exceptions (cheap to throw). */
+  private final class Bad extends RuntimeException(null, null, false, false)
+  private final class Dup extends RuntimeException(null, null, false, false)
+  private val bad = new Bad
+  private val dup = new Dup
+
+  def isValidText(cs: CompiledSchema, text: String): Boolean =
+    verdict(cs, text) match {
+      case VerdictValid   => true
+      case VerdictInvalid => false
+      case _              => RowEval.isValidText(cs, text)
+    }
+
+  /** Valid / Invalid / Fallback for one JSON text. */
+  def verdict(cs: CompiledSchema, text: String): Int =
+    try {
+      val c = new Cursor(text, cs)
+      c.skipWs()
+      if (c.atEnd) VerdictInvalid
+      else {
+        val ok = c.eval(cs.root, 0)
+        if (!ok) VerdictInvalid
+        else {
+          c.skipWs()
+          if (c.atEnd) VerdictValid else VerdictInvalid // trailing content
+        }
+      }
+    } catch {
+      case _: Bad                => VerdictInvalid
+      case _: Dup                => VerdictFallback
+      case _: StackOverflowError => VerdictFallback
+    }
+
+  // ======================================================== the scan state
+
+  private final class Cursor(val s: String, val cs: CompiledSchema) {
+    var pos = 0
+    private var sb: java.lang.StringBuilder = null // lazy escape-decode scratch
+
+    def atEnd: Boolean = pos >= s.length
+    @inline private def cur: Char = s.charAt(pos)
+    @inline private def die(): Nothing = throw bad
+
+    def skipWs(): Unit = {
+      while (pos < s.length && {
+        val c = s.charAt(pos)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      }) pos += 1
+    }
+
+    // ---------------------------------------------------- syntax-only skip
+
+    /** Skip one complete value, validating its syntax fully. */
+    def skipValue(): Unit = {
+      skipWs()
+      if (atEnd) die()
+      cur match {
+        case '{' => skipObject()
+        case '[' => skipArray()
+        case '"' => skipString()
+        case 't' => lit("true")
+        case 'f' => lit("false")
+        case 'n' => lit("null")
+        case c if c == '-' || (c >= '0' && c <= '9') => skipNumber()
+        case _ => die()
+      }
+    }
+
+    private def lit(l: String): Unit = {
+      if (pos + l.length > s.length || !s.regionMatches(pos, l, 0, l.length)) die()
+      pos += l.length
+    }
+
+    private def skipObject(): Unit = {
+      pos += 1; skipWs()
+      if (atEnd) die()
+      if (cur == '}') { pos += 1; return }
+      var done = false
+      while (!done) {
+        skipWs()
+        if (atEnd || cur != '"') die()
+        skipString()
+        skipWs()
+        if (atEnd || cur != ':') die()
+        pos += 1
+        skipValue()
+        skipWs()
+        if (atEnd) die()
+        cur match {
+          case ',' => pos += 1
+          case '}' => pos += 1; done = true
+          case _   => die()
+        }
+      }
+    }
+
+    private def skipArray(): Unit = {
+      pos += 1; skipWs()
+      if (atEnd) die()
+      if (cur == ']') { pos += 1; return }
+      var done = false
+      while (!done) {
+        skipValue()
+        skipWs()
+        if (atEnd) die()
+        cur match {
+          case ',' => pos += 1
+          case ']' => pos += 1; done = true
+          case _   => die()
+        }
+      }
+    }
+
+    /** Skip a string INCLUDING quotes; returns true iff it had escapes. */
+    private def skipString(): Boolean = {
+      pos += 1 // opening quote (caller checked)
+      var esc = false
+      while (true) {
+        if (atEnd) die()
+        val c = cur
+        if (c == '"') { pos += 1; return esc }
+        else if (c == '\\') {
+          esc = true
+          pos += 1
+          if (atEnd) die()
+          cur match {
+            case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => pos += 1
+            case 'u' =>
+              if (pos + 5 > s.length) die()
+              var k = 1
+              while (k <= 4) {
+                val h = s.charAt(pos + k)
+                val hex = (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+                          (h >= 'A' && h <= 'F')
+                if (!hex) die()
+                k += 1
+              }
+              pos += 5
+            case _ => die()
+          }
+        } else if (c < ' ') die()
+        else pos += 1
+      }
+      false // unreachable
+    }
+
+    private def skipNumber(): Unit = {
+      if (cur == '-') { pos += 1; if (atEnd) die() }
+      if (cur == '0') pos += 1
+      else if (cur >= '1' && cur <= '9') {
+        while (!atEnd && cur >= '0' && cur <= '9') pos += 1
+      } else die()
+      if (!atEnd && cur == '.') {
+        pos += 1
+        if (atEnd || cur < '0' || cur > '9') die()
+        while (!atEnd && cur >= '0' && cur <= '9') pos += 1
+      }
+      if (!atEnd && (cur == 'e' || cur == 'E')) {
+        pos += 1
+        if (!atEnd && (cur == '+' || cur == '-')) pos += 1
+        if (atEnd || cur < '0' || cur > '9') die()
+        while (!atEnd && cur >= '0' && cur <= '9') pos += 1
+      }
+    }
+
+    // ------------------------------------------------------------- helpers
+
+    /** BigDecimal of the number span [start,end) — same fast path as the
+      * tree parser (long for plain ints ≤ 18 digits). */
+    private def numOf(start: Int, end: Int): BigDecimal = {
+      var plain = true
+      var j = start
+      while (plain && j < end) {
+        val c = s.charAt(j)
+        if (c == '.' || c == 'e' || c == 'E') plain = false
+        j += 1
+      }
+      val len = end - start
+      if (plain && len <= 18) {
+        var k = start
+        var neg = false
+        if (s.charAt(k) == '-') { neg = true; k += 1 }
+        var acc = 0L
+        while (k < end) { acc = acc * 10 + (s.charAt(k) - '0'); k += 1 }
+        BigDecimal(if (neg) -acc else acc)
+      } else BigDecimal(s.substring(start, end))
+    }
+
+    /** Whether the number span has a '.' or exponent (needs isWhole test). */
+    private def numHasFracOrExp(start: Int, end: Int): Boolean = {
+      var j = start
+      while (j < end) {
+        val c = s.charAt(j)
+        if (c == '.' || c == 'e' || c == 'E') return true
+        j += 1
+      }
+      false
+    }
+
+    /** Decode the string span (INCLUDING quotes) to a java String. */
+    private def decodeString(start: Int, end: Int, hadEscape: Boolean): String = {
+      if (!hadEscape) return s.substring(start + 1, end - 1)
+      if (sb == null) sb = new java.lang.StringBuilder
+      sb.setLength(0)
+      var i = start + 1
+      val stop = end - 1
+      while (i < stop) {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case '"'  => sb.append('"');  i += 1
+            case '\\' => sb.append('\\'); i += 1
+            case '/'  => sb.append('/');  i += 1
+            case 'b'  => sb.append('\b'); i += 1
+            case 'f'  => sb.append('\f'); i += 1
+            case 'n'  => sb.append('\n'); i += 1
+            case 'r'  => sb.append('\r'); i += 1
+            case 't'  => sb.append('\t'); i += 1
+            case 'u'  =>
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 5
+            case _ => die() // unreachable: skipString validated
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    /** Code points of a validated string span without decoding when
+      * escape-free (surrogate-pair aware either way). */
+    private def codePoints(start: Int, end: Int, hadEscape: Boolean): Int = {
+      if (hadEscape) {
+        val d = decodeString(start, end, hadEscape = true)
+        d.codePointCount(0, d.length)
+      } else {
+        var n = 0
+        var i = start + 1
+        val stop = end - 1
+        while (i < stop) {
+          val c = s.charAt(i)
+          if (Character.isHighSurrogate(c) && i + 1 < stop &&
+              Character.isLowSurrogate(s.charAt(i + 1))) i += 2
+          else i += 1
+          n += 1
+        }
+        n
+      }
+    }
+
+    /** Canonical form of the value span — identical to
+      * Json.canonical(Json.parse(span)). Fast path for escape-free strings:
+      * the raw span IS the canonical form. */
+    private def canonicalOf(start: Int, end: Int): String = {
+      if (s.charAt(start) == '"') {
+        var esc = false
+        var i = start + 1
+        while (!esc && i < end - 1) { if (s.charAt(i) == '\\') esc = true; i += 1 }
+        if (!esc) return s.substring(start, end)
+      }
+      Json.canonical(Json.parse(s.substring(start, end)))
+    }
+
+    /** Raw-span equality of two already-validated key spans. */
+    private def spansEqual(aS: Int, aE: Int, bS: Int, bE: Int): Boolean =
+      (aE - aS) == (bE - bS) && s.regionMatches(aS, s, bS, aE - aS)
+
+    /** key span [kS,kE) INCLUDING quotes vs a plain target string. */
+    private def keyEquals(kS: Int, kE: Int, hadEscape: Boolean, target: String): Boolean =
+      if (!hadEscape)
+        (kE - kS - 2) == target.length && s.regionMatches(kS + 1, target, 0, target.length)
+      else decodeString(kS, kE, hadEscape = true) == target
+
+    // ------------------------------------------------------ object walking
+
+    /** Iterate an object's fields; `field(kS,kE,escaped)` is called with the
+      * cursor AT the value — it MUST consume the value (eval or skipValue)
+      * and return false to abort the walk (walk returns -1). Detects
+      * duplicate keys (raw-span compare) → Dup. Returns the field count, or
+      * -1 if aborted; cursor is after the object iff not aborted. Caller
+      * guarantees cur == '{'. */
+    private def walkObject(field: (Int, Int, Boolean) => Boolean): Int = {
+      pos += 1; skipWs()
+      if (atEnd) die()
+      if (cur == '}') { pos += 1; return 0 }
+      // key spans seen so far, packed (start,end); objects are small
+      var seen = new Array[Long](8)
+      var n = 0
+      var done = false
+      var aborted = false
+      while (!done) {
+        skipWs()
+        if (atEnd || cur != '"') die()
+        val kS = pos
+        val esc = skipString()
+        val kE = pos
+        var i = 0
+        while (i < n) {
+          val p = seen(i)
+          if (spansEqual((p >>> 32).toInt, p.toInt, kS, kE)) throw dup
+          i += 1
+        }
+        if (n == seen.length) seen = java.util.Arrays.copyOf(seen, n * 2)
+        seen(n) = (kS.toLong << 32) | (kE.toLong & 0xffffffffL); n += 1
+        skipWs()
+        if (atEnd || cur != ':') die()
+        pos += 1
+        skipWs()
+        if (aborted) skipValue()
+        else {
+          val vStart = pos
+          if (!field(kS, kE, esc)) {
+            // a failed field leaves the cursor unspecified — re-skip the
+            // value and KEEP scanning the remaining keys: a duplicate later
+            // in the object must still force the last-wins fallback, or the
+            // early abort would return a verdict the tree path contradicts
+            aborted = true
+            pos = vStart
+            skipValue()
+          }
+        }
+        skipWs()
+        if (atEnd) die()
+        cur match {
+          case ',' => pos += 1
+          case '}' => pos += 1; done = true
+          case _   => die()
+        }
+      }
+      if (aborted) -1 else n
+    }
+
+    // ------------------------------------------------------------ the eval
+
+    /** Evaluate `p` against the value at the cursor.
+      * Invariant: returns true ⟹ the cursor sits exactly after the value
+      * and the whole span was syntax-validated; returns false ⟹ the cursor
+      * is unspecified (callers that continue must reset + skipValue). */
+    def eval(p: CPlan, depth: Int): Boolean = {
+      import CPlan._
+      skipWs()
+      if (atEnd) die()
+      p match {
+        case Valid   => skipValue(); true
+        case Invalid => skipValue(); false
+
+        case TypeIs(ts) =>
+          val c = cur
+          val start = pos
+          skipValue()
+          c match {
+            case '{' => ts.contains("object")
+            case '[' => ts.contains("array")
+            case '"' => ts.contains("string")
+            case 't' | 'f' => ts.contains("boolean")
+            case 'n' => ts.contains("null")
+            case _ =>
+              ts.contains("number") || (ts.contains("integer") && {
+                !numHasFracOrExp(start, pos) || numOf(start, pos).isWhole
+              })
+          }
+
+        case InEnum(canon) =>
+          val start = pos
+          skipValue()
+          canon.contains(canonicalOf(start, pos))
+
+        case StrPattern(pat) =>
+          val c = cur
+          val start = pos
+          if (c != '"') { skipValue(); true }
+          else {
+            val esc = skipString()
+            RowEval.regex(pat)
+              .matcher(decodeString(start, pos, esc)).find()
+          }
+
+        case NumRange(min, minE, max, maxE) =>
+          val c = cur
+          val start = pos
+          skipValue()
+          if (c != '-' && (c < '0' || c > '9')) true
+          else {
+            val n = numOf(start, pos)
+            min.forall(m => if (minE) n > m else n >= m) &&
+            max.forall(m => if (maxE) n < m else n <= m)
+          }
+
+        case NumMultipleOf(k) =>
+          val c = cur
+          val start = pos
+          skipValue()
+          if (c != '-' && (c < '0' || c > '9')) true
+          else (numOf(start, pos) remainder k).signum == 0
+
+        case StrLen(min, max) =>
+          val c = cur
+          val start = pos
+          if (c != '"') { skipValue(); true }
+          else {
+            val esc = skipString()
+            val n = codePoints(start, pos, esc)
+            min.forall(n >= _) && max.forall(n <= _)
+          }
+
+        case Required(keys) =>
+          if (cur != '{') { skipValue(); true }
+          else {
+            var mask = 0L // keys.length ≤ 64 in practice; overflow guarded
+            if (keys.length > 64) throw dup // fallback: absurd schema
+            walkObject { (kS, kE, esc) =>
+              var i = 0
+              while (i < keys.length) {
+                if (keyEquals(kS, kE, esc, keys(i))) mask |= (1L << i)
+                i += 1
+              }
+              skipValue(); true
+            }
+            val want = if (keys.isEmpty) 0L else (-1L >>> (64 - keys.length))
+            (mask & want) == want
+          }
+
+        case Props(props, patterns, additional) =>
+          if (cur != '{') { skipValue(); true }
+          else {
+            walkObject { (kS, kE, esc) =>
+              val vStart = pos
+              var applied = false
+              var fieldOk = true
+              // named properties (mirror RowEval order: props → patterns →
+              // additional, short-circuit on first failure)
+              var sub: CPlan = null
+              props.foreachEntry { (name, sp) =>
+                if (sub == null && keyEquals(kS, kE, esc, name)) sub = sp
+              }
+              if (sub != null) {
+                applied = true
+                fieldOk = eval(sub, depth)
+              }
+              if (fieldOk && patterns.nonEmpty) {
+                val key = decodeString(kS, kE, esc)
+                var pi = 0
+                while (fieldOk && pi < patterns.length) {
+                  val (r, sp) = patterns(pi)
+                  if (RowEval.regex(r).matcher(key).find()) {
+                    applied = true
+                    pos = vStart
+                    fieldOk = eval(sp, depth)
+                  }
+                  pi += 1
+                }
+              }
+              if (fieldOk && !applied) additional match {
+                case Some(sp) => applied = true; pos = vStart; fieldOk = eval(sp, depth)
+                case None     => ()
+              }
+              if (fieldOk && !applied) { pos = vStart; skipValue() }
+              fieldOk
+            } >= 0
+          }
+
+        case PropCount(min, max) =>
+          if (cur != '{') { skipValue(); true }
+          else {
+            val n = walkObject { (_, _, _) => skipValue(); true }
+            min.forall(n >= _) && max.forall(n <= _)
+          }
+
+        case Dependencies(pd, sd) =>
+          if (cur != '{') { skipValue(); true }
+          else {
+            val objStart = pos
+            // presence pass
+            val present = new java.util.HashSet[String](8)
+            walkObject { (kS, kE, esc) =>
+              // keys needed for presence tests only; decode lazily vs the
+              // small dep key sets
+              pd.foreach { case (k, reqs) =>
+                if (keyEquals(kS, kE, esc, k)) present.add(k)
+                reqs.foreach(r => if (keyEquals(kS, kE, esc, r)) present.add(r))
+              }
+              sd.foreach { case (k, _) =>
+                if (keyEquals(kS, kE, esc, k)) present.add(k) }
+              skipValue(); true
+            }
+            val objEnd = pos
+            val pdOk = pd.forall { case (k, reqs) =>
+              !present.contains(k) || reqs.forall(present.contains) }
+            var sdOk = pdOk
+            if (sdOk) sd.foreach { case (k, sub) =>
+              if (sdOk && present.contains(k)) {
+                pos = objStart
+                sdOk = eval(sub, depth)
+              }
+            }
+            pos = objEnd
+            pdOk && sdOk
+          }
+
+        case ItemsAll(sub) =>
+          if (cur != '[') { skipValue(); true }
+          else evalArray { _ => eval(sub, depth) }
+
+        case ItemsTuple(subs, additional) =>
+          if (cur != '[') { skipValue(); true }
+          else evalArray { idx =>
+            if (idx < subs.length) eval(subs(idx), depth)
+            else additional match {
+              case Some(a) => eval(a, depth)
+              case None    => skipValue(); true
+            }
+          }
+
+        case ItemCount(min, max) =>
+          if (cur != '[') { skipValue(); true }
+          else {
+            var n = 0
+            val ok = evalArray { _ => skipValue(); n += 1; true }
+            ok && min.forall(n >= _) && max.forall(n <= _)
+          }
+
+        case UniqueItems =>
+          if (cur != '[') { skipValue(); true }
+          else {
+            // small arrays: linear compare of canonical forms
+            val seen = new scala.collection.mutable.ArrayBuffer[String](8)
+            evalArray { _ =>
+              val st = pos
+              skipValue()
+              val cform = canonicalOf(st, pos)
+              if (seen.contains(cform)) false
+              else { seen += cform; true }
+            }
+          }
+
+        case AllOf(subs) =>
+          val start = pos
+          var ok = true
+          var i = 0
+          while (ok && i < subs.length) {
+            pos = start
+            ok = eval(subs(i), depth)
+            i += 1
+          }
+          pos = start
+          skipValue()
+          ok
+
+        case AnyOf(subs) =>
+          val start = pos
+          var ok = false
+          var i = 0
+          while (!ok && i < subs.length) {
+            pos = start
+            ok = eval(subs(i), depth)
+            i += 1
+          }
+          pos = start
+          skipValue()
+          ok
+
+        case OneOf(subs) =>
+          val start = pos
+          var n = 0
+          var i = 0
+          while (n < 2 && i < subs.length) {
+            pos = start
+            if (eval(subs(i), depth)) n += 1
+            i += 1
+          }
+          pos = start
+          skipValue()
+          n == 1
+
+        case Not(sub) =>
+          val start = pos
+          val r = eval(sub, depth)
+          pos = start
+          skipValue()
+          !r
+
+        case Ref(target) =>
+          if (depth >= RowEval.MaxRefDepth) { skipValue(); false }
+          else eval(cs.resolve(target), depth + 1)
+      }
+    }
+
+    /** Iterate an array; `elem(idx)` is called with the cursor AT the
+      * element and must consume it, returning false to abort. Caller
+      * guarantees cur == '['. Returns overall ok; cursor after the array
+      * iff ok. */
+    private def evalArray(elem: Int => Boolean): Boolean = {
+      pos += 1; skipWs()
+      if (atEnd) die()
+      if (cur == ']') { pos += 1; return true }
+      var idx = 0
+      var ok = true
+      var done = false
+      while (!done && ok) {
+        skipWs()
+        ok = elem(idx)
+        idx += 1
+        if (ok) {
+          skipWs()
+          if (atEnd) die()
+          cur match {
+            case ',' => pos += 1
+            case ']' => pos += 1; done = true
+            case _   => die()
+          }
+        }
+      }
+      ok
+    }
+  }
+}

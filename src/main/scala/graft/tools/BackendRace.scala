@@ -38,6 +38,10 @@ object BackendRace {
       df.agg(sum(when(Exprs.validateBool(cs, col("content")), 1L)
         .otherwise(0L))).head().getLong(0)
     }
+    time("stream-eval  ") {
+      df.agg(sum(when(Exprs.validateBoolStream(cs, col("content")), 1L)
+        .otherwise(0L))).head().getLong(0)
+    }
     time("sha2-only    ") {
       df.agg(sum(when(sha2(col("content"), 256) === col("sha256"), 1L)
         .otherwise(0L))).head().getLong(0)

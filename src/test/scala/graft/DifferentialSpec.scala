@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
 import graft.json._
 import graft.schema.{SchemaCompiler, CompiledSchema}
-import graft.eval.{RowEval, ColumnBackend}
+import graft.eval.{ColumnBackend, RowEval, StreamEval}
 import org.apache.spark.sql.functions.col
 
 
@@ -129,5 +129,48 @@ class DifferentialSpec extends AnyFunSuite {
       docs.foreach(d => batch += (schema -> d))
     }
     runBatch(batch.result())
+  }
+
+  test("stream evaluator == row evaluator on random (schema, doc) pairs") {
+    // pure driver-side — no Spark — so this runs many more pairs
+    val gen = Gen.zip(genSchema(2), Gen.listOfN(8, genDoc(3)))
+    var seed = Seed(4242L)
+    var checked = 0
+    for (_ <- 0 until 500) {
+      val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val compiled: CompiledSchema =
+        try SchemaCompiler.compile(schema)
+        catch { case _: graft.schema.SchemaCompileException => null }
+      if (compiled != null) docs.foreach { d =>
+        val text = Json.compact(d)
+        val expected = RowEval.isValidText(compiled, text)
+        assert(StreamEval.isValidText(compiled, text) == expected,
+          s"\nschema=${Json.compact(schema)}\ndoc=$text\nexpected=$expected")
+        // whitespace-insensitive: a pretty-ish variant must agree too
+        val spaced = text.replace(",", " , ").replace(":", " : ")
+        if (!text.contains("\"")) // naive spacing is only safe without strings
+          assert(StreamEval.isValidText(compiled, spaced) == expected)
+        checked += 1
+      }
+    }
+    info(s"stream-vs-row pairs checked: $checked")
+  }
+
+  test("stream evaluator rejects malformed and trailing-content docs like the row path") {
+    val cs = SchemaCompiler.compile("""{"type":"object"}""")
+    val bads = Seq("{", "{\"a\":}", "{\"a\":1,}", "[1,", "\"x", "01", "truu",
+                   "{} x", "{}{}", "1 2", "{\"a\" 1}", "{\"a\":1}}")
+    bads.foreach { b =>
+      assert(!StreamEval.isValidText(cs, b), s"should reject: $b")
+      assert(RowEval.isValidText(cs, b) == StreamEval.isValidText(cs, b), b)
+    }
+    // duplicate keys fall back to the row path (last-wins semantics)
+    val dupCs = SchemaCompiler.compile(
+      """{"properties":{"a":{"enum":[2]}},"maxProperties":1}""")
+    val dupDoc = """{"a":1,"a":2}"""
+    assert(StreamEval.verdict(dupCs, dupDoc) == StreamEval.VerdictFallback)
+    assert(StreamEval.isValidText(dupCs, dupDoc) ==
+           RowEval.isValidText(dupCs, dupDoc))
   }
 }

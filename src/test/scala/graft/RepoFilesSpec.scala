@@ -53,6 +53,13 @@ class RepoFilesSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"unexpected violations: ${extra.take(5)}")
   }
 
+  test("stream evaluator agrees with the flagship verdict on the whole corpus") {
+    val both = df.filter(col("lang") === "json").select(
+      graft.eval.Exprs.validateBool(cs, col("content")).as("rowEval"),
+      graft.eval.Exprs.validateBoolStream(cs, col("content")).as("streamEval"))
+    assert(both.filter(col("rowEval") =!= col("streamEval")).count() == 0)
+  }
+
   test("partition summary totals reconcile with the table") {
     val s = Validate.partitionSummary(df, cs).collect()
     assert(s.map(_.rows).sum == N)

@@ -47,6 +47,9 @@ class SuiteSpec extends AnyFunSuite {
             s"\nfailures: ${RowEval.validate(compiled, data)}")
           // validate() verdict must agree with check() verdict
           assert(RowEval.validate(compiled, data).isEmpty == expected)
+          // the streaming evaluator must byte-match the tree evaluator
+          assert(graft.eval.StreamEval.isValidText(compiled, Json.compact(data))
+            == expected, "stream evaluator disagrees with the suite verdict")
         }
       }
     }

@@ -173,6 +173,20 @@ object ScalingBench {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
   }
 
+  /** rows/sec of a sha2-only pass over the same input — the CONTROL: a pure
+    * codegen'd Spark builtin with zero engine code. Its own N→4N ratio is
+    * the pinned single-host machine ceiling (shared memory bandwidth); the
+    * flagship's efficiency is meaningful relative to it. */
+  def sha2ControlFilesPerSec(spark: SparkSession, dir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.TableIO.readRepoFiles(spark, dir)
+    val n = df.count()
+    val t0 = System.nanoTime()
+    df.agg(sum(when(sha2(col("content"), 256) === col("sha256"), 1L)
+      .otherwise(0L))).head().getLong(0)
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** Measure ONE parallelism level in THIS JVM and print one JSON line.
     * Meant to be run under `taskset -c 0-(cores-1)`: pinning the JVM gives
     * the faithful N-executor stand-in — an 8-core cluster node does not get
@@ -194,11 +208,17 @@ object ScalingBench {
         val fps = validatedFilesPerSecFromDir(s, input)
         Run(fps, stealJiffies() - st0)
       }
+      sha2ControlFilesPerSec(s, input) // control warm-up
+      val ctrl = (1 to 3).map { _ =>
+        System.gc()
+        sha2ControlFilesPerSec(s, input)
+      }
       println(
         f"""{"metric":"scaling_level","cores":$cores,"rows":$rows,""" +
         f""""procs":${Runtime.getRuntime.availableProcessors},""" +
         f""""runs":${runs.map(r => f"${r.fps}%.0f").mkString("[", ",", "]")},""" +
-        f""""steal":${runs.map(_.steal).mkString("[", ",", "]")}}""")
+        f""""steal":${runs.map(_.steal).mkString("[", ",", "]")},""" +
+        f""""control_sha2":${ctrl.map(c => f"$c%.0f").mkString("[", ",", "]")}}""")
     } finally {
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -52,6 +52,13 @@ object SparkEntry {
     * oracles can recompute uniqueness/referential results independently. */
   def repoFilesExportDir(n: Long): String = s"/tmp/graft_golden/repo_files_$n"
 
+  /** Row count the export-path oracle SQL points at. Verify sets this from
+    * its sf-dir argument BEFORE dumping oracleSql, so the engine queries and
+    * the DuckDB read_parquet paths are coupled by construction at any sf
+    * (previously hardcoded to sf0.01's 20000 — a run at another sf would
+    * silently compare against stale or missing exports). */
+  @volatile var oracleExportRows: Long = repoRowsFor("/root/testdata/sf0.01")
+
   // -------------------- constraint-verdict queries over events.props -------
   // Each builds a JSON document per event row from the TYPED columns
   // (to_json(struct(...))), runs the engine's flagship verdict expression
@@ -419,7 +426,7 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_validate_golden" ->
       s"""SELECT repo, path, "constraint"
-         |FROM read_parquet('${goldenDir(20000L)}/*.parquet')
+         |FROM read_parquet('${goldenDir(oracleExportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,
     "q_constraint_type" -> verdictOracle("value = floor(value)"),
     "q_constraint_enum" ->
@@ -436,7 +443,7 @@ object SparkEntry {
       "k >= 10 AND (k <= 30 OR k % 7 = 0) AND NOT (k % 11 = 0)"),
     "q_constraint_items" -> verdictOracle("k <= 80 AND user_id <= 80"),
     "q_repo_drift" ->
-      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(20000L)}/*.parquet')),
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
          |h AS (SELECT "commit" AS c,
          |        CAST(least(floor(ln(length(content)+1.0)/ln(2.0)), 63) AS INT) AS b,
          |        count(*) AS cnt
@@ -467,11 +474,11 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_repo_uniqueness" ->
       s"""SELECT repo, path, "commit", count(*) AS multiplicity
-         |FROM read_parquet('${repoFilesExportDir(20000L)}/*.parquet')
+         |FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')
          |GROUP BY repo, path, "commit" HAVING count(*) > 1
          |ORDER BY repo, path, "commit"""".stripMargin,
     "q_repo_referential" ->
-      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(20000L)}/*.parquet')),
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
          |refs AS (
          |  SELECT repo, path,
          |    unnest(regexp_extract_all(content, 'repo://([^"\\s]+)', 1)) AS target

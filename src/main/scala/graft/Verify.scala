@@ -20,6 +20,8 @@ object Verify {
     // via DuckDB read_parquet (driver-verified flagship correctness).
     locally {
       val n = SparkEntry.repoRowsFor(sfDir)
+      // couple the oracle SQL's read_parquet paths to THIS run's sf
+      SparkEntry.oracleExportRows = n
       val golden = graft.sources.RepoFiles.expectedViolatingRows(n)
         .map { case (i, c) =>
           val (repo, path, _) = graft.sources.RepoFiles.keyOf(i)

@@ -21,9 +21,10 @@ import graft.schema.{CPlan, CompiledSchema}
   * the generated repo corpus). Two deliberate escape hatches return
   * `Fallback` so the caller re-evaluates with RowEval:
   *  - duplicate keys in an object a constraint walks (JFields is last-wins;
-  *    a streaming first-hit walk would differ) — detected by raw key-span
-  *    comparison, so a duplicate spelled with different escapes of the same
-  *    key would slip past (none of our corpora produce that);
+  *    a streaming first-hit walk would differ) — raw key-span comparison on
+  *    the escape-free fast path, decoded-key comparison whenever either key
+  *    contains an escape, so a duplicate spelled with different escapes of
+  *    the same key (e.g. "a" vs the backslash-u0061 spelling) falls back too;
   *  - stack overflow (pathological nesting) — RowEval's parse guard decides.
   */
 object StreamEval {
@@ -317,7 +318,7 @@ object StreamEval {
       pos += 1; skipWs()
       if (atEnd) die()
       if (cur == '}') { pos += 1; return 0 }
-      // key spans seen so far, packed (start,end); objects are small
+      // key spans seen so far, packed (escBit|start,end); objects are small
       var seen = new Array[Long](8)
       var n = 0
       var done = false
@@ -328,14 +329,25 @@ object StreamEval {
         val kS = pos
         val esc = skipString()
         val kE = pos
+        // duplicate detection must match RowEval's decoded-key semantics:
+        // raw-span compare only when NEITHER key had escapes; otherwise
+        // decode both sides ({"a":1,"a":2} IS a duplicate).
+        lazy val kDec = decodeString(kS, kE, esc)
         var i = 0
         while (i < n) {
           val p = seen(i)
-          if (spansEqual((p >>> 32).toInt, p.toInt, kS, kE)) throw dup
+          val pS = ((p >>> 32) & 0x7fffffffL).toInt
+          val pE = p.toInt
+          val pEsc = p < 0
+          if (!pEsc && !esc) {
+            if (spansEqual(pS, pE, kS, kE)) throw dup
+          } else if (decodeString(pS, pE, pEsc) == kDec) throw dup
           i += 1
         }
         if (n == seen.length) seen = java.util.Arrays.copyOf(seen, n * 2)
-        seen(n) = (kS.toLong << 32) | (kE.toLong & 0xffffffffL); n += 1
+        seen(n) = (kS.toLong << 32) | (kE.toLong & 0xffffffffL) |
+          (if (esc) Long.MinValue else 0L)
+        n += 1
         skipWs()
         if (atEnd || cur != ':') die()
         pos += 1

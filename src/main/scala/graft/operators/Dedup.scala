@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Drop rows in oversized (degenerate) buckets — the standard LSH guard.
+    * Shape: groupBy-count of the tiny (band,bucket) key space → the handful
+    * of oversized keys broadcast into a left_anti join. No Window/Sort: the
+    * previous `count(*) over (partition by band,bucket)` sorted every
+    * shuffle partition of the full exploded signature table just to size
+    * buckets; the agg is partial-combined and the probe side never sorts. */
+  def dropOversizedBuckets(rows: DataFrame, keys: Seq[String],
+                           maxBucketSize: Int): DataFrame = {
+    val oversized = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(keys.map(col): _*)
+    rows.join(broadcast(oversized), keys, "left_anti")
+  }
+
   // ------------------------------------------------------------------ exact
 
   /** Groups of byte-identical texts (digest, count, doc_ids). */
@@ -74,10 +89,7 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r))), b)))
     val sig = docs.select(col(idCol).as("id"), posexplode(bandBuckets))
       .toDF("id", "band", "bucket")
-    val sized = sig.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val sized = dropOversizedBuckets(sig, Seq("band", "bucket"), maxBucketSize)
     val l = sized.select(col("band"), col("bucket"), col("id").as("a"))
     val rgt = sized.select(col("band"), col("bucket"), col("id").as("b"))
     l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -119,10 +131,7 @@ object Dedup {
         array((0 until 4).map(b =>
           shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("id", "fp", "band", "bucket")
-    val sized = banded.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val sized = dropOversizedBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val l = sized.select(col("band"), col("bucket"),
       col("id").as("a"), col("fp").as("fpa"))
     val rgt = sized.select(col("band"), col("bucket"),

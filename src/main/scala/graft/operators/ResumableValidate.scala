@@ -50,21 +50,30 @@ object ResumableValidate {
 
   /** The bucket count is part of the checkpoint identity: audit partitionIds
     * from a run with a different count would silently mis-map rows to "done"
-    * buckets. Recorded in outDir on first run; mismatch on resume fails fast. */
-  private def checkBucketCount(outDir: String, buckets: Int): Unit = {
-    val f = java.nio.file.Paths.get(s"$outDir/_bucket_count")
-    if (java.nio.file.Files.exists(f)) {
-      val prev = new String(java.nio.file.Files.readAllBytes(f)).trim.toInt
+    * buckets. Recorded in outDir on first run; mismatch on resume fails fast.
+    * Goes through the Hadoop FileSystem resolved from outDir — like every
+    * other checkpoint I/O here — so hdfs:///s3a:// outDirs work, not just
+    * the driver's local disk. */
+  private def checkBucketCount(spark: SparkSession, outDir: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "_bucket_count")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val prev =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
       require(prev == buckets,
         s"outDir $outDir was checkpointed with $prev buckets; cannot resume with $buckets")
     } else {
-      java.nio.file.Files.createDirectories(f.getParent)
-      java.nio.file.Files.write(f, buckets.toString.getBytes)
+      val out = fs.create(p, true)
+      try out.write(buckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 
   def completedBuckets(spark: SparkSession, auditDir: String): Set[Int] =
-    if (!TableIO.auditExists(auditDir)) Set.empty
+    if (!TableIO.auditExists(spark, auditDir)) Set.empty
     else TableIO.readAudit(spark, auditDir)
       .select("partitionId").distinct().collect().map(_.getInt(0)).toSet
 
@@ -89,7 +98,7 @@ object ResumableValidate {
           maxBucketsPerRun: Option[Int] = None): RunReport = {
     val auditDir = s"$outDir/audit"
     val violDir = s"$outDir/violations"
-    checkBucketCount(outDir, buckets)
+    checkBucketCount(spark, outDir, buckets)
     val t0 = System.currentTimeMillis()
 
     val df = TableIO.readRepoFiles(spark, inputDir)

@@ -228,9 +228,7 @@ object Similarity {
       array((0 until tables).map(t =>
         srpBucket(col("embedding"), bits, dim, 1000L + t)): _*)))
       .toDF("id", "table", "bucket")
-    val sized = banded.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy("table", "bucket")))
-      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val sized = Dedup.dropOversizedBuckets(banded, Seq("table", "bucket"), maxBucketSize)
     val l = sized.select(col("table"), col("bucket"), col("id").as("a"))
     val r = sized.select(col("table"), col("bucket"), col("id").as("b"))
     l.join(r, Seq("table", "bucket")).filter(col("a") < col("b"))

@@ -234,8 +234,11 @@ object SchemaCompiler {
     }
 
     /** All `id`-bearing subschemas, keyed by absolute URI (anchor registry).
-      * `enum` values are data, not schemas — never walked. */
+      * `enum` and `default` values are data, not schemas — never walked
+      * (an "id" key inside a default object must not register a spurious
+      * anchor a $ref could resolve to, nor shadow a real one). */
     private val anchors: Map[String, (JValue, String)] = {
+      val dataValued = Set("enum", "default")
       val b = scala.collection.mutable.LinkedHashMap.empty[String, (JValue, String)]
       def walk(v: JValue, base: String): Unit = v match {
         case o: JObj =>
@@ -246,7 +249,7 @@ object SchemaCompiler {
               abs
             case _ => base
           }
-          o.fields.foreach { case (k, sub) => if (k != "enum") walk(sub, nb) }
+          o.fields.foreach { case (k, sub) => if (!dataValued(k)) walk(sub, nb) }
         case JArr(xs) => xs.foreach(walk(_, base))
         case _        => ()
       }

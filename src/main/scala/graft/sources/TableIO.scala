@@ -46,8 +46,9 @@ object TableIO {
   def readAudit(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(auditSchema).parquet(dir)
 
-  def auditExists(dir: String): Boolean = {
-    val d = new java.io.File(dir)
-    d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  def auditExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 }

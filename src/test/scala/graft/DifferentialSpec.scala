@@ -173,4 +173,24 @@ class DifferentialSpec extends AnyFunSuite {
     assert(StreamEval.isValidText(dupCs, dupDoc) ==
            RowEval.isValidText(dupCs, dupDoc))
   }
+
+  test("escape-spelled duplicate keys fall back (decoded-key comparison)") {
+    val cs = SchemaCompiler.compile(
+      """{"properties":{"a":{"enum":[2]}},"maxProperties":1}""")
+    // same key "a" spelled raw and as \u0061 — raw spans differ, decoded equal
+    val dupEsc = "{\"a\":1,\"\\u0061\":2}"
+    assert(StreamEval.verdict(cs, dupEsc) == StreamEval.VerdictFallback)
+    assert(StreamEval.isValidText(cs, dupEsc) == RowEval.isValidText(cs, dupEsc))
+    // escaped-then-raw order too
+    val dupEsc2 = "{\"\\u0061\":1,\"a\":2}"
+    assert(StreamEval.verdict(cs, dupEsc2) == StreamEval.VerdictFallback)
+    assert(StreamEval.isValidText(cs, dupEsc2) == RowEval.isValidText(cs, dupEsc2))
+    // an escaped key that is NOT a duplicate must not fall back
+    val noDup = "{\"\\u0061\":2}"
+    assert(StreamEval.verdict(cs, noDup) == StreamEval.VerdictValid)
+    assert(RowEval.isValidText(cs, noDup))
+    val distinct = "{\"\\u0061\":2,\"b\":1}"
+    assert(StreamEval.verdict(cs, distinct) != StreamEval.VerdictFallback)
+    assert(StreamEval.isValidText(cs, distinct) == RowEval.isValidText(cs, distinct))
+  }
 }

@@ -92,6 +92,24 @@ class PlanSpec extends AnyFunSuite {
       s"cosine near-dup must stay bucketed:\n$pc")
   }
 
+  test("LSH candidate stages size buckets without a Window/Sort") {
+    // bucket capping is a groupBy-count + broadcast anti-join of oversized
+    // keys; the old `count(*) over (partition by band,bucket)` sorted every
+    // shuffle partition of the exploded signature table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Seq(
+      "minhash" -> plan(Dedup.minhashCandidatePairs(docs)),
+      "simhash" -> plan(Dedup.simhashNearDuplicates(docs)),
+      "cosine"  -> plan(Similarity.cosineCandidatePairs(emb))
+    ).foreach { case (name, p) =>
+      assert(!p.contains("Window"), s"$name candidate stage has a Window:\n$p")
+      assert(!p.contains("Sort "), s"$name candidate stage sorts:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$name oversized-bucket filter must broadcast:\n$p")
+    }
+  }
+
   test("row-eval and native column backends agree on the generated corpus") {
     val df = TableIO.readRepoFiles(spark, dir)
     val both = df.filter(col("lang") === "json").select(

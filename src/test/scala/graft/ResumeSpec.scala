@@ -79,4 +79,24 @@ class ResumeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bucket"))
   }
+
+  test("checkpoint protocol works against a URI-based outDir (Hadoop FS path)") {
+    // file:// URI exercises the Hadoop FileSystem code path the way an
+    // hdfs:// or s3a:// outDir would — the bucket-count marker and audit
+    // probe must not assume driver-local java.io paths.
+    val in = tmp("resume-uri-in")
+    TableIO.writeRepoFiles(RepoFiles.dataset(spark, 200L), in)
+    val out = "file://" + tmp("resume-uri-out")
+    val r1 = ResumableValidate.run(spark, in, out, "uri-1", cs,
+      buckets = 4, maxBucketsPerRun = Some(2))
+    assert(r1.bucketsProcessed == 2)
+    val r2 = ResumableValidate.run(spark, in, out, "uri-2", cs, buckets = 4)
+    assert(r2.bucketsSkipped == 2 && r2.bucketsProcessed == 2)
+    assert(r1.rows + r2.rows == 200L)
+    // bucket-count guard fires through the same FS
+    val e = intercept[IllegalArgumentException] {
+      ResumableValidate.run(spark, in, out, "uri-3", cs, buckets = 8)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
 }

@@ -70,6 +70,34 @@ object SparkEntry {
 
   private def kCol: Column = get_json_object(col("props"), "$.k").cast("long")
 
+  // ---------------- near-dup slice corpora (exact-duplicate plants) --------
+  // Small enough for DuckDB to brute-force ALL pairs, so the LSH near-dup
+  // paths get a first-principles hash-compare end to end. Planted copies are
+  // byte-identical (Jaccard 1 / cosine 1): identical signatures collide in
+  // every band/table, so the engine's candidate stage is provably exhaustive
+  // on them; the corpus' accidental near-pairs all sit at J ≥ 0.9, far above
+  // the banding miss region at threshold 0.8.
+
+  def minhashSliceInput(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 37 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000))
+  }
+
+  def simhashSliceInput(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 41 === 0)
+      .withColumn("doc_id", col("doc_id") + 20000000))
+  }
+
+  /** Where Verify exports the engine-computed simhash fingerprints of the
+    * slice corpus: DuckDB brute-forces all pairs with hamming ≤ 3 over it —
+    * an independent quadratic check of the banded candidate path (banding is
+    * exhaustive for hamming ≤ 3 by pigeonhole over 4×16-bit bands). */
+  def simhashFpExportDir(n: Long): String = s"/tmp/graft_golden/simhash_fp_$n"
+
   private def verdictCounts(s: SparkSession, dir: String,
                             schemaJson: String, doc: Column): DataFrame =
     t(s, dir, "events")
@@ -194,8 +222,12 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: the exported fingerprint is the sha256 one (DuckDB
+    // recomputes langID/quality/fingerprint from first principles); the
+    // internal xxhash64 rolling fingerprint stays suite-tested
     "q_doc_features" -> ((s, dir) =>
-      TextOps.documentFeatures(t(s, dir, "documents"))),
+      TextOps.documentFeatures(t(s, dir, "documents"))
+        .drop("fingerprint").orderBy(col("doc_id"))),
 
     "q_minhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -342,7 +374,91 @@ object SparkEntry {
       verdictCounts(s, dir,
         """{"properties":{"a":{"items":{"type":"integer","maximum":80},
           |  "minItems":1,"maxItems":5}}}""".stripMargin,
-        to_json(struct(array(kCol, col("user_id")).as("a"))))))
+        to_json(struct(array(kCol, col("user_id")).as("a"))))),
+
+    // ---------------- properties-family keywords (VERDICT r02 ask #3) ----
+    "q_constraint_patternprops" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"o":{"patternProperties":
+          |  {"^k":{"type":"integer","minimum":30}}}}}""".stripMargin,
+        to_json(struct(struct(kCol.as("k1"), col("user_id").as("k2"),
+                              col("event_type").as("t")).as("o"))))),
+
+    "q_constraint_addprops" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{
+          |  "o1":{"properties":{"t":{}},"additionalProperties":false},
+          |  "o2":{"properties":{"t":{}},
+          |        "additionalProperties":{"type":"integer","maximum":50}}}}""".stripMargin,
+        // o1 grows an extra key (violating additionalProperties:false)
+        // only when value > 10 — to_json omits null fields
+        to_json(struct(
+          struct(col("event_type").as("t"),
+                 when(col("value") > 10, kCol).as("x")).as("o1"),
+          struct(col("event_type").as("t"), kCol.as("x")).as("o2"))))),
+
+    "q_constraint_propcount" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"minProperties":2,"maxProperties":3}""",
+        to_json(struct(lit(1).as("a"),
+          when(kCol % 2 === 0, lit(1)).as("b"),
+          when(col("user_id") % 3 === 0, lit(1)).as("c"),
+          when(col("value") > 10, lit(1)).as("d"))))),
+
+    "q_constraint_dependencies" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        // property form (a ⇒ b present) and schema form (c ⇒ doc.k ≥ 40)
+        """{"dependencies":{"a":["b"],
+          |  "c":{"properties":{"k":{"minimum":40}}}}}""".stripMargin,
+        to_json(struct(
+          when(kCol % 2 === 0, lit(1)).as("a"),
+          when(col("user_id") % 2 === 0, lit(1)).as("b"),
+          when(col("value") > 10, lit(1)).as("c"),
+          kCol.as("k"))))),
+
+    "q_constraint_tuple_items" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{
+          |  "a1":{"items":[{"type":"integer","maximum":60},{"type":"string"}],
+          |        "additionalItems":{"minimum":10}},
+          |  "a2":{"items":[{"type":"integer"}],"additionalItems":false}}}""".stripMargin,
+        // a1 is heterogeneous (int, string, int) — hand-assembled JSON from
+        // the same typed columns (event_type is alphanumeric, no escaping);
+        // a2 has tuple-length 1 when k is even, an illegal extra item when odd
+        concat(lit("{\"a1\":["), kCol, lit(",\""), col("event_type"),
+               lit("\","), col("user_id"), lit("],\"a2\":["), kCol,
+               when(kCol % 2 === 0, lit("")).otherwise(concat(lit(","), kCol)),
+               lit("]}")))),
+
+    "q_constraint_minlength" -> ((s, dir) =>
+      verdictCounts(s, dir,
+        """{"properties":{"t":{"minLength":5,"maxLength":6}}}""",
+        to_json(struct(col("event_type").as("t"))))),
+
+    "q_constraint_empty" -> ((s, dir) =>
+      verdictCounts(s, dir, """{}""",
+        to_json(struct(col("event_type").as("t"), kCol.as("k"))))),
+
+    // ---------------- near-dup family, sliced exact oracles ---------------
+    "q_minhash_slice" -> ((s, dir) =>
+      Dedup.nearDuplicates(minhashSliceInput(s, dir), threshold = 0.8)
+        .orderBy(col("a"), col("b"))),
+
+    "q_simhash_slice" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(simhashSliceInput(s, dir), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("a"), col("b"))),
+
+    "q_cosine_slice" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .filter(col("vec_id") < 500)
+      val withCopies = emb.unionByName(emb.filter(col("vec_id") % 43 === 0)
+        .withColumn("vec_id", col("vec_id") + 50000000))
+      Similarity.cosineNearDuplicates(withCopies, threshold = 0.99)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("a"), col("b"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q_doc_stats" ->
@@ -442,6 +558,19 @@ object SparkEntry {
     "q_constraint_combinators" -> verdictOracle(
       "k >= 10 AND (k <= 30 OR k % 7 = 0) AND NOT (k % 11 = 0)"),
     "q_constraint_items" -> verdictOracle("k <= 80 AND user_id <= 80"),
+    "q_constraint_patternprops" -> verdictOracle("k >= 30 AND user_id >= 30"),
+    "q_constraint_addprops" -> verdictOracle("NOT (value > 10) AND k <= 50"),
+    "q_constraint_propcount" -> verdictOracle(
+      """1 + (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN value > 10 THEN 1 ELSE 0 END) BETWEEN 2 AND 3""".stripMargin),
+    "q_constraint_dependencies" -> verdictOracle(
+      "(NOT (k % 2 = 0) OR user_id % 2 = 0) AND (NOT (value > 10) OR k >= 40)"),
+    "q_constraint_tuple_items" -> verdictOracle(
+      "k <= 60 AND user_id >= 10 AND k % 2 = 0"),
+    "q_constraint_minlength" ->
+      verdictOracle("length(event_type) BETWEEN 5 AND 6"),
+    "q_constraint_empty" -> verdictOracle("TRUE"),
     "q_repo_drift" ->
       s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
          |h AS (SELECT "commit" AS c,
@@ -493,5 +622,72 @@ object SparkEntry {
          |FROM sp s
          |WHERE NOT EXISTS (SELECT 1 FROM rf t
          |                  WHERE t.repo = s.refRepo AND t.path = s.refPath)
-         |ORDER BY repo, path, detail""".stripMargin)
+         |ORDER BY repo, path, detail""".stripMargin,
+    "q_minhash_slice" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |u AS (SELECT * FROM d0
+        |      UNION ALL SELECT doc_id + 10000000, text FROM d0 WHERE doc_id % 37 = 0),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(text,'\s+')) - 2),
+        |    i -> string_split_regex(text,'\s+')[i] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+1] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+2])) AS s FROM u),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.s,b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    "q_simhash_slice" ->
+      s"""WITH fp AS (SELECT * FROM read_parquet('${simhashFpExportDir(oracleExportRows)}/*.parquet'))
+         |SELECT a.id AS a, b.id AS b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    "q_cosine_slice" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |            FROM embeddings WHERE vec_id < 500),
+        |u AS (SELECT * FROM e0
+        |      UNION ALL SELECT vec_id + 50000000, v FROM e0 WHERE vec_id % 43 = 0),
+        |c AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_sum(list_transform(list_zip(a.v,b.v), x -> x[1]*x[2]))
+        |   / (sqrt(list_sum(list_transform(a.v, y -> y*y)))
+        |      * sqrt(list_sum(list_transform(b.v, y -> y*y)))) AS cs
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(cs, 6) AS cosine FROM c WHERE cs >= 0.99
+        |ORDER BY a, b""".stripMargin,
+    "q_doc_features" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars, text,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks,
+        |  string_split_regex(lower(text), '\s+') AS lt
+        | FROM documents),
+        |h AS (SELECT *,
+        |  len(list_filter(lt, t -> t IN ('der','die','das','und','ist','ein','eine','zu','den','von'))) AS hde,
+        |  len(list_filter(lt, t -> t IN ('the','a','of','and','to','in','is','that','it','on'))) AS hen,
+        |  len(list_filter(lt, t -> t IN ('el','la','de','y','un','una','es','que','en','los'))) AS hes,
+        |  len(list_filter(lt, t -> t IN ('le','la','de','et','un','une','est','que','dans','les'))) AS hfr,
+        |  len(list_filter(lt, t -> t IN ('de','shi','le','zai','he','you','wo','ta','men','bu'))) AS hzh
+        | FROM d)
+        |SELECT doc_id, lang, source, n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text),'\s+')) END AS INT) AS token_count,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpeish_count,
+        |  CASE WHEN greatest(hde,hen,hes,hfr,hzh) = 0 THEN 'und'
+        |       WHEN hde = greatest(hde,hen,hes,hfr,hzh) THEN 'de'
+        |       WHEN hen = greatest(hde,hen,hes,hfr,hzh) THEN 'en'
+        |       WHEN hes = greatest(hde,hen,hes,hfr,hzh) THEN 'es'
+        |       WHEN hfr = greatest(hde,hen,hes,hfr,hzh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_id,
+        |  round(greatest(0.0, least(1.0,
+        |    (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)
+        |    * (CASE WHEN toks > 0 AND (len - toks + 1)/toks BETWEEN 2.0 AND 12.0
+        |       THEN 1.0 ELSE 0.5 END)
+        |    * (1.0 - (CASE WHEN len > 0 THEN least(punct/len*4.0, 1.0)
+        |              ELSE 0.0 END) * 0.5))), 6) AS quality,
+        |  sha256(array_to_string(string_split_regex(text, '\s+'), ' ')) AS fingerprint_sha
+        |FROM h ORDER BY doc_id""".stripMargin)
 }

@@ -36,6 +36,15 @@ object Verify {
       graft.sources.RepoFiles.dataset(spark, n).toDF()
         .coalesce(2).write.mode("overwrite")
         .parquet(SparkEntry.repoFilesExportDir(n))
+      // engine-computed simhash fingerprints of the slice corpus: DuckDB
+      // brute-forces all pairs with hamming <= 3 over them, independently
+      // checking the banded candidate path (exhaustive by pigeonhole)
+      import org.apache.spark.sql.functions.col
+      SparkEntry.simhashSliceInput(spark, sfDir)
+        .select(col("doc_id").as("id"),
+          graft.operators.Dedup.simhash(col("text")).as("fp"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(SparkEntry.simhashFpExportDir(n))
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -71,6 +71,13 @@ object TextOps {
     aggregate(tokens(text), lit(1469598103934665603L),
       (acc, t) => xxhash64(acc, t))
 
+  /** Whitespace-normalized sha256 fingerprint: order-sensitive like the
+    * rolling hash, but recomputable by any engine with sha256 (the DuckDB
+    * oracle included) — the exported/interchange fingerprint, while the
+    * xxhash64 chain stays the cheap internal one. */
+  def fingerprintSha(text: Column): Column =
+    sha2(concat_ws(" ", tokens(text)), 256)
+
   /** Feature-extraction pass over `documents`. */
   def documentFeatures(docs: DataFrame): DataFrame =
     docs.select(
@@ -79,5 +86,6 @@ object TextOps {
       bpeishTokenCount(col("text")).as("bpeish_count"),
       langId(col("text")).as("lang_id"),
       qualityScore(col("text")).as("quality"),
-      fingerprint(col("text")).as("fingerprint"))
+      fingerprint(col("text")).as("fingerprint"),
+      fingerprintSha(col("text")).as("fingerprint_sha"))
 }

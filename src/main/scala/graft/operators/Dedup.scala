@@ -31,7 +31,13 @@ object Dedup {
     * of oversized keys broadcast into a left_anti join. No Window/Sort: the
     * previous `count(*) over (partition by band,bucket)` sorted every
     * shuffle partition of the full exploded signature table just to size
-    * buckets; the agg is partial-combined and the probe side never sorts. */
+    * buckets; the agg is partial-combined and the probe side never sorts.
+    *
+    * Broadcast bound: an oversized key needs > maxBucketSize members, so at
+    * most n/maxBucketSize keys broadcast — vanishingly few on real corpora
+    * (they are the pathology being excised). A corpus adversarially shaped
+    * so that MOST rows sit in degenerate buckets would blow the broadcast;
+    * drop the hint there and AQE picks the join side at runtime. */
   def dropOversizedBuckets(rows: DataFrame, keys: Seq[String],
                            maxBucketSize: Int): DataFrame = {
     val oversized = rows.groupBy(keys.map(col): _*)

@@ -46,8 +46,12 @@ object RowEval {
   def isValid(cs: CompiledSchema, doc: JValue): Boolean =
     check(cs.root, doc, cs, 0)
 
-  def isValidText(cs: CompiledSchema, text: String): Boolean =
-    Json.parseOpt(text).exists(v => isValid(cs, v))
+  def isValidText(cs: CompiledSchema, text: String): Boolean = {
+    // hand-rolled parseOpt: no Option/closure allocation on the per-row path
+    val v = try Json.parse(text)
+            catch { case _: JsonParseException | _: StackOverflowError => null }
+    v != null && isValid(cs, v)
+  }
 
   /** All failures for a document; empty iff valid. */
   def validate(cs: CompiledSchema, doc: JValue): Vector[Fail] = {
@@ -73,63 +77,80 @@ object RowEval {
       case TypeIs(ts) =>
         ts.contains(v.tpe) || (v.tpe == "number" && ts.contains("integer") && v.isIntegral)
 
-      case InEnum(canon) => canon.contains(Json.canonical(v))
+      case e @ InEnum(canon) => v match {
+        // string instances compare raw-to-raw (canonical is injective on
+        // strings) — skips a StringBuilder + String per check
+        case JStr(s) => e.strMembers.contains(s)
+        case _       => canon.contains(Json.canonical(v))
+      }
 
-      case StrPattern(pat) => v match {
-        case JStr(s) => regex(pat).matcher(s).find()
+      case sp: StrPattern => v match {
+        case JStr(s) => sp.compiled.matcher(s).find()
         case _       => true
       }
 
       case NumRange(min, minE, max, maxE) => v match {
         case JNum(n) =>
-          min.forall(m => if (minE) n > m else n >= m) &&
-          max.forall(m => if (maxE) n < m else n <= m)
+          (min match {
+            case Some(m) => if (minE) n > m else n >= m
+            case None    => true
+          }) && (max match {
+            case Some(m) => if (maxE) n < m else n <= m
+            case None    => true
+          })
         case _ => true
       }
 
-      case NumMultipleOf(k) => v match {
-        case JNum(n) => (n remainder k).signum == 0
-        case _       => true
+      case mo @ NumMultipleOf(k) => v match {
+        case JNum(n) =>
+          val kl = mo.kLong
+          if (kl != 0L && n.scale <= 0 && n.isValidLong) n.toLong % kl == 0L
+          else (n remainder k).signum == 0
+        case _ => true
       }
 
       case StrLen(min, max) => v match {
         case JStr(s) =>
           val n = s.codePointCount(0, s.length)
-          min.forall(n >= _) && max.forall(n <= _)
+          (min match { case Some(m) => n >= m; case None => true }) &&
+          (max match { case Some(m) => n <= m; case None => true })
         case _ => true
       }
 
       case Required(keys) => v match {
-        case o: JObj => keys.forall(o.fields.contains)
-        case _       => true
+        case o: JObj =>
+          var i = 0
+          var ok = true
+          while (ok && i < keys.length) { ok = o.fields.contains(keys(i)); i += 1 }
+          ok
+        case _ => true
       }
 
-      case Props(props, patterns, additional) => v match {
+      case pr @ Props(_, _, _) => v match {
         case JObj(fs) =>
           // indexed loop over the flat field arrays — this is the hottest
-          // path of document validation; avoids per-field tuple allocation
+          // path of document validation; avoids per-field tuple/Option
+          // allocation (null-returning HashMap + precompiled patterns)
+          val patterns = pr.patternsC
+          val additional = pr.additionalOrNull
           var i = 0
           var ok = true
           while (ok && i < fs.size0) {
             val k = fs.keyAt(i); val child = fs.valueAt(i)
             var applied = false
-            props.get(k) match {
-              case Some(sub) => applied = true; ok = check(sub, child, cs, depth)
-              case None      => ()
-            }
+            val named = pr.propsJ.get(k)
+            if (named != null) { applied = true; ok = check(named, child, cs, depth) }
             var p = 0
             while (ok && p < patterns.length) {
-              val (r, sub) = patterns(p)
-              if (regex(r).matcher(k).find()) {
+              val rs = patterns(p)
+              if (rs._1.matcher(k).find()) {
                 applied = true
-                ok = check(sub, child, cs, depth)
+                ok = check(rs._2, child, cs, depth)
               }
               p += 1
             }
-            if (ok && !applied) additional match {
-              case Some(sub) => ok = check(sub, child, cs, depth)
-              case None      => ()
-            }
+            if (ok && !applied && additional != null)
+              ok = check(additional, child, cs, depth)
             i += 1
           }
           ok
@@ -137,8 +158,10 @@ object RowEval {
       }
 
       case PropCount(min, max) => v match {
-        case JObj(fs) => min.forall(fs.size >= _) && max.forall(fs.size <= _)
-        case _        => true
+        case JObj(fs) =>
+          (min match { case Some(m) => fs.size >= m; case None => true }) &&
+          (max match { case Some(m) => fs.size <= m; case None => true })
+        case _ => true
       }
 
       case Dependencies(pd, sd) => v match {
@@ -151,39 +174,91 @@ object RowEval {
       }
 
       case ItemsAll(sub) => v match {
-        case JArr(xs) => xs.forall(x => check(sub, x, cs, depth))
-        case _        => true
+        case JArr(xs) =>
+          var i = 0
+          var ok = true
+          while (ok && i < xs.length) { ok = check(sub, xs(i), cs, depth); i += 1 }
+          ok
+        case _ => true
       }
 
       case ItemsTuple(subs, additional) => v match {
         case JArr(xs) =>
-          xs.zipWithIndex.forall { case (x, i) =>
-            if (i < subs.length) check(subs(i), x, cs, depth)
-            else additional.forall(a => check(a, x, cs, depth))
+          var i = 0
+          var ok = true
+          while (ok && i < xs.length) {
+            ok = if (i < subs.length) check(subs(i), xs(i), cs, depth)
+                 else additional match {
+                   case Some(a) => check(a, xs(i), cs, depth)
+                   case None    => true
+                 }
+            i += 1
           }
+          ok
         case _ => true
       }
 
       case ItemCount(min, max) => v match {
-        case JArr(xs) => min.forall(xs.length >= _) && max.forall(xs.length <= _)
-        case _        => true
+        case JArr(xs) =>
+          (min match { case Some(m) => xs.length >= m; case None => true }) &&
+          (max match { case Some(m) => xs.length <= m; case None => true })
+        case _ => true
       }
 
       case UniqueItems => v match {
         case JArr(xs) =>
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          xs.forall(x => seen.add(Json.canonical(x)))
+          val n = xs.length
+          if (n <= 1) true
+          else {
+            // scalar-only small arrays: pairwise compare without building
+            // canonical strings or a hash set (the common tags/ids shape)
+            var scalars = true
+            var i = 0
+            while (scalars && i < n) {
+              xs(i) match { case _: JObj | _: JArr => scalars = false; case _ => i += 1 }
+            }
+            if (scalars && n <= 16) {
+              var dup = false
+              var a = 0
+              while (!dup && a < n) {
+                var b = a + 1
+                while (!dup && b < n) { dup = scalarEq(xs(a), xs(b)); b += 1 }
+                a += 1
+              }
+              !dup
+            } else {
+              val seen = new java.util.HashSet[String](n * 2)
+              var ok = true
+              var j = 0
+              while (ok && j < n) { ok = seen.add(Json.canonical(xs(j))); j += 1 }
+              ok
+            }
+          }
         case _ => true
       }
 
-      case AllOf(subs) => subs.forall(s => check(s, v, cs, depth))
-      case AnyOf(subs) => subs.exists(s => check(s, v, cs, depth))
-      case OneOf(subs) =>
+      case ao: AllOf =>
+        val subs = ao.subsArr
+        var i = 0
+        var ok = true
+        while (ok && i < subs.length) { ok = check(subs(i), v, cs, depth); i += 1 }
+        ok
+      case ao: AnyOf =>
+        val subs = ao.subsArr
+        var i = 0
+        var any = false
+        while (!any && i < subs.length) { any = check(subs(i), v, cs, depth); i += 1 }
+        any
+      case oo: OneOf =>
         // short-circuit at the second match (jvst's SPLIT popcount also
         // needs only the 0/1/many distinction)
+        val subs = oo.subsArr
         var n = 0
-        val it = subs.iterator
-        while (n < 2 && it.hasNext) if (check(it.next(), v, cs, depth)) n += 1
+        var i = 0
+        while (n < 2 && i < subs.length) {
+          if (check(subs(i), v, cs, depth)) n += 1
+          i += 1
+        }
         n == 1
       case Not(sub)    => !check(sub, v, cs, depth)
 
@@ -366,6 +441,16 @@ object RowEval {
         else if (!check(cs.resolve(target), v, cs, depth + 1))
           fail("$ref", s"value does not satisfy referenced schema $target")
     }
+  }
+
+  /** draft-04 deep equality restricted to scalars (numeric equality for
+    * numbers — same relation the canonical-form comparison encodes). */
+  private def scalarEq(a: JValue, b: JValue): Boolean = a match {
+    case JStr(x)  => b match { case JStr(y) => x == y; case _ => false }
+    case JNum(x)  => b match { case JNum(y) => x.compare(y) == 0; case _ => false }
+    case JBool(x) => b match { case JBool(y) => x == y; case _ => false }
+    case JNull    => b == JNull
+    case _        => false
   }
 
   private def short(v: JValue): String = {

@@ -23,19 +23,36 @@ object CPlan {
     * jvst: per-token-type SWITCH (reference:src/validate_constraints.c). */
   final case class TypeIs(types: Set[String]) extends CPlan
 
-  /** `enum` — deep equality against literal set; pre-canonicalized forms. */
-  final case class InEnum(canon: Set[String]) extends CPlan
+  /** `enum` — deep equality against literal set; pre-canonicalized forms.
+    * `strMembers` is the decoded string subset: a JStr instance equals an
+    * enum member iff its raw string is in this set (canonical encoding is
+    * injective on strings), so the hot path skips re-canonicalizing. */
+  final case class InEnum(canon: Set[String]) extends CPlan {
+    @transient lazy val strMembers: Set[String] =
+      canon.flatMap(c => Json.parseOpt(c).collect { case JStr(s) => s })
+  }
 
   /** `pattern` — unanchored regex match on strings.
     * jvst: STR_MATCH via libfsm DFA; here JVM regex (superset dialect). */
-  final case class StrPattern(pattern: String) extends CPlan
+  final case class StrPattern(pattern: String) extends CPlan {
+    @transient lazy val compiled: java.util.regex.Pattern =
+      java.util.regex.Pattern.compile(pattern)
+  }
 
   /** minimum/maximum/exclusive* folded into one interval (jvst NUM_RANGE). */
   final case class NumRange(min: Option[BigDecimal], minExclusive: Boolean,
                             max: Option[BigDecimal], maxExclusive: Boolean) extends CPlan
 
-  /** `multipleOf` (jvst NUM_MULTIPLE_OF); decimal-exact semantics. */
-  final case class NumMultipleOf(k: BigDecimal) extends CPlan
+  /** `multipleOf` (jvst NUM_MULTIPLE_OF); decimal-exact semantics.
+    * `kLong` caches k as a positive Long when exactly representable (0
+    * otherwise): integral instance % integral divisor is then plain long
+    * arithmetic — BigDecimal.remainder routes through BigInteger
+    * divideAndRemainder, which profiled as the single hottest allocation
+    * site of the whole validation pass. */
+  final case class NumMultipleOf(k: BigDecimal) extends CPlan {
+    @transient lazy val kLong: Long =
+      if (k.scale <= 0 && k.isValidLong) k.toLong else 0L
+  }
 
   /** minLength/maxLength in Unicode code points (jvst LENGTH_RANGE). */
   final case class StrLen(min: Option[Int], max: Option[Int]) extends CPlan
@@ -50,7 +67,17 @@ object CPlan {
     * `props` nor `patterns` (Some(Invalid) is the `false` form). */
   final case class Props(props: Map[String, CPlan],
                          patterns: Vector[(String, CPlan)],
-                         additional: Option[CPlan]) extends CPlan
+                         additional: Option[CPlan]) extends CPlan {
+    /** Null-returning lookup for the per-field hot loop (no Option churn). */
+    @transient lazy val propsJ: java.util.HashMap[String, CPlan] = {
+      val m = new java.util.HashMap[String, CPlan](math.max(4, props.size * 2))
+      props.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    @transient lazy val patternsC: Array[(java.util.regex.Pattern, CPlan)] =
+      patterns.map { case (r, s) => (java.util.regex.Pattern.compile(r), s) }.toArray
+    @transient lazy val additionalOrNull: CPlan = additional.orNull
+  }
 
   /** minProperties/maxProperties (jvst COUNT_RANGE on object). */
   final case class PropCount(min: Option[Int], max: Option[Int]) extends CPlan
@@ -73,9 +100,15 @@ object CPlan {
 
   /** Combinators (jvst AND/OR/XOR/NOT cnodes; oneOf lowers to SPLIT+popcount
     * in jvst's IR — here a plain exactly-one count). */
-  final case class AllOf(subs: Vector[CPlan]) extends CPlan
-  final case class AnyOf(subs: Vector[CPlan]) extends CPlan
-  final case class OneOf(subs: Vector[CPlan]) extends CPlan
+  final case class AllOf(subs: Vector[CPlan]) extends CPlan {
+    @transient lazy val subsArr: Array[CPlan] = subs.toArray
+  }
+  final case class AnyOf(subs: Vector[CPlan]) extends CPlan {
+    @transient lazy val subsArr: Array[CPlan] = subs.toArray
+  }
+  final case class OneOf(subs: Vector[CPlan]) extends CPlan {
+    @transient lazy val subsArr: Array[CPlan] = subs.toArray
+  }
   final case class Not(sub: CPlan) extends CPlan
 
   /** `$ref` — resolved JSON-Pointer target, by name into CompiledSchema.defs.

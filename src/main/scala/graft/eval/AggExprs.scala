@@ -1,0 +1,92 @@
+package graft.eval
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Custom aggregates the built-in set can't express. */
+object AggExprs {
+
+  /** collect_list that stops accumulating past `maxSize`+1 elements.
+    *
+    * This is what makes one-shuffle LSH bucket-capping safe at 100 TB: a
+    * degenerate bucket (zero-vector pile-up, boilerplate shingle set repeated
+    * millions of times) costs O(maxSize) aggregation memory instead of
+    * collecting the whole bucket before a post-hoc filter. A result longer
+    * than `maxSize` means the bucket overflowed — callers drop it (the
+    * standard LSH degenerate-bucket guard), so element identity beyond the
+    * cap is irrelevant and the early cutoff is lossless for surviving
+    * buckets. */
+  def boundedCollectList(c: Column, maxSize: Int): Column =
+    Bridge.column(
+      BoundedCollectList(Bridge.expression(c), maxSize).toAggregateExpression())
+}
+
+/** Bounded collect_list: accumulates at most `maxSize`+1 non-null child
+  * values per group (the +1 makes overflow detectable via `size > maxSize`).
+  * Aggregation-buffer memory is O(maxSize) regardless of group size —
+  * built-in collect_list buffers the entire group before any filter can run.
+  */
+case class BoundedCollectList(child: Expression, maxSize: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[Any]] with UnaryLike[Expression] {
+
+  require(maxSize > 0, "maxSize must be positive")
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_collect_list"
+
+  override def createAggregationBuffer(): ArrayBuffer[Any] = ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[Any], input: InternalRow): ArrayBuffer[Any] = {
+    if (buf.length <= maxSize) {
+      val v = child.eval(input)
+      if (v != null) buf += InternalRow.copyValue(v)
+    }
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[Any], b2: ArrayBuffer[Any]): ArrayBuffer[Any] = {
+    var i = 0
+    while (b1.length <= maxSize && i < b2.length) { b1 += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: ArrayBuffer[Any]): Any = new GenericArrayData(buf.toArray)
+
+  // serialize via an UnsafeProjection over the result array type; the
+  // projection is per-task (task binaries are deserialized per task), so the
+  // lazy instance is not shared across threads
+  @transient private lazy val proj =
+    UnsafeProjection.create(Array[DataType](dataType))
+
+  override def serialize(buf: ArrayBuffer[Any]): Array[Byte] =
+    proj.apply(InternalRow(new GenericArrayData(buf.toArray))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Any] = {
+    val r = new UnsafeRow(1)
+    r.pointTo(bytes, bytes.length)
+    val arr = r.getArray(0)
+    val out = ArrayBuffer.empty[Any]
+    val dt = child.dataType
+    var i = 0
+    while (i < arr.numElements()) { out += InternalRow.copyValue(arr.get(i, dt)); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedCollectList =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedCollectList =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BoundedCollectList =
+    copy(child = c)
+}

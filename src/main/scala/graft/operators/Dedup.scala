@@ -26,26 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Drop rows in oversized (degenerate) buckets — the standard LSH guard.
-    * Shape: groupBy-count of the tiny (band,bucket) key space → the handful
-    * of oversized keys broadcast into a left_anti join. No Window/Sort: the
-    * previous `count(*) over (partition by band,bucket)` sorted every
-    * shuffle partition of the full exploded signature table just to size
-    * buckets; the agg is partial-combined and the probe side never sorts.
+  /** All a<b pairs within each (bucket-key) group of `banded`, skipping
+    * degenerate buckets — ONE shuffle, ONE evaluation of the (expensive)
+    * signature lineage feeding `banded`.
     *
-    * Broadcast bound: an oversized key needs > maxBucketSize members, so at
-    * most n/maxBucketSize keys broadcast — vanishingly few on real corpora
-    * (they are the pathology being excised). A corpus adversarially shaped
-    * so that MOST rows sit in degenerate buckets would blow the broadcast;
-    * drop the hint there and AQE picks the join side at runtime. */
-  def dropOversizedBuckets(rows: DataFrame, keys: Seq[String],
-                           maxBucketSize: Int): DataFrame = {
-    val oversized = rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(keys.map(col): _*)
-    rows.join(broadcast(oversized), keys, "left_anti")
+    * The previous shape (groupBy-count → broadcast anti-join of oversized
+    * keys → self-join on the bucket key) was robust but re-executed the
+    * banded-signature subtree three times (count agg + both self-join sides)
+    * and shuffled it twice. Here the signature runs once: groups are
+    * collected with [[graft.eval.AggExprs.boundedCollectList]] — O(cap)
+    * aggregation memory per bucket even for degenerate buckets, which arrive
+    * as cap+1 elements and are dropped — then pairs are exploded from the
+    * sorted member array (sorted ⇒ a < b by construction). `valCol` rides
+    * along inside the collected struct (e.g. a simhash fingerprint), landing
+    * as `a.<valCol>` / `b.<valCol>`. */
+  def bucketPairs(banded: DataFrame, keys: Seq[String], idCol: String,
+                  maxBucketSize: Int, valCol: Option[String] = None): DataFrame = {
+    val member = valCol match {
+      case Some(v) => struct(col(idCol).as("id"), col(v).as(v))
+      case None    => struct(col(idCol).as("id"))
+    }
+    val grouped = banded.groupBy(keys.map(col): _*)
+      .agg(graft.eval.AggExprs.boundedCollectList(member, maxBucketSize).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    // struct ordering compares fields in order; `id` is first and unique,
+    // so sorting members and pairing each with its successors yields every
+    // unordered pair exactly once with a.id < b.id
+    val sorted = sort_array(col("ids"))
+    grouped
+      .select(explode(pairsOf(sorted)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
   }
+
+  /** array<struct<a,b>> of all ordered pairs (element, later element). */
+  private def pairsOf(xs: Column): Column =
+    flatten(transform(xs, (a, i) =>
+      transform(slice(xs, i + lit(2), size(xs) - i - 1),
+        b => struct(a.as("a"), b.as("b")))))
 
   // ------------------------------------------------------------------ exact
 
@@ -95,11 +112,8 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r))), b)))
     val sig = docs.select(col(idCol).as("id"), posexplode(bandBuckets))
       .toDF("id", "band", "bucket")
-    val sized = dropOversizedBuckets(sig, Seq("band", "bucket"), maxBucketSize)
-    val l = sized.select(col("band"), col("bucket"), col("id").as("a"))
-    val rgt = sized.select(col("band"), col("bucket"), col("id").as("b"))
-    l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    bucketPairs(sig, Seq("band", "bucket"), "id", maxBucketSize)
+      .select(col("a.id").as("a"), col("b.id").as("b")).distinct()
   }
 
   /** Exact Jaccard similarity of two shingle arrays. */
@@ -137,14 +151,12 @@ object Dedup {
         array((0 until 4).map(b =>
           shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("id", "fp", "band", "bucket")
-    val sized = dropOversizedBuckets(banded, Seq("band", "bucket"), maxBucketSize)
-    val l = sized.select(col("band"), col("bucket"),
-      col("id").as("a"), col("fp").as("fpa"))
-    val rgt = sized.select(col("band"), col("bucket"),
-      col("id").as("b"), col("fp").as("fpb"))
-    l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+    // fingerprints ride inside the collected struct, so the hamming verify
+    // needs no re-join against the corpus
+    bucketPairs(banded, Seq("band", "bucket"), "id", maxBucketSize, Some("fp"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming").distinct()
+      .distinct()
   }
 }

@@ -228,10 +228,7 @@ object Similarity {
       array((0 until tables).map(t =>
         srpBucket(col("embedding"), bits, dim, 1000L + t)): _*)))
       .toDF("id", "table", "bucket")
-    val sized = Dedup.dropOversizedBuckets(banded, Seq("table", "bucket"), maxBucketSize)
-    val l = sized.select(col("table"), col("bucket"), col("id").as("a"))
-    val r = sized.select(col("table"), col("bucket"), col("id").as("b"))
-    l.join(r, Seq("table", "bucket")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    Dedup.bucketPairs(banded, Seq("table", "bucket"), "id", maxBucketSize)
+      .select(col("a.id").as("a"), col("b.id").as("b")).distinct()
   }
 }

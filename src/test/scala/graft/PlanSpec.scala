@@ -92,10 +92,10 @@ class PlanSpec extends AnyFunSuite {
       s"cosine near-dup must stay bucketed:\n$pc")
   }
 
-  test("LSH candidate stages size buckets without a Window/Sort") {
-    // bucket capping is a groupBy-count + broadcast anti-join of oversized
-    // keys; the old `count(*) over (partition by band,bucket)` sorted every
-    // shuffle partition of the exploded signature table
+  test("LSH candidate stages: one signature scan, no Window/Sort") {
+    // bucket capping is a single bounded-collect groupBy: the signature
+    // lineage executes ONCE (the earlier anti-join + self-join shape scanned
+    // and recomputed it three times), nothing sorts, nothing windows
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     Seq(
@@ -105,8 +105,11 @@ class PlanSpec extends AnyFunSuite {
     ).foreach { case (name, p) =>
       assert(!p.contains("Window"), s"$name candidate stage has a Window:\n$p")
       assert(!p.contains("Sort "), s"$name candidate stage sorts:\n$p")
-      assert(p.contains("BroadcastExchange"),
-        s"$name oversized-bucket filter must broadcast:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1,
+        s"$name candidate stage must evaluate the signature lineage once, found $scans scans:\n$p")
+      assert(p.contains("bounded_collect_list"),
+        s"$name must cap buckets inside the aggregation:\n$p")
     }
   }
 

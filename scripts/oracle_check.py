@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle_sql.json
+entry in DuckDB over the sf parquet tables and compare against the engine's
+exported parquet under the verify outDir.
+
+Compare protocol (mirrors the driver): row count, column-name set (sorted),
+and cell values with columns sorted by name and rows sorted by the full
+stringified tuple. Floats compare exactly first; near-misses (<1e-9 rel)
+are reported separately so a would-be hash mismatch is visible before the
+round's official run.
+
+Usage: python3 scripts/oracle_check.py /root/testdata/sf0.01 /tmp/verify_r3
+"""
+import duckdb, glob, json, math, os, sys
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver hashes stringified values; mirror a stable repr
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def near(a, b):
+    try:
+        fa, fb = float(a), float(b)
+    except (TypeError, ValueError):
+        return False
+    if math.isnan(fa) and math.isnan(fb):
+        return True
+    return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+
+
+def table(con, rel_cols, rel_rows):
+    cols = sorted(range(len(rel_cols)), key=lambda i: rel_cols[i])
+    names = [rel_cols[i] for i in cols]
+    rows = sorted([tuple(canon(r[i]) for i in cols) for r in rel_rows])
+    raw = sorted([tuple(r[i] for i in cols) for r in rel_rows],
+                 key=lambda t: tuple(canon(x) for x in t))
+    return names, rows, raw
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
+    for q in sorted(oracles):
+        spark_dir = os.path.join(out_dir, q)
+        if not os.path.isdir(spark_dir):
+            print(f"{q:34s} MISSING spark output")
+            failures += 1
+            continue
+        try:
+            orel = con.sql(oracles[q])
+            ocols, orows_all = orel.columns, orel.fetchall()
+        except Exception as e:
+            print(f"{q:34s} ORACLE SQL ERROR: {e}")
+            failures += 1
+            continue
+        srel = con.sql(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols, srows_all = srel.columns, srel.fetchall()
+        sn, srows, sraw = table(con, scols, srows_all)
+        on, orows, oraw = table(con, ocols, orows_all)
+        if sn != on:
+            print(f"{q:34s} SCHEMA MISMATCH spark={sn} oracle={on}")
+            failures += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"{q:34s} ROWS {len(srows)} vs {len(orows)}")
+            failures += 1
+            continue
+        if srows == orows:
+            print(f"{q:34s} ok ({len(srows)} rows)")
+            continue
+        # exact mismatch: is it float-noise or real?
+        diffs = [
+            (i, j, a, b)
+            for i, (ra, rb) in enumerate(zip(sraw, oraw))
+            for j, (a, b) in enumerate(zip(ra, rb))
+            if canon(a) != canon(b)
+        ]
+        real = [d for d in diffs if not near(d[2], d[3])]
+        if not real:
+            print(f"{q:34s} FLOAT-NOISE ONLY ({len(diffs)} cells within "
+                  f"1e-9 — may still hash-mismatch!)")
+            failures += 1
+        else:
+            i, j, a, b = real[0]
+            print(f"{q:34s} VALUE MISMATCH {len(real)} cells; first: "
+                  f"row {i} col {sn[j]}: spark={a!r} oracle={b!r}")
+            failures += 1
+    print(f"\n{'FAILURES: %d' % failures if failures else 'ALL GREEN'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

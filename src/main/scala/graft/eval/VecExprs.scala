@@ -1,0 +1,174 @@
+package graft.eval
+
+import graft.sources.RepoFiles.mix64
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Dense-vector math over embedding columns (array<float> or array<double>)
+  * as single scalar Expressions.
+  *
+  * The previous spelling composed `aggregate`/`zip_with`/`transform`
+  * higher-order functions over `typedLit` hyperplane / centroid arrays.
+  * Measured on sf0.1 (QueryProbe plantime): the 8-table SRP plan carried
+  * ~4k doubles of literal AST per side and cost 0.6-1.4 s of driver-side
+  * analysis/optimization per query, plus ~2 s of interpreted per-element
+  * HOF evaluation. Holding the planes/centroids as plain constructor data
+  * (computed lazily per deserialized instance) and evaluating with flat
+  * primitive loops removes both: the expression tree is O(1) regardless of
+  * dim × bits × tables, and each row is one pass over unboxed doubles.
+  *
+  * All derivations are bit-identical to the former literal spelling:
+  *  - plane component = mix64(mix64(seed) ^ (plane*1000003 + i)) / Long.Max
+  *  - bucket fold     = acc*2 + (dot > 0 ? 1 : 0), planes in order
+  *  - cosine          = Σxy / (sqrt(Σx²)·sqrt(Σy²)), left-to-right sums
+  *  - cell score      = dot(c,e) - ‖c‖²/2, ranked desc, ties desc by index
+  * so LSH buckets, IVF assignments, and oracle-checked cosines are
+  * unchanged.
+  */
+object VecExprs {
+
+  /** Exact cosine similarity; promotes floats to double per element. */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Per-table SRP bucket ids (array<long>, one per seed): the sign pattern
+    * of `bits` deterministic hyperplanes folded into a long. */
+  def srpBuckets(emb: Column, bits: Int, dim: Int, seeds: Seq[Long]): Column =
+    Bridge.column(SrpBucketsExpr(Bridge.expression(emb), bits, dim, seeds))
+
+  /** Indices of the `nprobe` nearest k-means cells (array<int>, best
+    * first) under the half-norm trick: argmax dot(c,e) - ‖c‖²/2. */
+  def nearestCells(emb: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
+    Bridge.column(NearestCellsExpr(Bridge.expression(emb), cents, nprobe))
+
+  private[eval] def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private[eval] def readVec(arr: ArrayData, isFloat: Boolean, maxLen: Int): Array[Double] = {
+    val n = math.min(maxLen, arr.numElements())
+    val v = new Array[Double](n)
+    var i = 0
+    if (isFloat) while (i < n) { v(i) = arr.getFloat(i); i += 1 }
+    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    v
+  }
+}
+
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_cosine"
+
+  @transient private lazy val lFloat = VecExprs.isFloatArray(left.dataType)
+  @transient private lazy val rFloat = VecExprs.isFloatArray(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SrpBucketsExpr(child: Expression, bits: Int, dim: Int, seeds: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_buckets"
+
+  @transient private lazy val isFloat = VecExprs.isFloatArray(child.dataType)
+  // planes(t)(p*dim + i): identical values to Similarity.hyperplanes' former
+  // typedLit — ~uniform in [-1, 1) from splitmix64, seed decorrelates tables
+  @transient private lazy val planes: Array[Array[Double]] = seeds.map { seed =>
+    val p = new Array[Double](bits * dim)
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < dim) {
+        p(b * dim + i) =
+          mix64(mix64(seed) ^ (b.toLong * 1000003L + i)).toDouble / Long.MaxValue.toDouble
+        i += 1
+      }
+      b += 1
+    }
+    p
+  }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = VecExprs.readVec(input.asInstanceOf[ArrayData], isFloat, dim)
+    val n = v.length
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val pl = planes(t)
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        var d = 0.0
+        val off = b * dim
+        var j = 0
+        while (j < n) { d += pl(off + j) * v(j); j += 1 }
+        acc = acc * 2 + (if (d > 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class NearestCellsExpr(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  @transient private lazy val isFloat = VecExprs.isFloatArray(child.dataType)
+  @transient private lazy val cArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val half: Array[Double] =
+    cents.map(c => c.map(x => x * x).sum / 2.0).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val dim = if (cArr.isEmpty) 0 else cArr(0).length
+    val v = VecExprs.readVec(input.asInstanceOf[ArrayData], isFloat, dim)
+    val n = v.length
+    val k = cArr.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cArr(c)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += cv(j) * v(j); j += 1 }
+      scores(c) = d - half(c)
+      c += 1
+    }
+    // desc by score, ties desc by index — mirrors the former
+    // reverse(array_sort(struct(score, index))) spelling exactly
+    val idx = Array.range(0, k).sortBy(i => (-scores(i), -i))
+    new GenericArrayData(idx.take(math.min(nprobe, k)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

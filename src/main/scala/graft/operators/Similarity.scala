@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.RepoFiles.mix64
+import graft.eval.VecExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *  - Brute-force cosine top-k: the correctness baseline. Queries are a
   *    small broadcast side; the scan side is one narrow pass computing
-  *    dot products with codegen'd higher-order functions. O(n·q) — exact,
-  *    and the right choice whenever q is small, even at 100 TB.
+  *    exact cosines. O(n·q) — exact, and the right choice whenever q is
+  *    small, even at 100 TB.
   *  - Multi-probe, multi-table SRP-LSH top-k: the scale path when q is
   *    large. Each of `tables` independent hyperplane sets buckets both
   *    sides; each query additionally probes every bucket within
@@ -25,54 +25,18 @@ import org.apache.spark.sql.functions._
   *    generation with a degenerate-bucket cap, exact cosine verify — the
   *    same candidate-pair shape as MinHash-LSH dedup, never all-pairs.
   *
-  *  All hyperplanes/centroid seeds are deterministic (splitmix64) literals
-  *  compiled into the plan — no side channel, identical across executors
-  *  and cluster sizes.
+  *  Hyperplanes and centroids are deterministic (splitmix64 / k-means from a
+  *  hashed-id init) and live INSIDE the scalar expressions (VecExprs), not as
+  *  typedLit arrays in the plan: the literal spelling cost 0.6–1.4 s of
+  *  driver-side optimization per query and ran interpreted per element
+  *  (measured, QueryProbe plantime sf0.1). Identical values either way — no
+  *  side channel, same buckets on every executor and cluster size.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Deterministic random hyperplanes: `bits` planes × `dim` components in
-    * [-1, 1), from splitmix64 — embedded as a typed literal. `seed`
-    * decorrelates the hash tables of the multi-table variants. */
-  def hyperplanes(bits: Int, dim: Int, seed: Long = 0L): Column = {
-    val planes: Seq[Seq[Double]] = (0 until bits).map { p =>
-      (0 until dim).map { i =>
-        val h = mix64(mix64(seed) ^ (p.toLong * 1000003L + i))
-        (h.toDouble / Long.MaxValue.toDouble) // ~uniform in [-1, 1]
-      }
-    }
-    typedLit(planes)
-  }
-
-  /** Sign-random-projection bucket id of an embedding: fold the ordered
-    * sign bits into a long (acc*2 + bit). */
-  def srpBucket(emb: Column, bits: Int, dim: Int, seed: Long = 0L): Column =
-    aggregate(
-      transform(hyperplanes(bits, dim, seed),
-        plane => when(dot(plane, emb) > 0, lit(1L)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc * 2 + x)
-
-  /** Evaluate `in` once (HOF lambda binding; see Dedup.bindOnce). */
-  private def bindOnce(in: Column, f: Column => Column): Column =
-    element_at(transform(array(in), x => f(x)), 1)
-
-  /** All bucket-id variants within `flips` bit flips of the base bucket —
-    * C(bits,0)+C(bits,1)+…+C(bits,flips) masks, XOR'd onto a once-evaluated
-    * base. bits=8, flips=2 → 37 probes. */
-  def probeBuckets(emb: Column, bits: Int, dim: Int, seed: Long,
-                   flips: Int): Column = {
-    val masks: Seq[Long] =
-      (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= flips)
-    bindOnce(srpBucket(emb, bits, dim, seed),
-      base => array(masks.map(m => base.bitwiseXOR(lit(m))): _*))
-  }
+  /** Exact cosine similarity of two embedding columns (single flat-loop
+    * expression; floats promoted per element, sums left-to-right). */
+  def cosine(a: Column, b: Column): Column = VecExprs.cosine(a, b)
 
   private def topK(cands: DataFrame, k: Int): DataFrame =
     cands
@@ -92,7 +56,8 @@ object Similarity {
     *
     * Corpus side: one narrow pass emits `tables` (table, bucket) rows per
     * vector. Query side (broadcast): `tables` × Σ C(bits,≤flips) probe rows
-    * per query. Candidates = equi-join on (table, bucket), deduped to
+    * per query, built by XOR-ing the ≤`probeFlips`-bit masks onto the base
+    * bucket attribute. Candidates = equi-join on (table, bucket), deduped to
     * distinct (query_id, vec_id) BEFORE scoring so multi-table collisions
     * don't recompute cosines. Expected recall for a neighbor at angle θ with
     * per-bit agreement p = 1-θ/π is 1-(1-P₁)^tables where
@@ -103,15 +68,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 8, dim: Int = 64, tables: Int = 8,
               probeFlips: Int = 2): DataFrame = {
-    val cBuckets = corpus.select(col("vec_id"), posexplode(
-      array((0 until tables).map(t =>
-        srpBucket(col("embedding"), bits, dim, t.toLong)): _*)))
+    val seeds = (0 until tables).map(_.toLong)
+    val cBuckets = corpus.select(col("vec_id"),
+      posexplode(VecExprs.srpBuckets(col("embedding"), bits, dim, seeds)))
       .toDF("vec_id", "table", "bucket")
-    val qProbes = queries.select(col("query_id"), posexplode(
-      array((0 until tables).map(t =>
-        probeBuckets(col("qvec"), bits, dim, t.toLong, probeFlips)): _*)))
-      .toDF("query_id", "table", "buckets")
-      .select(col("query_id"), col("table"), explode(col("buckets")).as("bucket"))
+    val masks: Seq[Long] =
+      (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= probeFlips)
+    val qProbes = queries.select(col("query_id"),
+      posexplode(VecExprs.srpBuckets(col("qvec"), bits, dim, seeds)))
+      .toDF("query_id", "table", "base")
+      .select(col("query_id"), col("table"),
+        explode(array(masks.map(m => col("base").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val cands = cBuckets.join(broadcast(qProbes), Seq("table", "bucket"))
       .select("query_id", "vec_id").distinct()
     val scored = cands
@@ -143,11 +110,9 @@ object Similarity {
       .orderBy(col("h")).limit(numCells)
       .collect().map(rowVec(_, "embedding")).toSeq
     for (_ <- 1 to iters) {
-      // cell assignment and the posexplode multi-alias must live in separate
-      // projections: resolving them in one select drops the struct-field
-      // aliases inside the zip_with lambda (analyzer ordering quirk)
       val assigned = corpus
-        .select(cellOfWith(cents, col("embedding")).as("cell"), col("embedding"))
+        .select(element_at(VecExprs.nearestCells(col("embedding"), cents, 1), 1).as("cell"),
+          col("embedding"))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       val means = assigned.groupBy(col("cell"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -160,24 +125,6 @@ object Similarity {
     cents
   }
 
-  /** Literal array<struct<vec,halfNorm>> of centroids; scores via a single
-    * transform (flat expression — a 16-way nested when-fold was measured to
-    * choke the optimizer). Score = dot(c,e) - ||c||²/2, the argmax of which
-    * is the nearest-centroid argmin of euclidean distance. */
-  private def centLit(cents: Seq[Seq[Double]]): Column =
-    typedLit(cents.map(c => (c, c.map(x => x * x).sum / 2.0)))
-
-  private def rankedCellsWith(cents: Seq[Seq[Double]], emb: Column): Column = {
-    val scores = transform(centLit(cents),
-      c => dot(c.getField("_1"), emb) - c.getField("_2"))
-    reverse(array_sort(zip_with(scores,
-      sequence(lit(0), lit(cents.size - 1)),
-      (s, i) => struct(s.as("s"), i.as("i")))))
-  }
-
-  private def cellOfWith(cents: Seq[Seq[Double]], emb: Column): Column =
-    element_at(rankedCellsWith(cents, emb), 1).getField("i")
-
   /** IVF-flat approximate top-k over k-means-trained cells: corpus vectors
     * are assigned to their nearest of `numCells` centroids; a query scores
     * only vectors in its `nprobe` nearest cells. Cells are an equi-join key,
@@ -187,10 +134,10 @@ object Similarity {
               numCells: Int = 16, nprobe: Int = 4, dim: Int = 64,
               kmeansIters: Int = 4): DataFrame = {
     val cents = kmeansCentroids(corpus, numCells, dim, kmeansIters)
-    def probeCells(emb: Column): Column =
-      transform(slice(rankedCellsWith(cents, emb), 1, nprobe), s => s.getField("i"))
-    val c = corpus.withColumn("cell", cellOfWith(cents, col("embedding")))
-    val q = queries.withColumn("cell", explode(probeCells(col("qvec"))))
+    val c = corpus.withColumn("cell",
+      element_at(VecExprs.nearestCells(col("embedding"), cents, 1), 1))
+    val q = queries.withColumn("cell",
+      explode(VecExprs.nearestCells(col("qvec"), cents, nprobe)))
     topK(c.join(broadcast(q), Seq("cell"))
       .withColumn("cosine", cosine(col("embedding"), col("qvec"))), k)
   }
@@ -224,9 +171,9 @@ object Similarity {
   def cosineCandidatePairs(corpus: DataFrame, bits: Int = 16,
                            dim: Int = 64, tables: Int = 4,
                            maxBucketSize: Int = 1000): DataFrame = {
-    val banded = corpus.select(col("vec_id"), posexplode(
-      array((0 until tables).map(t =>
-        srpBucket(col("embedding"), bits, dim, 1000L + t)): _*)))
+    val seeds = (0 until tables).map(t => 1000L + t)
+    val banded = corpus.select(col("vec_id"),
+      posexplode(VecExprs.srpBuckets(col("embedding"), bits, dim, seeds)))
       .toDF("id", "table", "bucket")
     Dedup.bucketPairs(banded, Seq("table", "bucket"), "id", maxBucketSize)
       .select(col("a.id").as("a"), col("b.id").as("b")).distinct()

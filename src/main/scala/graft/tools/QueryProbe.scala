@@ -44,6 +44,19 @@ object QueryProbe {
           .minhashSignature(graft.operators.Dedup.shingles(col("text"))))).count() }
         t("candidates") { graft.operators.Dedup.minhashCandidatePairs(docs).count() }
         t("full") { graft.operators.Dedup.nearDuplicates(docs, 0.5).count() }
+      case "plantime" =>
+        // split driver-side planning cost from execution cost
+        q(spark, sfDir).count() // warm
+        (1 to runs).foreach { _ =>
+          val t0 = System.nanoTime()
+          val df = q(spark, sfDir)
+          val plan = df.queryExecution.executedPlan // forces analyze+optimize
+          val t1 = System.nanoTime()
+          df.count()
+          val t2 = System.nanoTime()
+          println(f"  plan ${(t1 - t0) / 1e9}%.3f s   exec ${(t2 - t1) / 1e9}%.3f s")
+          if (plan == null) println("") // keep plan alive
+        }
       case "time" =>
         q(spark, sfDir).count() // warm-up
         val times = (1 to runs).map { _ =>

@@ -201,6 +201,19 @@ object SparkEntry {
     "q_partition_summary" -> ((s, dir) =>
       Validate.partitionSummary(repoFiles(s, dir), fixtureSchema).toDF()),
 
+    // oracle-checked: global sums OF the per-partition summary rows (so the
+    // partition-summary math is transitively driver-verified); DuckDB
+    // recomputes every column — including the full fixture-schema verdict —
+    // from first principles over the exported table
+    "q_summary_totals" -> ((s, dir) =>
+      Validate.partitionSummary(repoFiles(s, dir), fixtureSchema).toDF()
+        .agg(sum(col("rows")).as("total_rows"),
+             sum(col("validated")).as("validated"),
+             sum(col("passed")).as("passed"),
+             sum(col("failed")).as("failed"),
+             sum(col("bytes")).as("bytes"),
+             sum(col("sha256Failures")).as("sha256_failures"))),
+
     "q_repo_column_stats" -> ((s, dir) =>
       Stats.columnStats(RepoFiles.dataset(s, repoRowsFor(dir))).toDF()
         .withColumn("lengthHist", col("lengthHist").cast("string"))),
@@ -601,6 +614,65 @@ object SparkEntry {
         |  * (1.0 - (CASE WHEN len > 0 THEN least(punct/len*4.0, 1.0)
         |            ELSE 0.0 END) * 0.5))), 6) AS quality
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Full first-principles recomputation of the flagship verdict: DuckDB
+    // re-validates every in-scope row against the fixture schema with its own
+    // json functions (presence via json_keys, types via json_type, pattern /
+    // bounds / multipleOf / uniqueItems / two-level $ref-target checks spelled
+    // out), then reconciles the engine's per-partition summary sums. The
+    // golden-set compare (q_validate_golden) checks WHICH rows fail; this
+    // checks the aggregate bookkeeping (rows/validated/passed/failed/bytes/
+    // sha256) without trusting any engine output.
+    "q_summary_totals" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
+         |jr AS (SELECT content::JSON AS j FROM rf WHERE lang = 'json'),
+         |jt AS (SELECT j, json_keys(j) AS ks,
+         |         CASE WHEN json_type(j, '$$.tags') = 'ARRAY'
+         |              THEN CAST(json_extract(j, '$$.tags') AS JSON[]) END AS tags
+         |       FROM jr),
+         |v AS (SELECT
+         |  (json_type(j) = 'OBJECT'
+         |   AND list_has_all(ks, ['name','size','tags'])
+         |   AND coalesce(json_type(j, '$$.name') = 'VARCHAR'
+         |     AND regexp_matches(json_extract_string(j, '$$.name'), '^[a-z][a-z0-9_]*$$')
+         |     AND length(json_extract_string(j, '$$.name')) BETWEEN 1 AND 64, FALSE)
+         |   AND coalesce(json_type(j, '$$.size') IN ('UBIGINT','BIGINT')
+         |     AND CAST(json_extract(j, '$$.size') AS BIGINT) BETWEEN 0 AND 1000000, FALSE)
+         |   AND (NOT list_contains(ks, 'kind') OR
+         |        json_extract_string(j, '$$.kind') IN ('blob','tree','doc'))
+         |   AND coalesce(tags IS NOT NULL
+         |     AND len(tags) <= 8
+         |     AND len(list_filter(tags, x -> json_type(x) <> 'VARCHAR')) = 0
+         |     AND len(list_distinct(list_transform(tags, x -> CAST(x AS VARCHAR)))) = len(tags), FALSE)
+         |   AND (NOT list_contains(ks, 'score') OR
+         |        (json_type(j, '$$.score') IN ('UBIGINT','BIGINT','DOUBLE')
+         |         AND CAST(json_extract(j, '$$.score') AS DOUBLE) >= 0
+         |         AND CAST(json_extract(j, '$$.score') AS DOUBLE) < 1))
+         |   AND (NOT list_contains(ks, 'count') OR
+         |        (json_type(j, '$$.count') IN ('UBIGINT','BIGINT')
+         |         AND CAST(json_extract(j, '$$.count') AS BIGINT) % 5 = 0))
+         |   AND (NOT list_contains(ks, 'flag') OR
+         |        json_type(j, '$$.flag') IN ('BOOLEAN','NULL'))
+         |   AND (NOT list_contains(ks, 'meta') OR (
+         |        json_type(j, '$$.meta') = 'OBJECT'
+         |        AND (NOT list_contains(json_keys(j, '$$.meta'), 'depth') OR
+         |             (json_type(j, '$$.meta.depth') IN ('UBIGINT','BIGINT')
+         |              AND CAST(json_extract(j, '$$.meta.depth') AS BIGINT) >= 0))
+         |        AND (NOT list_contains(json_keys(j, '$$.meta'), 'child') OR (
+         |             json_type(j, '$$.meta.child') = 'OBJECT'
+         |             AND (NOT list_contains(json_keys(j, '$$.meta.child'), 'depth') OR
+         |                  (json_type(j, '$$.meta.child.depth') IN ('UBIGINT','BIGINT')
+         |                   AND CAST(json_extract(j, '$$.meta.child.depth') AS BIGINT) >= 0))))))
+         |   AND (NOT list_contains(ks, 'ref') OR
+         |        (json_type(j, '$$.ref') = 'VARCHAR'
+         |         AND regexp_matches(json_extract_string(j, '$$.ref'), '^repo://')))
+         |  ) AS pass FROM jt)
+         |SELECT
+         |  (SELECT count(*) FROM rf) AS total_rows,
+         |  (SELECT count(*) FROM jr) AS validated,
+         |  (SELECT CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) FROM v) AS passed,
+         |  (SELECT CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) FROM v) AS failed,
+         |  (SELECT CAST(sum(strlen(content)) AS BIGINT) FROM rf) AS bytes,
+         |  (SELECT CAST(sum(CASE WHEN sha256(content) <> sha256 THEN 1 ELSE 0 END) AS BIGINT) FROM rf) AS sha256_failures""".stripMargin,
     "q_repo_uniqueness" ->
       s"""SELECT repo, path, "commit", count(*) AS multiplicity
          |FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')

@@ -9,11 +9,23 @@ import org.apache.spark.sql.functions._
 /** Step timings for the flagship violations query at a given row count. */
 object FlagshipProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val n = args.headOption.filter(_ != "dir").map(_.toLong).getOrElse(200000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("dir")) {
+      // JFR-profiling mode: loop the bench's exact flagship measurement over
+      // a pre-written on-disk input so a profile captures the steady state.
+      val dir = args.lift(1).getOrElse("/tmp/graft_bench_input_4000000")
+      val loops = args.lift(2).map(_.toInt).getOrElse(8)
+      (1 to loops).foreach { k =>
+        val fps = graft.ScalingBench.validatedFilesPerSecFromDir(spark, dir)
+        println(f"# loop $k: $fps%.0f files/s")
+      }
+      spark.stop()
+      return
+    }
     val cs = SparkEntry.fixtureSchema
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -43,6 +43,17 @@ object RowEval {
     }
   }
 
+  private val findCache = new ConcurrentHashMap[String, graft.schema.CachedPattern]()
+  /** Unanchored regex find with a per-(pattern, thread) reused Matcher. */
+  def regexFind(p: String, s: CharSequence): Boolean = {
+    var cp = findCache.get(p)
+    if (cp == null) {
+      cp = new graft.schema.CachedPattern(regex(p))
+      findCache.putIfAbsent(p, cp)
+    }
+    cp.find(s)
+  }
+
   def isValid(cs: CompiledSchema, doc: JValue): Boolean =
     check(cs.root, doc, cs, 0)
 
@@ -85,7 +96,7 @@ object RowEval {
       }
 
       case sp: StrPattern => v match {
-        case JStr(s) => sp.compiled.matcher(s).find()
+        case JStr(s) => sp.cached.find(s)
         case _       => true
       }
 
@@ -143,7 +154,7 @@ object RowEval {
             var p = 0
             while (ok && p < patterns.length) {
               val rs = patterns(p)
-              if (rs._1.matcher(k).find()) {
+              if (rs._1.find(k)) {
                 applied = true
                 ok = check(rs._2, child, cs, depth)
               }

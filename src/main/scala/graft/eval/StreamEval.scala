@@ -417,8 +417,7 @@ object StreamEval {
           if (c != '"') { skipValue(); true }
           else {
             val esc = skipString()
-            RowEval.regex(pat)
-              .matcher(decodeString(start, pos, esc)).find()
+            RowEval.regexFind(pat, decodeString(start, pos, esc))
           }
 
         case NumRange(min, minE, max, maxE) =>

@@ -83,7 +83,7 @@ object Validate {
     * verified against the reference"). */
   def integrityViolations(df: DataFrame): Dataset[Violation] = {
     import df.sparkSession.implicits._
-    df.filter(sha2(col("content"), 256) =!= col("sha256"))
+    df.filter(!Exprs.sha256Matches(col("content"), col("sha256")))
       .select(col("repo"), col("path"),
         lit("_integrity.sha256").as("constraint"),
         concat(lit("content digest "), sha2(col("content"), 256),
@@ -107,7 +107,7 @@ object Validate {
       inScope(df).as("_scoped"),
       passCol(cs, df("content")).as("_pass"),
       octet_length(col("content")).cast("long").as("_bytes"),
-      (sha2(col("content"), 256) === col("sha256")).as("_shaOk"))
+      Exprs.sha256Matches(col("content"), col("sha256")).as("_shaOk"))
     pre.groupBy(col("partitionId"))
       .agg(
         count(lit(1)).as("rows"),

@@ -13,6 +13,24 @@ import graft.json._
   */
 sealed trait CPlan
 
+/** A compiled regex plus a per-thread reusable Matcher. `Pattern.matcher`
+  * allocates a Matcher (with its group arrays) per call — measurably hot when
+  * a `pattern`/`patternProperties` keyword runs per row per key (JFR: ~5% of
+  * flagship samples in `Matcher.<init>`). Reusing one Matcher per thread via
+  * `reset` is the standard fix; Matcher is not thread-safe, Pattern is. */
+final class CachedPattern(val pattern: java.util.regex.Pattern) extends Serializable {
+  @transient private lazy val tl = new ThreadLocal[java.util.regex.Matcher] {
+    override def initialValue(): java.util.regex.Matcher = pattern.matcher("")
+  }
+  def find(s: CharSequence): Boolean = {
+    val m = tl.get()
+    m.reset(s)
+    val r = m.find()
+    m.reset("") // drop the reference so the row's string is not retained
+    r
+  }
+}
+
 object CPlan {
   /** Accept-all (empty schema {}). jvst: JVST_CNODE_VALID. */
   case object Valid extends CPlan
@@ -37,6 +55,7 @@ object CPlan {
   final case class StrPattern(pattern: String) extends CPlan {
     @transient lazy val compiled: java.util.regex.Pattern =
       java.util.regex.Pattern.compile(pattern)
+    @transient lazy val cached: CachedPattern = new CachedPattern(compiled)
   }
 
   /** minimum/maximum/exclusive* folded into one interval (jvst NUM_RANGE). */
@@ -74,8 +93,9 @@ object CPlan {
       props.foreach { case (k, v) => m.put(k, v) }
       m
     }
-    @transient lazy val patternsC: Array[(java.util.regex.Pattern, CPlan)] =
-      patterns.map { case (r, s) => (java.util.regex.Pattern.compile(r), s) }.toArray
+    @transient lazy val patternsC: Array[(CachedPattern, CPlan)] =
+      patterns.map { case (r, s) =>
+        (new CachedPattern(java.util.regex.Pattern.compile(r)), s) }.toArray
     @transient lazy val additionalOrNull: CPlan = additional.orNull
   }
 

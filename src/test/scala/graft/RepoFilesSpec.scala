@@ -27,6 +27,28 @@ class RepoFilesSpec extends AnyFunSuite {
     assert(Validate.integrityViolations(df).count() == 0)
   }
 
+  test("sha256Matches ≡ sha2(content,256)===expected on adversarial inputs") {
+    import spark.implicits._
+    // (content, expected) pairs: correct digest, corrupted digest, uppercase
+    // hex (sha2 renders lowercase → unequal), wrong length, non-hex chars,
+    // non-ASCII and empty content
+    val contents = Seq("", "a", "hello", "café ☃ 😀",
+                       "x" * 10000, "{\"k\":1}")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pairs = contents.flatMap { c =>
+      val h = hex(c)
+      Seq((c, h), (c, h.reverse), (c, h.toUpperCase), (c, h.take(63)),
+          (c, h + "0"), (c, "z" * 64))
+    }
+    val t = pairs.toDF("content", "expected")
+    val mismatch = t.filter(
+      graft.eval.Exprs.sha256Matches(col("content"), col("expected")) =!=
+        (sha2(col("content"), 256) === col("expected"))).count()
+    assert(mismatch == 0)
+  }
+
   test("valid strata pass; violating strata fail — exact counts") {
     val verdicts = Validate.withVerdict(df, cs)
     val failed = verdicts.filter(col("validated") && !col("pass")).count()

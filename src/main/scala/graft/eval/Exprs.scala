@@ -63,9 +63,10 @@ case class CanonicalJsonExpr(child: Expression) extends UnaryExpression
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "canonical_json"
-  override def nullSafeEval(input: Any): Any =
-    Json.canonicalize(input.asInstanceOf[UTF8String].toString)
-      .map(UTF8String.fromString).orNull
+  override def nullSafeEval(input: Any): Any = {
+    val v = graft.json.Utf8Json.parseOrNull(input.asInstanceOf[UTF8String])
+    if (v == null) null else UTF8String.fromString(Json.canonical(v))
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -78,7 +79,7 @@ case class ValidateBoolExpr(child: Expression, schema: CompiledSchema)
     val v = child.eval(input)
     if (v == null) false
     else java.lang.Boolean.valueOf(
-      RowEval.isValidText(schema, v.asInstanceOf[UTF8String].toString))
+      RowEval.isValidText(schema, v.asInstanceOf[UTF8String]))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -153,7 +154,7 @@ case class ValidateFailsExpr(child: Expression, schema: CompiledSchema)
     val v = child.eval(input)
     val fails =
       if (v == null) Vector(Fail("_parse.json", "content is null"))
-      else RowEval.validateText(schema, v.asInstanceOf[UTF8String].toString)
+      else RowEval.validateText(schema, v.asInstanceOf[UTF8String])
     new GenericArrayData(fails.map(f => InternalRow(
       UTF8String.fromString(f.constraint), UTF8String.fromString(f.detail))).toArray[Any])
   }

@@ -64,6 +64,13 @@ object RowEval {
     v != null && isValid(cs, v)
   }
 
+  /** Per-row hot path: parse the UnsafeRow-backed bytes in place (no
+    * whole-document UTF8String→String conversion). */
+  def isValidText(cs: CompiledSchema, text: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val v = Utf8Json.parseOrNull(text)
+    v != null && isValid(cs, v)
+  }
+
   /** All failures for a document; empty iff valid. */
   def validate(cs: CompiledSchema, doc: JValue): Vector[Fail] = {
     val out = Vector.newBuilder[Fail]
@@ -76,6 +83,12 @@ object RowEval {
       case Some(v) => validate(cs, v)
       case None    => Vector(Fail("_parse.json", "malformed JSON document"))
     }
+
+  def validateText(cs: CompiledSchema, text: org.apache.spark.unsafe.types.UTF8String): Vector[Fail] = {
+    val v = Utf8Json.parseOrNull(text)
+    if (v != null) validate(cs, v)
+    else Vector(Fail("_parse.json", "malformed JSON document"))
+  }
 
   // ---------------------------------------------------------------- check
 

@@ -362,9 +362,20 @@ object Json {
             case 't'  => sb.append('\t'); i += 1
             case 'u'  =>
               if (i + 5 > s.length) fail("truncated \\u escape")
-              val hex = s.substring(i + 1, i + 5)
-              val cp = try Integer.parseInt(hex, 16)
-                       catch { case _: NumberFormatException => fail("bad \\u escape") }
+              // strict 4-hex-digit parse: Integer.parseInt(_, 16) would also
+              // accept a leading sign, which JSON forbids
+              var cp = 0
+              var d = 1
+              while (d <= 4) {
+                val hc = s.charAt(i + d)
+                val hv =
+                  if (hc >= '0' && hc <= '9') hc - '0'
+                  else if (hc >= 'a' && hc <= 'f') hc - 'a' + 10
+                  else if (hc >= 'A' && hc <= 'F') hc - 'A' + 10
+                  else fail("bad \\u escape")
+                cp = (cp << 4) | hv
+                d += 1
+              }
               sb.append(cp.toChar)
               i += 5
             case _ => fail("bad escape")

@@ -1,0 +1,286 @@
+package graft.json
+
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level JSON parser over Spark's `UTF8String` — the hot-path twin of
+  * `Json.parse`.
+  *
+  * Why it exists: the row evaluator receives `content` as an UnsafeRow-backed
+  * `UTF8String`; calling `.toString` first copies the whole document
+  * (`getBytes`) and decodes it (`StringLatin1.newString`) before a single
+  * constraint runs — JFR showed that conversion alone at ~21% of flagship
+  * samples. This parser scans the value's bytes in place (`Platform.getByte`)
+  * and materializes Strings only for the tokens a constraint can observe
+  * (object keys and string values). All JSON structural characters are ASCII
+  * and UTF-8 continuation bytes are ≥ 0x80, so byte-level scanning is exact.
+  *
+  * Two further allocations the String parser pays are avoided here:
+  *  - object keys go through a per-thread direct-mapped intern cache (keys
+  *    repeat across rows of a schema'd corpus, so steady-state key parsing
+  *    allocates nothing and later key comparisons hit reference equality);
+  *  - short decimal numbers build `BigDecimal.valueOf(unscaled, scale)`
+  *    directly instead of re-parsing a substring char by char.
+  *
+  * Accept/reject behavior and produced values are byte-identical to
+  * `Json.parse` (differentially tested in JsonSpec over the embedded suite
+  * corpus and generated documents).
+  */
+object Utf8Json {
+
+  def parse(u: UTF8String): JValue = {
+    val p = new ByteParser(u)
+    val v = p.parseValue()
+    p.skipWs()
+    if (!p.atEnd) p.fail("trailing content")
+    v
+  }
+
+  def parseOpt(u: UTF8String): Option[JValue] =
+    try Some(parse(u))
+    catch { case _: JsonParseException | _: StackOverflowError => None }
+
+  /** Hand-rolled parseOpt for per-row verdicts: no Option allocation. */
+  def parseOrNull(u: UTF8String): JValue =
+    try parse(u)
+    catch { case _: JsonParseException | _: StackOverflowError => null }
+
+  // Direct-mapped per-thread key intern cache (ASCII, escape-free keys).
+  // Collisions simply overwrite; correctness never depends on a hit.
+  private val KeyCacheBits = 11
+  private val KeyCacheSize = 1 << KeyCacheBits
+  private val keyCaches = new ThreadLocal[Array[String]] {
+    override def initialValue(): Array[String] = new Array[String](KeyCacheSize)
+  }
+  // Reusable per-thread span buffer for materializing string tokens.
+  private val spanBufs = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
+  private final class ByteParser(u: UTF8String) {
+    private val base: AnyRef = u.getBaseObject
+    private val off: Long = u.getBaseOffset
+    private val n: Int = u.numBytes
+    private var i: Int = 0
+
+    @inline private def at(k: Int): Byte = Platform.getByte(base, off + k)
+
+    def atEnd: Boolean = i >= n
+    def fail(msg: String): Nothing = throw new JsonParseException(msg, i)
+
+    def skipWs(): Unit = {
+      while (i < n && {
+        val b = at(i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      }) i += 1
+    }
+
+    private def expect(c: Byte): Unit = {
+      if (i >= n || at(i) != c) fail(s"expected '${c.toChar}'")
+      i += 1
+    }
+
+    def parseValue(): JValue = {
+      skipWs()
+      if (i >= n) fail("unexpected end of input")
+      val b = at(i)
+      if (b == '{') parseObject()
+      else if (b == '[') parseArray()
+      else if (b == '"') JStr(parseString(intern = false))
+      else if (b == 't') { parseLit("true"); JBool(true) }
+      else if (b == 'f') { parseLit("false"); JBool(false) }
+      else if (b == 'n') { parseLit("null"); JNull }
+      else if (b == '-' || (b >= '0' && b <= '9')) parseNumber()
+      else fail(s"unexpected character '${(b & 0xFF).toChar}'")
+    }
+
+    private def parseLit(lit: String): Unit = {
+      if (i + lit.length > n) fail("invalid literal")
+      var k = 0
+      while (k < lit.length) {
+        if (at(i + k) != lit.charAt(k)) fail("invalid literal")
+        k += 1
+      }
+      i += lit.length
+    }
+
+    private def parseObject(): JObj = {
+      expect('{'); skipWs()
+      if (i < n && at(i) == '}') { i += 1; return JObj.empty }
+      val b = new JFields.Builder
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = parseString(intern = true)
+        skipWs(); expect(':')
+        val v = parseValue()
+        b.add(k, v)
+        skipWs()
+        if (i >= n) fail("unterminated object")
+        val c = at(i)
+        if (c == ',') i += 1
+        else if (c == '}') { i += 1; done = true }
+        else fail("expected ',' or '}'")
+      }
+      JObj(b.result())
+    }
+
+    private def parseArray(): JArr = {
+      expect('['); skipWs()
+      if (i < n && at(i) == ']') { i += 1; return JArr(Vector.empty) }
+      val b = Vector.newBuilder[JValue]
+      var done = false
+      while (!done) {
+        b += parseValue()
+        skipWs()
+        if (i >= n) fail("unterminated array")
+        val c = at(i)
+        if (c == ',') i += 1
+        else if (c == ']') { i += 1; done = true }
+        else fail("expected ',' or ']'")
+      }
+      JArr(b.result())
+    }
+
+    /** Materialize bytes [from, until) as a String (full UTF-8 decode). */
+    private def spanString(from: Int, until: Int): String = {
+      val len = until - from
+      var buf = spanBufs.get()
+      if (buf.length < len) {
+        buf = new Array[Byte](java.lang.Integer.highestOneBit(len) * 2)
+        spanBufs.set(buf)
+      }
+      Platform.copyMemory(base, off + from, buf, Platform.BYTE_ARRAY_OFFSET, len)
+      new String(buf, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    /** Scan a string token. Escape-free ASCII keys are interned per thread;
+      * escape-bearing spans are materialized raw and unescaped char-wise
+      * (exact same accept/reject rules as Json.Parser.parseStringSlow). */
+    private def parseString(intern: Boolean): String = {
+      expect('"')
+      val start = i
+      var sawEscape = false
+      var ascii = true
+      var done = false
+      while (!done) {
+        if (i >= n) fail("unterminated string")
+        val b = at(i)
+        if (b == '"') done = true
+        else if (b == '\\') {
+          sawEscape = true
+          i += 2
+          if (i > n) fail("unterminated string")
+        } else if (b >= 0 && b < ' ') fail("raw control character in string")
+        else { if (b < 0) ascii = false; i += 1 }
+      }
+      val end = i
+      i += 1 // closing quote
+      if (sawEscape) return unescape(spanString(start, end), start)
+      val len = end - start
+      if (intern && ascii && len <= 64) {
+        // direct-mapped cache: hash the bytes, verify chars (ASCII ⇒ 1:1)
+        var h = 1
+        var k = start
+        while (k < end) { h = h * 31 + at(k); k += 1 }
+        val slot = (h ^ (h >>> 16)) & (KeyCacheSize - 1)
+        val cache = keyCaches.get()
+        val cached = cache(slot)
+        if (cached != null && cached.length == len) {
+          var j = 0
+          var same = true
+          while (same && j < len) {
+            if (cached.charAt(j) != (at(start + j) & 0xFF).toChar) same = false
+            j += 1
+          }
+          if (same) return cached
+        }
+        val s = spanString(start, end)
+        cache(slot) = s
+        return s
+      }
+      spanString(start, end)
+    }
+
+    /** Unescape a raw (quote-free) span; `basePos` only for error offsets. */
+    private def unescape(raw: String, basePos: Int): String = {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var k = 0
+      while (k < raw.length) {
+        val c = raw.charAt(k)
+        if (c == '\\') {
+          k += 1
+          if (k >= raw.length)
+            throw new JsonParseException("unterminated escape", basePos + k)
+          raw.charAt(k) match {
+            case '"'  => sb.append('"'); k += 1
+            case '\\' => sb.append('\\'); k += 1
+            case '/'  => sb.append('/'); k += 1
+            case 'b'  => sb.append('\b'); k += 1
+            case 'f'  => sb.append('\f'); k += 1
+            case 'n'  => sb.append('\n'); k += 1
+            case 'r'  => sb.append('\r'); k += 1
+            case 't'  => sb.append('\t'); k += 1
+            case 'u'  =>
+              if (k + 5 > raw.length)
+                throw new JsonParseException("truncated \\u escape", basePos + k)
+              var cp = 0
+              var d = 1
+              while (d <= 4) {
+                val hc = raw.charAt(k + d)
+                val hv =
+                  if (hc >= '0' && hc <= '9') hc - '0'
+                  else if (hc >= 'a' && hc <= 'f') hc - 'a' + 10
+                  else if (hc >= 'A' && hc <= 'F') hc - 'A' + 10
+                  else throw new JsonParseException("bad \\u escape", basePos + k)
+                cp = (cp << 4) | hv
+                d += 1
+              }
+              sb.append(cp.toChar)
+              k += 5
+            case _ => throw new JsonParseException("bad escape", basePos + k)
+          }
+        } else if (c < ' ')
+          throw new JsonParseException("raw control character in string", basePos + k)
+        else { sb.append(c); k += 1 }
+      }
+      sb.toString
+    }
+
+    private def parseNumber(): JNum = {
+      val start = i
+      var hasExp = false
+      var neg = false
+      var acc = 0L        // unscaled digits (int + frac), valid while digits ≤ 18
+      var digits = 0
+      var fracDigits = 0
+      if (i < n && at(i) == '-') { neg = true; i += 1 }
+      if (i >= n) fail("truncated number")
+      if (at(i) == '0') { acc = 0; digits = 1; i += 1 }
+      else if (at(i) >= '1' && at(i) <= '9') {
+        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) {
+          acc = acc * 10 + (at(i) - '0'); digits += 1; i += 1
+        }
+      } else fail("invalid number")
+      if (i < n && at(i) == '.') {
+        i += 1
+        if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid fraction")
+        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) {
+          acc = acc * 10 + (at(i) - '0'); digits += 1; fracDigits += 1; i += 1
+        }
+      }
+      if (i < n && (at(i) == 'e' || at(i) == 'E')) {
+        hasExp = true
+        i += 1
+        if (i < n && (at(i) == '+' || at(i) == '-')) i += 1
+        if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid exponent")
+        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) i += 1
+      }
+      if (!hasExp && digits <= 18) {
+        val signed = if (neg) -acc else acc
+        if (fracDigits == 0) JNum(BigDecimal(java.math.BigDecimal.valueOf(signed)))
+        else JNum(BigDecimal(java.math.BigDecimal.valueOf(signed, fracDigits)))
+      } else JNum(BigDecimal(spanString(start, i)))
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.json._
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Differential spec: the byte-level parser (Utf8Json over UTF8String) must
+  * agree with the reference String parser (Json.parse) on every input —
+  * same value when accepted, both reject otherwise. */
+class Utf8JsonSpec extends AnyFunSuite {
+
+  private def both(s: String): (Option[JValue], Option[JValue]) =
+    (Json.parseOpt(s), Utf8Json.parseOpt(UTF8String.fromString(s)))
+
+  private def assertAgree(s: String): Unit = {
+    val (a, b) = both(s)
+    assert(a == b, s"parsers disagree on: $s\n  String: $a\n  Utf8:   $b")
+  }
+
+  test("hand-picked corpus: values, escapes, unicode, numbers") {
+    val texts = Seq(
+      """{"b":[1,2.5,-3e2],"a":"x\n\u00e9","c":null,"d":true,"e":{}}""",
+      """{"a":1.50,"b":2.0}""", "1e2", "[1.0, 1.00, 1]", "0.00751",
+      "\"\\u0041\\t\\\\\"", "\"\\ud83d\\ude00\"",
+      "\"caf\u00e9 \u2603 \ud83d\ude00\"",       // literal multi-byte UTF-8
+      "{\"caf\u00e9\":1}",                        // non-ASCII key
+      "\"mixed caf\u00e9 and \\u00e9scape\"",
+      """{"a":1,"a":2}""", "[]", "{}", "  [ ]  ", "\t{ }\n",
+      "-0", "-0.0", "0", "0.5", "-0.5", "123456789012345678",
+      "1234567890123456789012345",                // > 18 digits → slow path
+      "0.123456789012345678", "1e-7", "2E+3", "1.5e10",
+      "9223372036854775807", "-9223372036854775808",
+      "\"" + ("x" * 5000) + "\"",                 // long string, buffer growth
+      "[" + List.fill(50)("{\"k\":\"v\"}").mkString(",") + "]",
+      "null", "true", "false", "\"\"")
+    texts.foreach(assertAgree)
+  }
+
+  test("malformed inputs rejected identically") {
+    val bads = Seq("", "{", "[1,]", "{\"a\":}", "01", "1.", "nul", "\"\\x\"",
+      "{\"a\":1,}", "[1 2]", "tru", "\"\\u+123\"", "\"\\u12g4\"", "\"\\u12\"",
+      "\"unterminated", "\"bad\u0001control\"", "\"trail\\", "{\"a\" 1}",
+      "[1,2", "1ee2", "1e", "--1", "+1", ".5", "1.e2", "{\"a\":1}x", "[]]",
+      "\"a\\\"", "{1:2}")
+    bads.foreach { s =>
+      val (a, b) = both(s)
+      assert(a.isEmpty && b.isEmpty, s"should reject: $s ($a vs $b)")
+    }
+  }
+
+  test("suite corpus files parse identically") {
+    val dir = java.nio.file.Paths.get("src/test/resources/suite")
+    val files = java.nio.file.Files.walk(dir).iterator()
+    var checked = 0
+    files.forEachRemaining { p =>
+      if (p.toString.endsWith(".json")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p), UTF_8)
+        assertAgree(text)
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("non-zero base offset slices parse correctly") {
+    // UTF8String windows into a larger buffer exercise the offset math —
+    // the UnsafeRow case the flagship actually hits
+    val doc = """{"k":[1,2.5,"caf\u00e9"],"n":-3.25e2}"""
+    val padded = ("PAD" + doc + "PAD").getBytes(UTF_8)
+    val u = UTF8String.fromBytes(padded, 3, padded.length - 6)
+    assert(Utf8Json.parseOpt(u) == Json.parseOpt(doc))
+  }
+
+  test("property: generated documents parse identically (compact + spaced)") {
+    def genNum: Gen[JValue] = Gen.oneOf(
+      Gen.chooseNum(-1000000L, 1000000L).map(n => JNum(BigDecimal(n))),
+      Gen.chooseNum(-100000, 100000).flatMap(m => Gen.choose(1, 6).map(s =>
+        JNum(BigDecimal(m) / BigDecimal(10).pow(s)))))
+    def genStr: Gen[JValue] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => JStr(s.take(12))),
+      Gen.oneOf("", "a", "héllo", "x y\tz", "\n\"quoted\"", "☃😀",
+                "tab\tlf\n").map(JStr(_)))
+    def genLeaf: Gen[JValue] = Gen.oneOf(
+      Gen.const(JNull), Gen.oneOf(true, false).map(JBool(_)), genNum, genStr)
+    def genDoc(depth: Int): Gen[JValue] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        2 -> Gen.choose(0, 4).flatMap(n =>
+          Gen.listOfN(n, genDoc(depth - 1)).map(xs => JArr(xs.toVector))),
+        2 -> Gen.choose(0, 4).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(Gen.alphaNumStr.map(_.take(8)), genDoc(depth - 1)))
+            .map(kvs => JObj(JFields(kvs: _*)))))
+    val prop = Prop.forAll(genDoc(3)) { v =>
+      val compact = Json.compact(v)
+      val spaced = compact.replace(",", " , ").replace(":", " : ")
+      both(compact)._1 == both(compact)._2 && {
+        // spacing inside strings changes the value but both parsers must
+        // still agree with each other
+        val (a, b) = both(spaced)
+        a == b
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500)
+        .withInitialSeed(Seed(20260817L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

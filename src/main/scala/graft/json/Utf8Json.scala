@@ -45,6 +45,14 @@ object Utf8Json {
     try parse(u)
     catch { case _: JsonParseException | _: StackOverflowError => null }
 
+  private val JTrue = JBool(true)
+  private val JFalse = JBool(false)
+  // Small non-negative integers dominate machine-generated JSON (ids,
+  // counts, enum ordinals); one shared JNum per value skips two allocations
+  // (scala.BigDecimal + JNum) per occurrence.
+  private val smallNums: Array[JNum] =
+    Array.tabulate(1025)(k => JNum(BigDecimal(java.math.BigDecimal.valueOf(k.toLong))))
+
   // Direct-mapped per-thread key intern cache (ASCII, escape-free keys).
   // Collisions simply overwrite; correctness never depends on a hit.
   private val KeyCacheBits = 11
@@ -87,8 +95,8 @@ object Utf8Json {
       if (b == '{') parseObject()
       else if (b == '[') parseArray()
       else if (b == '"') JStr(parseString(intern = false))
-      else if (b == 't') { parseLit("true"); JBool(true) }
-      else if (b == 'f') { parseLit("false"); JBool(false) }
+      else if (b == 't') { parseLit("true"); JTrue }
+      else if (b == 'f') { parseLit("false"); JFalse }
       else if (b == 'n') { parseLit("null"); JNull }
       else if (b == '-' || (b >= '0' && b <= '9')) parseNumber()
       else fail(s"unexpected character '${(b & 0xFF).toChar}'")
@@ -278,8 +286,10 @@ object Utf8Json {
       }
       if (!hasExp && digits <= 18) {
         val signed = if (neg) -acc else acc
-        if (fracDigits == 0) JNum(BigDecimal(java.math.BigDecimal.valueOf(signed)))
-        else JNum(BigDecimal(java.math.BigDecimal.valueOf(signed, fracDigits)))
+        if (fracDigits == 0) {
+          if (signed >= 0 && signed <= 1024) smallNums(signed.toInt)
+          else JNum(BigDecimal(java.math.BigDecimal.valueOf(signed)))
+        } else JNum(BigDecimal(java.math.BigDecimal.valueOf(signed, fracDigits)))
       } else JNum(BigDecimal(spanString(start, i)))
     }
   }

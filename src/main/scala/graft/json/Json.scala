@@ -129,8 +129,12 @@ object JFields {
   }
 }
 
+/** Stack-trace-free: parse rejection is a per-row verdict on the hot path
+  * (malformed strata are a constant fraction of the corpus), and
+  * fillInStackTrace was visible in flagship profiles. The message carries
+  * everything callers use. */
 final class JsonParseException(msg: String, val pos: Int)
-    extends RuntimeException(s"$msg at offset $pos")
+    extends RuntimeException(s"$msg at offset $pos", null, false, false)
 
 object Json {
 

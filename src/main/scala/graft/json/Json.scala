@@ -421,7 +421,12 @@ object Json {
         var acc = 0L
         while (j < i) { acc = acc * 10 + (s.charAt(j) - '0'); j += 1 }
         JNum(BigDecimal(if (neg) -acc else acc))
-      } else JNum(BigDecimal(s.substring(start, i)))
+      } else {
+        // exponents beyond Int range are unrepresentable in BigDecimal —
+        // reject as malformed instead of leaking NumberFormatException
+        try JNum(BigDecimal(s.substring(start, i)))
+        catch { case _: NumberFormatException => fail("unrepresentable number") }
+      }
     }
   }
 }

@@ -261,13 +261,16 @@ object Utf8Json {
       sb.toString
     }
 
+    private val E18 = java.math.BigInteger.valueOf(1000000000000000000L)
+
     private def parseNumber(): JNum = {
       val start = i
-      var hasExp = false
       var neg = false
       var acc = 0L        // unscaled digits (int + frac), valid while digits ≤ 18
       var digits = 0
       var fracDigits = 0
+      var exp = 0L        // signed exponent value, saturating at ±10^9
+      var hasExp = false
       if (i < n && at(i) == '-') { neg = true; i += 1 }
       if (i >= n) fail("truncated number")
       if (at(i) == '0') { acc = 0; digits = 1; i += 1 }
@@ -283,20 +286,60 @@ object Utf8Json {
           acc = acc * 10 + (at(i) - '0'); digits += 1; fracDigits += 1; i += 1
         }
       }
+      var expOverflow = false
       if (i < n && (at(i) == 'e' || at(i) == 'E')) {
         hasExp = true
+        var expNeg = false
         i += 1
-        if (i < n && (at(i) == '+' || at(i) == '-')) i += 1
+        if (i < n && (at(i) == '+' || at(i) == '-')) { expNeg = at(i) == '-'; i += 1 }
         if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid exponent")
-        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) i += 1
+        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) {
+          if (exp < 1000000000L) exp = exp * 10 + (at(i) - '0')
+          else expOverflow = true
+          i += 1
+        }
+        if (expNeg) exp = -exp
       }
-      if (!hasExp && digits <= 18) {
+      // scale in java.math.BigDecimal terms: value = unscaled × 10^(-scale)
+      val scale = fracDigits.toLong - exp
+      if (expOverflow) {
+        // exponent beyond BigDecimal's Int range — unrepresentable, treat as
+        // malformed (same verdict both parsers; BigDecimal(String) would
+        // throw an unwrapped NumberFormatException here)
+        fail("unrepresentable number")
+      } else if (digits <= 18 && scale >= Int.MinValue && scale <= Int.MaxValue) {
         val signed = if (neg) -acc else acc
-        if (fracDigits == 0) {
+        if (scale == 0L) {
           if (signed >= 0 && signed <= 1024) smallNums(signed.toInt)
           else JNum(BigDecimal(java.math.BigDecimal.valueOf(signed)))
-        } else JNum(BigDecimal(java.math.BigDecimal.valueOf(signed, fracDigits)))
-      } else JNum(BigDecimal(spanString(start, i)))
+        } else JNum(BigDecimal(java.math.BigDecimal.valueOf(signed, scale.toInt)))
+      } else if (digits <= 36 && scale >= Int.MinValue && scale <= Int.MaxValue) {
+        // two-long decomposition: digit stream = hi · 10^18 + lo — skips the
+        // char-array BigInteger parse (the fixture's DECIMAL128 divisions
+        // render ~34 significant digits on every row)
+        var hi = 0L
+        var lo = 0L
+        var seen = 0
+        val loStart = digits - 18
+        var k = start
+        while (k < i) {
+          val b = at(k)
+          if (b >= '0' && b <= '9') {
+            if (seen < loStart) hi = hi * 10 + (b - '0')
+            else lo = lo * 10 + (b - '0')
+            seen += 1
+          } else if (b == 'e' || b == 'E') k = i // digits end at the exponent
+          k += 1
+        }
+        var unscaled = java.math.BigInteger.valueOf(hi).multiply(E18)
+          .add(java.math.BigInteger.valueOf(lo))
+        if (neg) unscaled = unscaled.negate()
+        JNum(BigDecimal(new java.math.BigDecimal(unscaled, scale.toInt)))
+      } else {
+        val s = spanString(start, i)
+        try JNum(BigDecimal(s))
+        catch { case _: NumberFormatException => fail("unrepresentable number") }
+      }
     }
   }
 }

@@ -32,6 +32,11 @@ class Utf8JsonSpec extends AnyFunSuite {
       "-0", "-0.0", "0", "0.5", "-0.5", "123456789012345678",
       "1234567890123456789012345",                // > 18 digits → slow path
       "0.123456789012345678", "1e-7", "2E+3", "1.5e10",
+      "0.1228771228771228771228771228771229",  // DECIMAL128-division shape
+      "-123456789012345678901234567890.123456", // 36 digits, two-long path
+      "1234567890123456789012345678901234567",  // 37 digits, string path
+      "100e-2", "1e0", "0e0", "-0", "1.5e-300", "2.5E+300",
+      "9.99e2147483646",                         // scale at Int edge
       "9223372036854775807", "-9223372036854775808",
       "\"" + ("x" * 5000) + "\"",                 // long string, buffer growth
       "[" + List.fill(50)("{\"k\":\"v\"}").mkString(",") + "]",
@@ -44,7 +49,11 @@ class Utf8JsonSpec extends AnyFunSuite {
       "{\"a\":1,}", "[1 2]", "tru", "\"\\u+123\"", "\"\\u12g4\"", "\"\\u12\"",
       "\"unterminated", "\"bad\u0001control\"", "\"trail\\", "{\"a\" 1}",
       "[1,2", "1ee2", "1e", "--1", "+1", ".5", "1.e2", "{\"a\":1}x", "[]]",
-      "\"a\\\"", "{1:2}")
+      "\"a\\\"", "{1:2}",
+      // unrepresentable exponents: valid JSON grammar but beyond
+      // BigDecimal's Int exponent range — both parsers reject (previously
+      // an unwrapped NumberFormatException)
+      "1e99999999999", "1e-99999999999", "[1e2147483700]")
     bads.foreach { s =>
       val (a, b) = both(s)
       assert(a.isEmpty && b.isEmpty, s"should reject: $s ($a vs $b)")

@@ -109,8 +109,10 @@ object JFields {
   }
   /** Last-wins on duplicate keys (matches JSON common practice + our tests). */
   final class Builder {
-    private var ks = new Array[String](8)
-    private var vs = new Array[JValue](8)
+    // 12, not 8: machine-generated records routinely carry 9-12 fields, and
+    // an undersized start pays a grow-copy of both arrays on every object
+    private var ks = new Array[String](12)
+    private var vs = new Array[JValue](12)
     private var n = 0
     def add(k: String, v: JValue): Unit = {
       var i = 0

@@ -75,11 +75,15 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** Word n-gram shingles of a text column. The token array is bound once
-    * ([[bindOnce]]): referencing `split(...)` directly inside the per-index
-    * lambda would make CollapseProject re-run the regex split for every
-    * shingle — measured 43% of this operator's wall time at sf0.1. */
-  def shingles(text: Column, n: Int = 3): Column =
+  /** Word n-gram shingles of a text column — a single scalar-expression
+    * pass ([[graft.eval.ShinglesExpr]]), bit-identical to the former
+    * split/transform/concat_ws/array_distinct spelling but without the four
+    * interpreted higher-order functions per row. */
+  def shingles(text: Column, n: Int = 3): Column = TextExprs.shingles(text, n)
+
+  /** The pre-rewrite built-in-function spelling of [[shingles]]; kept as the
+    * differential-test partner pinning ShinglesExpr's semantics. */
+  private[graft] def shinglesLegacy(text: Column, n: Int = 3): Column =
     bindOnce(split(text, "\\s+"), toks =>
       when(size(toks) < n, array(text)).otherwise(
         array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -94,11 +98,21 @@ object Dedup {
     element_at(transform(array(in), x => f(x)), 1)
 
   /** k-permutation MinHash signature (array<long>) of a shingle array.
-    * The shingle array is bound once (not once per seed). */
-  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    * The shingle array is bound once (not once per seed). Retained (with
+    * [[minhashBandsLegacy]]) as the differential partner pinning
+    * [[graft.eval.MinHashBandsExpr]]'s bucket ids. */
+  private[graft] def minhashSignature(shingleArr: Column, k: Int = 32): Column =
     bindOnce(shingleArr, sh =>
       transform(sequence(lit(0), lit(k - 1)),
         seed => array_min(transform(sh, x => xxhash64(x, seed)))))
+
+  /** Pre-rewrite built-in spelling of the per-band bucket ids. */
+  private[graft] def minhashBandsLegacy(shingleArr: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    bindOnce(minhashSignature(shingleArr, k),
+      sig => transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r))), b)))
+  }
 
   /** Candidate near-duplicate pairs via LSH banding: two docs collide if any
     * band of their signatures matches exactly. Returns (a, b) id pairs,
@@ -107,11 +121,8 @@ object Dedup {
                             textCol: String = "text", idCol: String = "doc_id",
                             maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    // signature bound once; per-band bucket hashes derived from the binding
-    val bandBuckets = bindOnce(minhashSignature(shingles(col(textCol)), k),
-      sig => transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r))), b)))
+    // one fused scalar pass text -> shingles -> signature -> band buckets
+    val bandBuckets = TextExprs.minhashBands(shingles(col(textCol)), k, bands)
     val sig = docs.select(col(idCol).as("id"), posexplode(bandBuckets))
       .toDF("id", "band", "bucket")
     bucketPairs(sig, Seq("band", "bucket"), "id", maxBucketSize)

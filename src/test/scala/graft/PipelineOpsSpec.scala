@@ -32,6 +32,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ShinglesExpr / MinHashBandsExpr are bit-identical to the legacy built-in spelling") {
+    import spark.implicits._
+    // real corpus texts plus adversarial shapes: leading/trailing/multiple
+    // whitespace (split keeps a leading empty token), fewer tokens than n,
+    // single token, repeated shingles (distinct order), tabs/newlines, unicode
+    val edge = Seq(
+      "  leading spaces then words a b c d",
+      "trailing spaces a b c  ",
+      "one",
+      "two words",
+      "three words here",
+      "a b a b a b a b",
+      "tab\tsep\nnewline  double  space",
+      "héllo wörld ünïcode token stream",
+      "").toDF("text")
+    val corpus = docs.select(col("text")).unionByName(edge)
+    val cmp = corpus.select(
+      Dedup.shingles(col("text")).as("fast"),
+      Dedup.shinglesLegacy(col("text")).as("legacy"),
+      graft.eval.TextExprs.minhashBands(Dedup.shingles(col("text")), 32, 8).as("bfast"),
+      Dedup.minhashBandsLegacy(Dedup.shinglesLegacy(col("text")), 32, 8).as("blegacy"))
+    assert(cmp.filter(not(col("fast") === col("legacy"))).count() == 0)
+    assert(cmp.filter(not(col("bfast") === col("blegacy"))).count() == 0)
+    // n != default too
+    val cmp2 = corpus.select(Dedup.shingles(col("text"), 5).as("f"),
+      Dedup.shinglesLegacy(col("text"), 5).as("l"))
+    assert(cmp2.filter(not(col("f") === col("l"))).count() == 0)
+  }
+
   test("exact dedup finds constructed duplicates and nothing else") {
     assert(Dedup.exactDuplicateGroups(docs).count() == 0) // corpus is dup-free
     val withDups = docs.unionByName(

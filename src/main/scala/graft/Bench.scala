@@ -150,19 +150,38 @@ object Bench {
     val windowAccepted = headline.accepted
     val fpsRuns = if (headline.runs.nonEmpty) headline.fps else Seq(0.0)
 
-    val results: Seq[(String, Either[String, Seq[Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> (try {
-          Right((1 to RunsPerQuery).map { _ =>
+    // INTERLEAVED sweep: RunsPerQuery round-robin passes over the whole
+    // query list rather than back-to-back runs per query. A multi-second
+    // exogenous noise burst then lands on one run of many queries instead
+    // of all runs of the 2-3 queries unlucky enough to be executing (r03's
+    // committed artifact showed exactly that: three alphabetically adjacent
+    // constraint queries at ~1.5s across all three runs while identical
+    // siblings took 0.2s). Medians shed a one-pass burst; they can't shed a
+    // burst that covered every sample.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val runsByQuery = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val errByQuery = scala.collection.mutable.Map.empty[String, String]
+    (1 to RunsPerQuery).foreach { _ =>
+      names.foreach { name =>
+        if (!errByQuery.contains(name)) {
+          try {
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          })
-        } catch {
-          case e: Throwable =>
-            Left(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").take(200))
-        })
+            SparkEntry.queries(name)(spark, sfDir).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            runsByQuery(name) = runsByQuery.getOrElse(name, Vector.empty) :+ s
+          } catch {
+            case e: Throwable =>
+              runsByQuery.remove(name)
+              errByQuery(name) = s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(200)
+          }
+        }
+      }
+    }
+    val results: Seq[(String, Either[String, Seq[Double]])] =
+      names.map { name =>
+        name -> errByQuery.get(name).map(Left(_))
+          .getOrElse(Right(runsByQuery(name)))
       }
 
     val medians = results.collect { case (k, Right(runs)) => k -> median(runs) }

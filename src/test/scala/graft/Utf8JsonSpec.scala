@@ -37,6 +37,11 @@ class Utf8JsonSpec extends AnyFunSuite {
       "1234567890123456789012345678901234567",  // 37 digits, string path
       "100e-2", "1e0", "0e0", "-0", "1.5e-300", "2.5E+300",
       "9.99e2147483646",                         // scale at Int edge
+      "-0.0000000000000000000",                  // 19 all-zero digits (signum 0)
+      "0.0000000000000000000000000000000000",    // 35 all-zero digits
+      "1000000000000000000",                     // 19 digits, lo = 0
+      "-0.99999999999999999999999999999999999",  // 36 digits, all-nines frac
+      "999999999999999999999999999999999999",    // 36-digit max magnitude
       "9223372036854775807", "-9223372036854775808",
       "\"" + ("x" * 5000) + "\"",                 // long string, buffer growth
       "[" + List.fill(50)("{\"k\":\"v\"}").mkString(",") + "]",

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Retry graft.Bench until a flagship window passes its exogenous gates.
+# Cheap pre-gate: skip the ~15-min bench run entirely while hypervisor
+# steal is bursting (the in-bench gates would reject the window anyway).
+# Usage: bench_loop.sh [max_cycles] [sf_dir]
+cd /root/repo || exit 1
+MAX=${1:-10}
+SF=${2:-/root/testdata/sf0.1}
+for ((c = 1; c <= MAX; c++)); do
+  s1=$(awk '/^cpu /{print $9}' /proc/stat); sleep 20
+  s2=$(awk '/^cpu /{print $9}' /proc/stat)
+  st=$((s2 - s1))
+  echo "# cycle $c: steal ${st}/20s"
+  # in-bench per-run gates cap median steal at ~125/s; pre-gate a bit below
+  # that (75/s) so clearly-doomed windows are skipped without starving
+  if ((st > 1500)); then
+    echo "# cycle $c: steal burst, sleeping 300s"
+    sleep 300
+    continue
+  fi
+  SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
+    2>&1 | tail -3
+  acc=$(python3 -c "import json;print(json.load(open('BENCH.json'))['flagship_window_accepted'])")
+  echo "# cycle $c: accepted=$acc"
+  if [ "$acc" = "True" ]; then
+    cp BENCH.json /tmp/BENCH_accepted.json
+    exit 0
+  fi
+  sleep 300
+done
+exit 1

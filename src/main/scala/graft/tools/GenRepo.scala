@@ -1,0 +1,13 @@
+package graft.tools
+import graft.sources.{RepoFiles, TableIO}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+object GenRepo {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]").config("spark.ui.enabled", false).getOrCreate()
+    val ds = RepoFiles.dataset(spark, a(1).toLong)
+    if (a.length > 2 && a(2) == "append")
+      ds.write.mode(SaveMode.Append).partitionBy("commit").parquet(a(0))
+    else TableIO.writeRepoFiles(ds, a(0))
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.schema.SchemaCompiler
+import graft.sources.RepoFiles
+import graft.streaming.StreamValidate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI surface for the Structured-Streaming drain: validates every new file
+  * in a repo_files parquet dir and accumulates violations + per-batch audit.
+  *
+  * Usage: StreamDrain <inputDir> <outDir> <checkpointDir> [runId]
+  * Re-running with the same checkpointDir processes only files that arrived
+  * since the previous drain. Prints a one-line summary per run.
+  */
+object StreamDrain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: StreamDrain <inputDir> <outDir> <checkpointDir> [runId]")
+      sys.exit(2)
+    }
+    val Array(in, out, ckpt) = args.take(3)
+    val runId = if (args.length > 3) args(3) else s"drain-${System.currentTimeMillis()}"
+    val spark = SparkSession.builder().master(sys.env.getOrElse("SPARK_MASTER", "local[16]"))
+      .appName("graft-stream-drain")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    try {
+      val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+      val q = StreamValidate.runFileStream(spark, cs, in, out, ckpt, runId)
+      q.awaitTermination()
+      val audit = StreamValidate.auditOf(spark, out)
+      val mine = audit.filter(col("runId") === runId)
+        .agg(coalesce(sum("rows"), lit(0L)).as("rows"),
+             coalesce(sum("violations"), lit(0L)).as("violations"),
+             count(lit(1)).as("batches")).head()
+      val total = audit.agg(coalesce(sum("rows"), lit(0L))).head().getLong(0)
+      println(s"DRAIN runId=$runId batches=${mine.getAs[Long]("batches")} " +
+        s"rows=${mine.getAs[Long]("rows")} violations=${mine.getAs[Long]("violations")} " +
+        s"totalRowsAllRuns=$total")
+    } finally spark.stop()
+  }
+}

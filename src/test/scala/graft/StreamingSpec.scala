@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators.Validate
+import graft.schema.SchemaCompiler
+import graft.sources.{RepoFile, RepoFiles, TableIO}
+import graft.streaming.StreamValidate
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming face of the engine: same compiled plan, unbounded
+  * input, exactly-once sinks, cross-batch state. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  lazy val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streaming violations == batch violations on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = RepoFiles.dataset(spark, 400L).collect().toSeq
+
+    val ms = MemoryStream[RepoFile]
+    val q = StreamValidate.violationsStream(ms.toDF(), cs).writeStream
+      .format("memory").queryName("sv_viol").outputMode("append").start()
+    ms.addData(rows)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sv_viol")
+    val batch = Validate.allViolations(
+      RepoFiles.dataset(spark, 400L).toDF(), cs).toDF()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("file-stream drain + checkpoint resume: only new files, idempotent output") {
+    import spark.implicits._
+    val in = tmp("stream-in")
+    val out = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt")
+
+    // first arrival: rows [0, 600)
+    val all = RepoFiles.dataset(spark, 1200L)
+    TableIO.writeRepoFiles(all.filter(_.path.nonEmpty).limit(600), in)
+    val q1 = StreamValidate.runFileStream(spark, cs, in, out, ckpt, "run-1")
+    q1.awaitTermination()
+
+    val batchViol1 = Validate.allViolations(
+      spark.read.schema(TableIO.repoFilesSchema).parquet(in), cs).toDF()
+    val v1 = StreamValidate.violationsOf(spark, out).toDF()
+    assert(v1.count() == batchViol1.count() && v1.exceptAll(batchViol1).count() == 0)
+    val audit1 = StreamValidate.auditOf(spark, out)
+    assert(audit1.agg(sum("rows")).head().getLong(0) == 600L)
+    assert(audit1.filter(col("runId") === "run-1").count() == audit1.count())
+
+    // second arrival appends more files; resume must process ONLY those.
+    // (Parquet moves the partition column to the end on read — reorder
+    // before the positional set-difference.)
+    val cols = TableIO.repoFilesSchema.fieldNames.map(col).toIndexedSeq
+    all.toDF().select(cols: _*).exceptAll(
+        spark.read.schema(TableIO.repoFilesSchema).parquet(in).select(cols: _*))
+      .write.mode(SaveMode.Append).partitionBy("commit").parquet(in)
+    val q2 = StreamValidate.runFileStream(spark, cs, in, out, ckpt, "run-2")
+    q2.awaitTermination()
+
+    val auditAll = StreamValidate.auditOf(spark, out)
+    assert(auditAll.agg(sum("rows")).head().getLong(0) == 1200L)
+    // outputs across both drains == one batch pass over everything
+    val batchViolAll = Validate.allViolations(
+      spark.read.schema(TableIO.repoFilesSchema).parquet(in), cs).toDF()
+    val vAll = StreamValidate.violationsOf(spark, out).toDF()
+    assert(vAll.count() == batchViolAll.count())
+    assert(vAll.exceptAll(batchViolAll).count() == 0)
+
+    // a third drain with nothing new is a no-op (no duplicated batches)
+    val q3 = StreamValidate.runFileStream(spark, cs, in, out, ckpt, "run-3")
+    q3.awaitTermination()
+    assert(StreamValidate.auditOf(spark, out)
+      .agg(sum("rows")).head().getLong(0) == 1200L)
+  }
+
+  test("duplicateKeys carries occurrence state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def rf(repo: String, path: String, commit: String): RepoFile =
+      RepoFile(repo, path, commit, "json", "{}", "x")
+
+    val ms = MemoryStream[RepoFile]
+    val q = StreamValidate.duplicateKeys(ms.toDF()).writeStream
+      .format("memory").queryName("sv_dups").outputMode("append").start()
+
+    // batch 1: key A once, key B twice -> exactly one dup event (B, 2)
+    ms.addData(Seq(rf("r1", "a", "c0"), rf("r1", "b", "c0"), rf("r1", "b", "c0")))
+    q.processAllAvailable()
+    val d1 = spark.table("sv_dups").as[(String, String, String, Long)].collect()
+    assert(d1.toSet == Set(("r1", "b", "c0", 2L)))
+
+    // batch 2: A again (-> occurrence 2), B again (-> occurrence 3, state kept)
+    ms.addData(Seq(rf("r1", "a", "c0"), rf("r1", "b", "c0"), rf("r2", "z", "c1")))
+    q.processAllAvailable(); q.stop()
+    val d2 = spark.table("sv_dups").as[(String, String, String, Long)].collect()
+    assert(d2.toSet == Set(("r1", "b", "c0", 2L), ("r1", "a", "c0", 2L),
+                           ("r1", "b", "c0", 3L)))
+  }
+
+  test("windowedRates: watermark closes windows, counts match verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = RepoFiles.dataset(spark, 40L).collect().toSeq
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val ms = MemoryStream[(String, String, String, String, String, String, java.sql.Timestamp)]
+    val stream = ms.toDF().toDF("repo", "path", "commit", "lang", "content", "sha256", "ts")
+    val q = StreamValidate.windowedRates(stream, cs, "ts", "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("sv_win").outputMode("append").start()
+
+    // 40 rows inside window [60, 120); then an event 10 min later to advance
+    // the watermark past the window end so Append mode finalizes it.
+    ms.addData(base.map(r =>
+      (r.repo, r.path, r.commit, r.lang, r.content, r.sha256, at(70))))
+    q.processAllAvailable()
+    ms.addData(Seq(("rx", "px", "c0", "json", "{}", "x", at(700))))
+    q.processAllAvailable(); q.stop()
+
+    val win = spark.table("sv_win")
+      .filter(col("window_start") === at(60)).head()
+    val verdicts = Validate.withVerdict(RepoFiles.dataset(spark, 40L).toDF(), cs)
+    val expValidated = verdicts.filter(col("validated")).count()
+    val expPassed = verdicts.filter(col("validated") && col("pass")).count()
+    assert(win.getAs[Long]("rows") == 40L)
+    assert(win.getAs[Long]("validated") == expValidated)
+    assert(win.getAs[Long]("passed") == expPassed)
+    assert(win.getAs[Long]("failed") == expValidated - expPassed)
+  }
+}

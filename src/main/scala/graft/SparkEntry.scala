@@ -185,12 +185,20 @@ object SparkEntry {
              sum(size(col("embedding"))).cast("long").as("total_dims"))
         .orderBy(col("label"))),
 
-    "q_dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(col("text")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-        .select(sha2(col("text"), 256).as("digest"), col("n"))
-        .orderBy(col("digest"))),
+    // The synthetic corpus has no byte-identical texts, so a bare groupBy
+    // would pass vacuously (0 == 0 rows). Duplicates are planted
+    // deterministically — every 7th document re-keyed — on BOTH sides, so the
+    // oracle exercises the digest-grouping path on real duplicate groups.
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 60000000)
+      Dedup.exactDuplicateGroups(docs.unionByName(planted))
+        .select(col("digest"), col("n"),
+          element_at(col("doc_ids"), 1).as("min_id"),
+          element_at(col("doc_ids"), -1).as("max_id"))
+        .orderBy(col("digest"))
+    }),
 
     // --------------------------------------- rows-only (not SQL-expressible)
     // no orderBy: range-partitioned sort would recompute the whole
@@ -324,6 +332,33 @@ object SparkEntry {
       Validate.violations(repoFiles(s, dir), fixtureSchema).toDF()
         .select(col("repo"), col("path"), col("constraint"))
         .orderBy(col("repo"), col("path"), col("constraint"))),
+
+    // Structured-Streaming face of the flagship: write the deterministic
+    // repo_files table as a parquet directory, drain it through
+    // StreamValidate.runFileStream (Trigger.AvailableNow, exactly-once
+    // batch-partitioned sinks, fresh checkpoint), then read the accumulated
+    // violations back. Hash-compared against the SAME construction-known
+    // golden set as q_validate_golden — the streaming path must produce the
+    // batch path's violations bit-for-bit. (Integrity violations are empty by
+    // construction: the generator records sha256 of the content it emits.)
+    "q_stream_validate" -> ((s, dir) => {
+      val n = repoRowsFor(dir)
+      val base = s"/tmp/graft_stream/run_$n"
+      val (in, out, ckpt) = (s"$base/input", s"$base/out", s"$base/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      RepoFiles.dataset(s, n).toDF()
+        .coalesce(8).write.mode("overwrite").parquet(in)
+      graft.streaming.StreamValidate
+        .runFileStream(s, fixtureSchema, in, out, ckpt, s"verify_$n")
+        .awaitTermination()
+      graft.streaming.StreamValidate.violationsOf(s, out).toDF()
+        .filter(col("constraint") =!= "_integrity.sha256")
+        .select(col("repo"), col("path"), col("constraint"))
+        .orderBy(col("repo"), col("path"), col("constraint"))
+    }),
 
     // ------------------- constraint-verdict queries (gate set, §2.1) ------
     "q_constraint_type" -> ((s, dir) =>
@@ -509,8 +544,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_dedup_exact" ->
-      """SELECT sha256(text) AS digest, count(*) AS n FROM documents
-        |GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin,
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 60000000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT sha256(text) AS digest, count(*) AS n,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM u GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin,
     "q_top_sources" ->
       """SELECT source, count(*) AS n FROM documents
         |GROUP BY source ORDER BY n DESC, source LIMIT 5""".stripMargin,
@@ -554,6 +592,11 @@ object SparkEntry {
         |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_validate_golden" ->
+      s"""SELECT repo, path, "constraint"
+         |FROM read_parquet('${goldenDir(oracleExportRows)}/*.parquet')
+         |ORDER BY repo, path, "constraint"""".stripMargin,
+    // streaming drain must reproduce the construction-known violation set
+    "q_stream_validate" ->
       s"""SELECT repo, path, "constraint"
          |FROM read_parquet('${goldenDir(oracleExportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,

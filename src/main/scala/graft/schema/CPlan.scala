@@ -254,10 +254,17 @@ object SchemaCompiler {
   private def stripEmptyFragment(uri: String): String =
     if (uri.endsWith("#")) uri.dropRight(1) else uri
 
-  /** Resolve a same-document JSON Pointer ("#", "#/definitions/x", "#/a/0"). */
+  /** Resolve a same-document JSON Pointer ("#", "#/definitions/x", "#/a/0").
+    *
+    * RFC 6901 §6: the URI fragment is PERCENT-DECODED first, then split into
+    * reference tokens, then `~`-unescaped — so `#/percent%25field` addresses
+    * the key `percent%field` (an official-suite draft-04 case). Decoding the
+    * whole fragment before splitting means an encoded `%2F` acts as a token
+    * separator, which is the spec reading (a literal '/' inside a key is
+    * spelled `~1`, never `%2F`). */
   def resolvePointer(root: JValue, ref: String): Option[JValue] = {
     if (!ref.startsWith("#")) return None // remote refs unsupported (as jvst)
-    val ptr = ref.drop(1)
+    val ptr = pctDecode(ref.drop(1))
     if (ptr.isEmpty) return Some(root)
     if (!ptr.startsWith("/")) return None
     val parts = ptr.split("/", -1).drop(1).map(unescapePointer)
@@ -271,6 +278,33 @@ object SchemaCompiler {
 
   private def unescapePointer(s: String): String =
     s.replace("~1", "/").replace("~0", "~")
+
+  /** RFC 3986 percent-decoding (UTF-8), lenient: a '%' not followed by two
+    * hex digits passes through unchanged, so hand-written refs with a raw
+    * '%' keep resolving as before (java.net.URLDecoder would throw). */
+  private[schema] def pctDecode(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    var i = 0
+    var runStart = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        if (runStart < i) out.write(s.substring(runStart, i).getBytes(utf8))
+        out.write((hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2)))
+        i += 3
+        runStart = i
+      } else i += 1
+    }
+    if (runStart < s.length) out.write(s.substring(runStart).getBytes(utf8))
+    new String(out.toByteArray, utf8)
+  }
 
   private final class Ctx(val root: JValue) {
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, CPlan]

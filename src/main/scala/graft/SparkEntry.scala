@@ -497,6 +497,12 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("a"), col("b"))),
 
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.nearDuplicates(minhashSliceInput(s, dir), threshold = 0.8)
+          .select(col("a"), col("b")))
+        .orderBy(col("id"))),
+
     "q_cosine_slice" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -759,6 +765,29 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY a, b""".stripMargin,
+    // duplicate-GROUP assignment: DuckDB recomputes the sliced exact pair
+    // graph from first principles, then derives each node's component as the
+    // minimum reachable id via a recursive CTE (min-label reachability) —
+    // an implementation-independent oracle for the alternating-star engine
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |u AS (SELECT * FROM d0
+        |      UNION ALL SELECT doc_id + 10000000, text FROM d0 WHERE doc_id % 37 = 0),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(text,'\s+')) - 2),
+        |    i -> string_split_regex(text,'\s+')[i] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+1] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+2])) AS s FROM u),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s,b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.8),
+        |e AS (SELECT a AS x, b AS y FROM j UNION SELECT b, a FROM j),
+        |reach(id, lbl) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e.x, r.lbl FROM e JOIN reach r ON e.y = r.id)
+        |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_cosine_slice" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |            FROM embeddings WHERE vec_id < 500),

@@ -150,6 +150,90 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  // --------------------------------------------------------------- clusters
+
+  /** Connected components of an undirected pair graph — turns near-duplicate
+    * PAIRS (what the LSH paths emit) into duplicate GROUPS (what a dedup
+    * pipeline actually acts on: keep one representative per component).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14): O(log n) rounds, each
+    * round a groupBy-min plus an equi-join — never a neighborhood
+    * collect_list, never a driver-side graph, so a single pathological
+    * component spanning millions of docs costs only its edges' shuffle
+    * share. Each round is `localCheckpoint`ed to truncate lineage (iterative
+    * DataFrame plans otherwise grow exponentially); on a cluster with
+    * dynamic allocation swap for `checkpoint` on a DFS dir — same one-line
+    * seam as TableIO.
+    *
+    * Convergence is detected by an O(1)-driver fixed-point probe (edge
+    * count + order-independent xxhash64 sum): the transformation is
+    * idempotent at the fixed point, so two identical consecutive edge sets
+    * mean done.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * `component` is the smallest node id in its component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    // canonical (u > v) edge set
+    var edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = fixedPointStat(edges)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: attach every neighbor LARGER than u to the minimum of
+      // u's full neighborhood (result edges keep u > v canonical: m <= u < v)
+      val sym = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: attach u and all its SMALLER neighbors to the minimum
+      // of that set (canonical edges already orient u > v, so grouping by u
+      // gathers exactly the smaller neighbors)
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(minsS.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val stat = fixedPointStat(next)
+      converged = stat == prev
+      prev = stat
+      edges = next
+      iter += 1
+    }
+    // at the fixed point every edge is (member, root); roots map to themselves
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  private def fixedPointStat(edges: DataFrame): (Long, String) = {
+    // decimal sum: order-independent and overflow-free under ANSI mode
+    val r = edges.agg(count(lit(1)),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+  }
+
+  /** End-to-end near-duplicate grouping: LSH candidate pairs → exact-Jaccard
+    * verify → connected components. (cluster, n, doc_ids) per duplicate
+    * group, ready for keep-one-representative filtering. */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.8,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    connectedComponents(nearDuplicates(docs, threshold, textCol = textCol, idCol = idCol))
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("doc_ids"))
+
   // ---------------------------------------------------------------- simhash
 
   def simhash(text: Column): Column = TextExprs.simhash64(split(text, "\\s+"))

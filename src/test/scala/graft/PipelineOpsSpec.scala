@@ -85,6 +85,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val n = 60
+      val edges = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { x =>
+        val root = find(x)
+        x -> nodes.filter(y => find(y) == root).min
+      }.toMap
+      assert(got == expected, s"trial $trial component mismatch")
+    }
+  }
+
+  test("connected components: long chain collapses to one min-rooted star") {
+    import spark.implicits._
+    // a path 0-1-2-...-25 is the worst case for plain label propagation
+    // (diameter rounds); the alternating-star algorithm must still converge
+    // within the default maxIter and label every node with 0
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(chain).collect()
+    assert(comp.length == 26)
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("duplicateClusters: transitive near-dups land in one group") {
+    // two planted copies of each base doc: pairs (i, i+100000), (i, i+200000),
+    // (i+100000, i+200000) must collapse into ONE cluster keyed by i
+    val c1 = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val c2 = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat(col("text"), lit(" extraword")))
+    val corpus = docs.unionByName(c1).unionByName(c2)
+    val clusters = Dedup.duplicateClusters(corpus, threshold = 0.5).collect()
+    val byCluster = clusters.map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("doc_ids")).toMap
+    (0L until 8L).foreach { i =>
+      val members = byCluster.getOrElse(i, fail(s"no cluster rooted at $i"))
+      assert(members.contains(i) && members.contains(i + 100000) &&
+        members.contains(i + 200000), s"cluster $i incomplete: $members")
+    }
+  }
+
   test("simhash near-dup: identical texts collide at hamming 0") {
     val copies = docs.filter(col("doc_id") < 8)
       .withColumn("doc_id", col("doc_id") + 200000)

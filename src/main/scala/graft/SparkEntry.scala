@@ -497,6 +497,36 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("a"), col("b"))),
 
+    // incremental validation: re-validate only rows whose content digest
+    // changed vs a previous-run ledger; verdicts for unchanged rows are
+    // carried over. The "previous snapshot" is derived deterministically
+    // from the same typed columns (event_id % 10 == 3: row is new;
+    // % 10 == 7: content changed — previous doc held k+1; rest unchanged),
+    // so DuckDB can recompute the reuse classification AND the verdicts
+    // from first principles.
+    "q_incremental_validate" -> ((s, dir) => {
+      val cs = SchemaCompiler.compile(
+        """{"properties":{"k":{"type":"integer","minimum":25,
+          |  "maximum":75,"exclusiveMaximum":true}}}""".stripMargin)
+      val ev = t(s, dir, "events")
+      val doc = to_json(struct(kCol.as("k")))
+      val cur = ev.select(col("event_id"), col("event_type"), doc.as("content"))
+        .withColumn("digest", sha2(col("content"), 256))
+      val prev = ev.filter(col("event_id") % 10 =!= 3)
+        .select(col("event_id"),
+          when(col("event_id") % 10 === 7, to_json(struct((kCol + 1).as("k"))))
+            .otherwise(doc).as("content"))
+      val ledger = prev.select(col("event_id"),
+        sha2(col("content"), 256).as("digest"),
+        Exprs.validateBool(cs, col("content")).as("pass"))
+      Validate.incrementalVerdicts(cur, ledger, cs,
+          keys = Seq("event_id"), digestCol = "digest", contentCol = "content")
+        .groupBy(col("event_type"), col("reused"))
+        .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("passed"),
+             sum(when(!col("pass"), 1L).otherwise(0L)).as("failed"))
+        .orderBy(col("event_type"), col("reused"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.nearDuplicates(minhashSliceInput(s, dir), threshold = 0.8)
@@ -765,6 +795,17 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY a, b""".stripMargin,
+    "q_incremental_validate" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        |r AS (SELECT event_type,
+        |        (event_id % 10 != 3 AND event_id % 10 != 7) AS reused,
+        |        (k >= 25 AND k < 75) AS pass FROM e)
+        |SELECT event_type, reused,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+        |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS failed
+        |FROM r GROUP BY event_type, reused
+        |ORDER BY event_type, reused""".stripMargin,
     // duplicate-GROUP assignment: DuckDB recomputes the sliced exact pair
     // graph from first principles, then derives each node's component as the
     // minimum reachable id via a recursive CTE (min-label reachability) —

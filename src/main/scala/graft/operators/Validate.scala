@@ -95,6 +95,43 @@ object Validate {
   def allViolations(df: DataFrame, cs: CompiledSchema): Dataset[Violation] =
     violations(df, cs).union(integrityViolations(df))
 
+  /** Incremental (digest-memoized) validation: re-validate only rows whose
+    * content changed since a previous run, trusting the prior verdict
+    * everywhere the content digest still matches.
+    *
+    * `ledger` is the previous run's verdict table carrying `keys` +
+    * `digestCol` + `pass`. A row of `cur` is REUSED when the ledger has the
+    * same key with the same digest; otherwise (new key, or digest changed)
+    * the verdict expression runs on it. The CaseWhen branch is evaluated
+    * lazily inside codegen, so the expensive parse+walk genuinely touches
+    * only changed rows — at a production daily change rate of 0.1–1% of
+    * 10^12 files this is a 100–1000× cut in verdict work.
+    *
+    * Scale shape: one equi-join on `keys`. Both sides are table-sized, so
+    * persist the ledger bucketed by the same keys (TableIO layout) and the
+    * sort-merge join needs no re-shuffle of the ledger side; the cur side
+    * shuffles once. The digest compare keeps content bytes out of the join
+    * payload decision (only the fixed-width digest is needed from the
+    * ledger).
+    *
+    * Returns `cur`'s columns + `reused:boolean` + `pass:boolean`.
+    */
+  def incrementalVerdicts(cur: DataFrame, ledger: DataFrame, cs: CompiledSchema,
+                          keys: Seq[String] = Seq("repo", "path"),
+                          digestCol: String = "sha256",
+                          contentCol: String = "content"): DataFrame = {
+    val led = ledger.select(
+      (keys.map(col) :+ col(digestCol).as("_prev_digest")
+        :+ col("pass").as("_prev_pass")): _*)
+    cur.join(led, keys, "left_outer")
+      .withColumn("reused",
+        col("_prev_digest").isNotNull && col("_prev_digest") === col(digestCol))
+      .withColumn("pass",
+        when(col("reused"), col("_prev_pass"))
+          .otherwise(passCol(cs, col(contentCol))))
+      .drop("_prev_digest", "_prev_pass")
+  }
+
   /** Per-partition pass/fail summary: one narrow pass + a tiny final agg
     * (one group per input partition). The verdict/digest are projected to
     * attributes BEFORE the aggregate so each is evaluated exactly once per

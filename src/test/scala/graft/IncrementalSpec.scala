@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Validate
+import graft.schema.SchemaCompiler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental (digest-memoized) validation: only changed rows are
+  * re-validated; unchanged rows carry the ledger verdict verbatim. */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  private val cs = SchemaCompiler.compile("""{"properties":{"v":{"minimum":10}}}""")
+
+  test("reuses ledger verdicts on digest match, revalidates changed and new rows") {
+    import spark.implicits._
+    val cur = Seq(
+      ("r", "a", """{"v":20}"""), // unchanged, ledger says pass
+      ("r", "b", """{"v":20}"""), // unchanged, ledger says FAIL (wrong on purpose)
+      ("r", "c", """{"v":5}"""),  // changed since ledger (stale digest)
+      ("r", "d", """{"v":20}"""), // new row, valid
+      ("r", "e", """{"v":5}""")   // new row, invalid
+    ).toDF("repo", "path", "content")
+      .withColumn("sha256", sha2(col("content"), 256))
+
+    val ledger = Seq(
+      ("r", "a", """{"v":20}""", true),
+      // deliberately WRONG verdict: if the engine re-evaluated instead of
+      // trusting the ledger, this row would come back true and the test fails
+      ("r", "b", """{"v":20}""", false),
+      ("r", "c", """{"v":999}""", true) // old content -> stale digest
+    ).toDF("repo", "path", "oldContent", "pass")
+      .withColumn("sha256", sha2(col("oldContent"), 256))
+
+    val out = Validate.incrementalVerdicts(cur, ledger, cs)
+      .select("path", "reused", "pass").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+
+    assert(out == Map(
+      "a" -> ((true, true)),
+      "b" -> ((true, false)), // ledger trusted verbatim
+      "c" -> ((false, false)),
+      "d" -> ((false, true)),
+      "e" -> ((false, false))))
+  }
+
+  test("empty ledger degenerates to a full validation pass") {
+    import spark.implicits._
+    val cur = Seq(("r", "a", """{"v":20}"""), ("r", "b", """{"v":1}"""))
+      .toDF("repo", "path", "content")
+      .withColumn("sha256", sha2(col("content"), 256))
+    val ledger = Seq.empty[(String, String, String, Boolean)]
+      .toDF("repo", "path", "sha256", "pass")
+    val out = Validate.incrementalVerdicts(cur, ledger, cs)
+      .select("path", "reused", "pass").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out == Map("a" -> ((false, true)), "b" -> ((false, false))))
+  }
+
+  test("plan shape: exactly one join, no re-scan of the current side") {
+    import spark.implicits._
+    val cur = (0 until 100).map(i => ("r", s"p$i", s"""{"v":$i}"""))
+      .toDF("repo", "path", "content")
+      .withColumn("sha256", sha2(col("content"), 256))
+    val ledger = (0 until 50).map(i => ("r", s"p$i", s"""{"v":$i}""", i >= 10))
+      .toDF("repo", "path", "oldContent", "pass")
+      .withColumn("sha256", sha2(col("oldContent"), 256))
+      .drop("oldContent")
+    val plan = Validate.incrementalVerdicts(cur, ledger, cs)
+      .queryExecution.executedPlan.toString
+    assert("(?i)join".r.findAllIn(plan).size >= 1)
+    // one join node only: the reuse decision and the conditional verdict
+    // live in a single projection, not in a union of two filtered branches
+    val joins = "(?i)(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 join, plan:\n$plan")
+  }
+}

@@ -360,6 +360,43 @@ object SparkEntry {
         .orderBy(col("repo"), col("path"), col("constraint"))
     }),
 
+    // windowed event-time streaming rates, driver-verified: events-derived
+    // docs with a deterministic timestamp (10 one-minute windows) drain
+    // through the watermarked Append-mode window aggregate in TWO runs —
+    // the second (checkpoint-resumed) drain carries a far-future sentinel
+    // that closes the last real window. DuckDB recomputes every window's
+    // pass/fail counts from the same typed columns.
+    "q_stream_windowed" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{StructField, StructType, StringType, TimestampType}
+      val n = repoRowsFor(dir)
+      val base = s"/tmp/graft_stream_win/run_$n"
+      val (in, out, ckpt) = (s"$base/input", s"$base/out", s"$base/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cs = SchemaCompiler.compile(
+        """{"properties":{"k":{"type":"integer","minimum":25,
+          |  "maximum":75,"exclusiveMaximum":true}}}""".stripMargin)
+      t(s, dir, "events").select(
+          timestamp_seconds(lit(1758000000L) + pmod(col("event_id"), lit(600))).as("ts"),
+          to_json(struct(kCol.as("k"))).as("content"),
+          lit("json").as("lang"))
+        .coalesce(4).write.mode("overwrite").parquet(in)
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("content", StringType), StructField("lang", StringType)))
+      graft.streaming.StreamValidate.runWindowedStream(s, cs, schema, in, out, ckpt)
+      import s.implicits._
+      Seq((new java.sql.Timestamp(1758100000L * 1000), "{}", "json"))
+        .toDF("ts", "content", "lang").write.mode("append").parquet(in)
+      graft.streaming.StreamValidate.runWindowedStream(s, cs, schema, in, out, ckpt)
+      s.read.parquet(out)
+        .filter(col("window_start").cast("long") < 1758100000L)
+        .select(col("window_start").cast("long").as("ws_sec"),
+                col("window_end").cast("long").as("we_sec"),
+                col("rows").as("n_rows"), col("passed"), col("failed"))
+        .orderBy(col("ws_sec"))
+    }),
+
     // ------------------- constraint-verdict queries (gate set, §2.1) ------
     "q_constraint_type" -> ((s, dir) =>
       verdictCounts(s, dir,
@@ -795,6 +832,15 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY a, b""".stripMargin,
+    "q_stream_windowed" ->
+      """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |            1758000000 + (event_id % 600) AS sec FROM events),
+        |w AS (SELECT (sec // 60) * 60 AS ws, k FROM e)
+        |SELECT ws AS ws_sec, ws + 60 AS we_sec,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN k >= 25 AND k < 75 THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+        |  CAST(sum(CASE WHEN k >= 25 AND k < 75 THEN 0 ELSE 1 END) AS BIGINT) AS failed
+        |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
     "q_incremental_validate" ->
       """WITH e AS (SELECT event_type, event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),

@@ -153,6 +153,30 @@ object StreamValidate {
         })
   }
 
+  /** Drain `inputDir` through [[windowedRates]] with Trigger.AvailableNow
+    * into a parquet Append sink (exactly-once via the file-sink commit log).
+    * Append mode emits a window only once the watermark passes its end, so
+    * the LAST open windows of a drain are emitted by a later drain after
+    * newer-timestamped data lands — resuming from `checkpointDir` processes
+    * only the new files and flushes the newly closed windows. */
+  def runWindowedStream(spark: SparkSession, cs: CompiledSchema,
+                        schema: org.apache.spark.sql.types.StructType,
+                        inputDir: String, outDir: String, checkpointDir: String,
+                        tsCol: String = "ts", windowLen: String = "1 minute",
+                        watermarkDelay: String = "0 seconds"): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 64).parquet(inputDir)
+    windowedRates(stream, cs, tsCol, windowLen, watermarkDelay)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
   /** Event-time windowed pass/fail rates with a watermark, for streams whose
     * rows carry an ingestion timestamp column. Closed windows are emitted
     * once (Append mode) and their state dropped — bounded state at any

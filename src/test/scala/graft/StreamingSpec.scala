@@ -107,6 +107,37 @@ class StreamingSpec extends AnyFunSuite {
                            ("r1", "b", "c0", 3L)))
   }
 
+  test("runWindowedStream: two-drain file flow closes windows exactly once") {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, TimestampType}
+    import spark.implicits._
+    val in = tmp("win-in"); val out = tmp("win-out"); val ckpt = tmp("win-ckpt")
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mini = SchemaCompiler.compile("""{"properties":{"v":{"minimum":10}}}""")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("content", StringType), StructField("lang", StringType)))
+    // window [60,120): 3 valid, 2 invalid; window [120,180): 1 valid
+    Seq((at(70), """{"v":20}""", "json"), (at(80), """{"v":30}""", "json"),
+        (at(90), """{"v":40}""", "json"), (at(95), """{"v":1}""", "json"),
+        (at(100), """{"v":2}""", "json"), (at(130), """{"v":50}""", "json"))
+      .toDF("ts", "content", "lang").write.mode(SaveMode.Overwrite).parquet(in)
+    StreamValidate.runWindowedStream(spark, mini, schema, in, out, ckpt)
+    // sentinel far in the future closes both real windows on the resumed run
+    Seq((at(100000), "{}", "json")).toDF("ts", "content", "lang")
+      .write.mode(SaveMode.Append).parquet(in)
+    StreamValidate.runWindowedStream(spark, mini, schema, in, out, ckpt)
+    val got = spark.read.parquet(out)
+      .filter(col("window_start").cast("long") < 100000L)
+      .select(col("window_start").cast("long"), col("rows"),
+        col("passed"), col("failed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((60L, 5L, 3L, 2L), (120L, 1L, 1L, 0L)))
+    // a third drain with no new input emits nothing new (exactly-once)
+    StreamValidate.runWindowedStream(spark, mini, schema, in, out, ckpt)
+    assert(spark.read.parquet(out)
+      .filter(col("window_start").cast("long") < 100000L).count() == 2)
+  }
+
   test("windowedRates: watermark closes windows, counts match verdicts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

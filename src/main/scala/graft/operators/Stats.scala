@@ -96,4 +96,24 @@ object Stats {
       ds.select(StatsAgg.toColumn.name("stats")).head()
     ds.sparkSession.createDataset(all)
   }
+
+  /** Observed top-level key-space profile of the JSON documents, per group
+    * (typically the commit snapshot): one row per (group, key) with the
+    * number of documents carrying that key. The schema-DISCOVERY complement
+    * of validation — what keys does the corpus actually use, and how does
+    * the key space drift between snapshots?
+    *
+    * Shape for 100 TB: `json_object_keys` is a narrow codegen'd builtin
+    * (non-object or malformed content yields null, dropped by the explode),
+    * so the only shuffle carries (group, key) pairs — bounded by distinct
+    * keys × groups, not by table size, after partial aggregation. */
+  def keyProfile(df: org.apache.spark.sql.DataFrame,
+                 contentCol: String = "content",
+                 groupCols: Seq[String] = Seq("commit")): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gs = groupCols.map(col)
+    df.select((gs :+ explode(json_object_keys(col(contentCol))).as("key")): _*)
+      .groupBy((gs :+ col("key")): _*)
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

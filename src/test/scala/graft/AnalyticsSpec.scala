@@ -11,6 +11,25 @@ class AnalyticsSpec extends AnyFunSuite {
   lazy val ds = RepoFiles.dataset(spark, N).cache()
   lazy val df = ds.toDF()
 
+  test("keyProfile: per-group top-level key counts; non-object and malformed dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("c0", """{"a":1,"b":2}"""),
+      ("c0", """{"a":3}"""),
+      ("c1", """{"b":{"nested":1}}"""), // nested keys are NOT top-level
+      ("c1", """[1,2,3]"""),            // non-object: no keys
+      ("c1", """{broken""")             // malformed: no keys
+    ).toDF("commit", "content")
+    val got = Stats.keyProfile(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("c0", "a") -> 2L, ("c0", "b") -> 1L, ("c1", "b") -> 1L))
+    // on the generated corpus: every json-lang doc is an object, so the
+    // per-commit key counts sum to a multiple of the doc count shape
+    val prof = Stats.keyProfile(df.filter(col("lang") === "json"))
+    assert(prof.count() > 0)
+  }
+
   test("single-pass stats: counts, null fractions, HLL, histograms") {
     val stats = Stats.columnStats(ds).collect().map(s => s.column -> s).toMap
     assert(stats.keySet == StatsAgg.Columns.toSet)

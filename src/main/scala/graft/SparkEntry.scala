@@ -333,6 +333,16 @@ object SparkEntry {
         .select(col("repo"), col("path"), col("constraint"))
         .orderBy(col("repo"), col("path"), col("constraint"))),
 
+    // worst-offender report: violations per repo, top 10 with deterministic
+    // tie-break — the engine's only sort/limit-shaped query (presentation
+    // layer; at scale this is a partial top-k per partition, not a full sort)
+    "q_top_violating_repos" -> ((s, dir) =>
+      Validate.violations(repoFiles(s, dir), fixtureSchema).toDF()
+        .groupBy(col("repo"))
+        .agg(count(lit(1)).as("n_violations"))
+        .orderBy(col("n_violations").desc, col("repo"))
+        .limit(10)),
+
     // Structured-Streaming face of the flagship: write the deterministic
     // repo_files table as a parquet directory, drain it through
     // StreamValidate.runFileStream (Trigger.AvailableNow, exactly-once
@@ -843,6 +853,10 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY a, b""".stripMargin,
+    "q_top_violating_repos" ->
+      s"""SELECT repo, count(*) AS n_violations
+         |FROM read_parquet('${goldenDir(oracleExportRows)}/*.parquet')
+         |GROUP BY repo ORDER BY n_violations DESC, repo LIMIT 10""".stripMargin,
     "q_key_profile" ->
       s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
          |k AS (SELECT commit, unnest(

@@ -92,13 +92,30 @@ class DifferentialSpec extends AnyFunSuite {
         genSchema(depth - 1).map(s => "not" -> s),
         Gen.zip(Gen.oneOf("a", "b"), Gen.someOf(Seq("foo", "bar")))
           .map { case (k, reqs) => "dependencies" ->
-            JObj(k -> JArr(reqs.map(JStr(_)).toVector)) }
+            JObj(k -> JArr(reqs.map(JStr(_)).toVector)) },
+        // schema-form dependencies: key present => subschema must hold
+        Gen.zip(Gen.oneOf("a", "b"), genSchema(depth - 1))
+          .map { case (k, s) => "dependencies" -> JObj(k -> s) }
       )
     Gen.choose(1, 3).flatMap { n =>
       Gen.listOfN(n, Gen.oneOf((leafKeywords ++ nestedKeywords).toIndexedSeq).flatMap(identity))
         .map(kvs => JObj(kvs: _*))
     }
   }
+
+  /** Root schema: with some probability route the generated schema through
+    * `definitions` + `$ref` (single hop or a d1→d2 chain) so reference
+    * resolution itself is differentially fuzzed — semantics must be
+    * IDENTICAL to the unwrapped schema's. */
+  private def genRootSchema(depth: Int): Gen[JValue] =
+    Gen.frequency(
+      3 -> genSchema(depth),
+      1 -> genSchema(depth).map(s =>
+        JObj("definitions" -> JObj("d1" -> s), "$ref" -> JStr("#/definitions/d1"))),
+      1 -> genSchema(depth).map(s =>
+        JObj("definitions" -> JObj(
+               "d1" -> JObj("$ref" -> JStr("#/definitions/d2")), "d2" -> s),
+             "$ref" -> JStr("#/definitions/d1"))))
 
   private def runBatch(pairs: Seq[(JValue, JValue)]): Unit = {
     // group by schema so each schema is one Spark job over all its docs
@@ -120,7 +137,7 @@ class DifferentialSpec extends AnyFunSuite {
   }
 
   test("column backend == row backend on random (schema, doc) pairs") {
-    val gen = Gen.zip(genSchema(2), Gen.listOfN(8, genDoc(3)))
+    val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
     var seed = Seed(42L)
     val batch = Vector.newBuilder[(JValue, JValue)]
     for (_ <- 0 until 120) {
@@ -133,7 +150,7 @@ class DifferentialSpec extends AnyFunSuite {
 
   test("stream evaluator == row evaluator on random (schema, doc) pairs") {
     // pure driver-side — no Spark — so this runs many more pairs
-    val gen = Gen.zip(genSchema(2), Gen.listOfN(8, genDoc(3)))
+    val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
     var seed = Seed(4242L)
     var checked = 0
     for (_ <- 0 until 500) {

@@ -187,25 +187,7 @@ object Dedup {
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
-      // large-star: attach every neighbor LARGER than u to the minimum of
-      // u's full neighborhood (result edges keep u > v canonical: m <= u < v)
-      val sym = edges.select(col("u"), col("v"))
-        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val large = sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // small-star: attach u and all its SMALLER neighbors to the minimum
-      // of that set (canonical edges already orient u > v, so grouping by u
-      // gathers exactly the smaller neighbors)
-      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(minsS, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .unionByName(minsS.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(true)
+      val next = starRound(edges).localCheckpoint(true)
       val stat = fixedPointStat(next)
       converged = stat == prev
       prev = stat
@@ -215,6 +197,30 @@ object Dedup {
     // at the fixed point every edge is (member, root); roots map to themselves
     edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** One large-star + small-star round over a canonical (u > v) edge set.
+    * Package-private so PlanSpec can assert the per-round physical shape
+    * (the loop's localCheckpoints truncate it out of the final plan). */
+  private[graft] def starRound(edges: DataFrame): DataFrame = {
+    // large-star: attach every neighbor LARGER than u to the minimum of
+    // u's full neighborhood (result edges keep u > v canonical: m <= u < v)
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    val large = sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // small-star: attach u and all its SMALLER neighbors to the minimum
+    // of that set (canonical edges already orient u > v, so grouping by u
+    // gathers exactly the smaller neighbors)
+    val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+    large.join(minsS, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .unionByName(minsS.select(col("u"), col("m").as("v")))
       .distinct()
   }
 
@@ -233,6 +239,20 @@ object Dedup {
     connectedComponents(nearDuplicates(docs, threshold, textCol = textCol, idCol = idCol))
       .groupBy(col("component").as("cluster"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("doc_ids"))
+
+  /** Keep-one-representative dedup: drop every document that sits in a
+    * near-duplicate cluster but is not its minimum-id representative — the
+    * terminal step of a training-data dedup pipeline. One left_anti join
+    * against the non-representative member set (small at production
+    * duplicate rates, broadcast-friendly). */
+  def dropClusterDuplicates(docs: DataFrame, threshold: Double = 0.8,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val members =
+      connectedComponents(nearDuplicates(docs, threshold, textCol = textCol, idCol = idCol))
+    docs.join(
+      members.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
 
   // ---------------------------------------------------------------- simhash
 

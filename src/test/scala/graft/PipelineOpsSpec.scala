@@ -143,6 +143,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dropClusterDuplicates keeps exactly the min-id representative per cluster") {
+    val c1 = docs.filter(col("doc_id") < 6)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val c2 = docs.filter(col("doc_id") < 6)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat(col("text"), lit(" extraword")))
+    val corpus = docs.unionByName(c1).unionByName(c2)
+    val kept = Dedup.dropClusterDuplicates(corpus, threshold = 0.5)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted copy dropped, every original kept
+    (0L until 6L).foreach { i =>
+      assert(keptIds.contains(i), s"representative $i dropped")
+      assert(!keptIds.contains(i + 100000) && !keptIds.contains(i + 200000),
+        s"copy of $i survived")
+    }
+    // consistency with duplicateClusters: one survivor per cluster (the
+    // corpus has accidental near-pairs at threshold 0.5 beyond the planted
+    // ones, so the drop count comes from the cluster sizes, not a constant)
+    val dropped = Dedup.duplicateClusters(corpus, threshold = 0.5)
+      .agg(sum(col("n") - 1)).head().getLong(0)
+    assert(dropped >= 12)
+    assert(kept.count() == corpus.count() - dropped)
+  }
+
   test("simhash near-dup: identical texts collide at hamming 0") {
     val copies = docs.filter(col("doc_id") < 8)
       .withColumn("doc_id", col("doc_id") + 200000)

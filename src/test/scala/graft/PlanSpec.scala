@@ -113,6 +113,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("keyProfile: explode stays scan-local; one partial->final agg exchange") {
+    val df = TableIO.readRepoFiles(spark, dir).filter(col("lang") === "json")
+    val p = plan(Stats.keyProfile(df))
+    assert(exchanges(p) == 1, s"keyProfile must shuffle exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("connected components: a star round is agg+join shaped, no cartesian, no neighborhood lists") {
+    import spark.implicits._
+    val edges = (0L until 50L).map(i => (i + 1, i)).toDF("u", "v")
+    val p = plan(Dedup.starRound(edges))
+    assert(!p.contains("CartesianProduct"), p)
+    // neighborhoods are reduced with min(), never materialized as lists —
+    // a degenerate million-member component costs shuffle, not memory
+    assert(!p.toLowerCase.contains("collect_list"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("row-eval and native column backends agree on the generated corpus") {
     val df = TableIO.readRepoFiles(spark, dir)
     val both = df.filter(col("lang") === "json").select(

@@ -49,10 +49,36 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-level JSON object keys via the in-place byte scanner
+  * ([[graft.json.Utf8Json.topLevelKeys]]): keys are decoded, values only
+  * structurally skipped — O(bytes) with no value materialization, vs the
+  * built-in `json_object_keys` fully parsing every value. Null for
+  * non-objects and malformed input, matching the built-in. */
+case class TopLevelKeysExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_top_level_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val keys = graft.json.Utf8Json.topLevelKeys(input.asInstanceOf[UTF8String])
+    if (keys == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      keys.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   /** SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  /** Top-level JSON object keys (fast byte-scan analog of
+    * `json_object_keys`). */
+  def jsonTopLevelKeys(content: Column): Column =
+    Bridge.column(TopLevelKeysExpr(Bridge.expression(content)))
 
   /** Distinct word n-gram shingles of a text column (array<string>). */
   def shingles(text: Column, n: Int): Column =

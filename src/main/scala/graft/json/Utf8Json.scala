@@ -45,6 +45,21 @@ object Utf8Json {
     try parse(u)
     catch { case _: JsonParseException | _: StackOverflowError => null }
 
+  /** Top-level object keys WITHOUT materializing values: one forward byte
+    * scan that decodes each key (escape-aware, interned) and structurally
+    * skips its value (strings escape-aware; containers by depth counting
+    * with in-string tracking; numbers/literals by character class). Returns
+    * null unless the input is a well-formed JSON object — the engine's fast
+    * analog of `json_object_keys` for schema discovery over 100 TB of
+    * content, where the built-in's full parse of every value is pure waste.
+    * Structure inside skipped values is checked loosely (a malformed value
+    * that still balances its brackets passes the scan); on well-formed
+    * documents both paths agree key-for-key (differential test in
+    * AnalyticsSpec). */
+  def topLevelKeys(u: UTF8String): Array[UTF8String] =
+    try new ByteParser(u).topLevelKeysScan()
+    catch { case _: JsonParseException => null }
+
   private val JTrue = JBool(true)
   private val JFalse = JBool(false)
   // Small non-negative integers dominate machine-generated JSON (ids,
@@ -106,6 +121,82 @@ object Utf8Json {
       else if (b == 'n') { parseLit("null"); JNull }
       else if (b == '-' || (b >= '0' && b <= '9')) parseNumber()
       else fail(s"unexpected character '${(b & 0xFF).toChar}'")
+    }
+
+    /** Key scan for [[Utf8Json.topLevelKeys]]: keys are fully decoded, the
+      * values between them only structurally skipped. Null = not an object
+      * (or structurally broken at the top level). */
+    def topLevelKeysScan(): Array[UTF8String] = {
+      skipWs()
+      if (i >= n || at(i) != '{') return null
+      i += 1
+      skipWs()
+      val keys = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      if (i < n && at(i) == '}') { i += 1; skipWs(); return if (atEnd) keys.toArray else null }
+      var done = false
+      while (!done) {
+        skipWs()
+        if (i >= n || at(i) != '"') return null
+        keys += UTF8String.fromString(parseString(intern = true))
+        skipWs()
+        if (i >= n || at(i) != ':') return null
+        i += 1
+        skipValueStruct()
+        skipWs()
+        if (i < n && at(i) == ',') i += 1
+        else if (i < n && at(i) == '}') { i += 1; done = true }
+        else return null
+      }
+      skipWs()
+      if (atEnd) keys.toArray else null
+    }
+
+    /** Skip one value structurally: strings escape-aware, containers by
+      * depth counting (string-aware), numbers/literals by character class. */
+    private def skipValueStruct(): Unit = {
+      skipWs()
+      if (i >= n) fail("unexpected end of input")
+      val b = at(i)
+      if (b == '"') skipStringStruct()
+      else if (b == '{' || b == '[') {
+        var depth = 0
+        while (i < n) {
+          val c = at(i)
+          if (c == '"') skipStringStruct()
+          else {
+            if (c == '{' || c == '[') depth += 1
+            else if (c == '}' || c == ']') {
+              depth -= 1
+              if (depth == 0) { i += 1; return }
+            }
+            i += 1
+          }
+        }
+        fail("unterminated container")
+      }
+      else if (b == 't') parseLit("true")
+      else if (b == 'f') parseLit("false")
+      else if (b == 'n') parseLit("null")
+      else if (b == '-' || (b >= '0' && b <= '9')) {
+        i += 1
+        while (i < n && {
+          val c = at(i)
+          (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-'
+        }) i += 1
+      }
+      else fail(s"unexpected character '${(b & 0xFF).toChar}'")
+    }
+
+    /** Skip a quoted string including escapes (no decoding). */
+    private def skipStringStruct(): Unit = {
+      i += 1 // opening quote
+      while (i < n) {
+        val c = at(i)
+        if (c == '\\') i += 2
+        else if (c == '"') { i += 1; return }
+        else i += 1
+      }
+      fail("unterminated string")
     }
 
     private def parseLit(lit: String): Unit = {

@@ -103,16 +103,19 @@ object Stats {
     * of validation — what keys does the corpus actually use, and how does
     * the key space drift between snapshots?
     *
-    * Shape for 100 TB: `json_object_keys` is a narrow codegen'd builtin
-    * (non-object or malformed content yields null, dropped by the explode),
-    * so the only shuffle carries (group, key) pairs — bounded by distinct
-    * keys × groups, not by table size, after partial aggregation. */
+    * Shape for 100 TB: key extraction is a narrow scalar pass — the byte
+    * scanner ([[graft.eval.TextExprs.jsonTopLevelKeys]]) decodes keys and
+    * structurally SKIPS values (the built-in `json_object_keys` fully
+    * parses every value — pure waste here). Non-object
+    * or malformed content yields null, dropped by the explode, so the only
+    * shuffle carries (group, key) pairs — bounded by distinct keys × groups,
+    * not by table size, after partial aggregation. */
   def keyProfile(df: org.apache.spark.sql.DataFrame,
                  contentCol: String = "content",
                  groupCols: Seq[String] = Seq("commit")): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val gs = groupCols.map(col)
-    df.select((gs :+ explode(json_object_keys(col(contentCol))).as("key")): _*)
+    df.select((gs :+ explode(graft.eval.TextExprs.jsonTopLevelKeys(col(contentCol))).as("key")): _*)
       .groupBy((gs :+ col("key")): _*)
       .agg(count(lit(1)).as("n_docs"))
   }

@@ -30,6 +30,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(prof.count() > 0)
   }
 
+  test("jsonTopLevelKeys == json_object_keys over corpus and adversarial docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, json_object_keys, not}
+    val edge = Seq(
+      """{}""", """{"a":1}""", """{ "a" : [ {"x":1}, [2,[3]] ] , "b":"}" }""",
+      """{"esc\"aped":1,"uA":2}""", """{"a":"str with \\ and \" inside"}""",
+      """{"a":true,"b":null,"c":false,"d":-1.5e10}""",
+      """  { "ws" : 1 }  """, """{"dup":1,"dup":2}""",
+      """[1,2]""", """"str"""", """3""", """null""",
+      """{broken""", """{"a":}""", """{"a":1,}""", """{"a" 1}""",
+      """{"a":{"b":{"c":[1,2,{"d":4}]}}}""", """{"☃":1,"😀":2}""").toDF("content")
+    val corpus = df.filter(col("lang") === "json").select("content").unionByName(edge)
+    val cmp = corpus.select(
+      graft.eval.TextExprs.jsonTopLevelKeys(col("content")).as("fast"),
+      json_object_keys(col("content")).as("builtin"))
+    val diff = cmp.filter(
+      not(col("fast") <=> col("builtin"))).collect()
+    assert(diff.isEmpty, diff.take(5).mkString("\n"))
+    // documented divergence: the built-in tolerates trailing content after
+    // the object ({"a":1} extra -> ["a"]); the scanner is strict like
+    // DuckDB's json_valid — which is what the q_key_profile oracle checks
+    val trailing = Seq("""{} extra""", """{"a":1} extra""").toDF("content")
+      .select(graft.eval.TextExprs.jsonTopLevelKeys(col("content")).as("k"))
+      .collect()
+    assert(trailing.forall(_.isNullAt(0)))
+  }
+
   test("single-pass stats: counts, null fractions, HLL, histograms") {
     val stats = Stats.columnStats(ds).collect().map(s => s.column -> s).toMap
     assert(stats.keySet == StatsAgg.Columns.toSet)

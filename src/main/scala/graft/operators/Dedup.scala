@@ -194,6 +194,12 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // a non-converged edge set would yield silently SPLIT components —
+    // fail loudly instead (O(log n) rounds means maxIter=30 only trips on
+    // a genuinely pathological input or a bug)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     // at the fixed point every edge is (member, root); roots map to themselves
     edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("component")))

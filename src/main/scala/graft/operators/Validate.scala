@@ -95,6 +95,18 @@ object Validate {
   def allViolations(df: DataFrame, cs: CompiledSchema): Dataset[Violation] =
     violations(df, cs).union(integrityViolations(df))
 
+  /** The verdict ledger a run persists for the NEXT run's
+    * [[incrementalVerdicts]]: (keys, digest, pass) per in-scope row. Write
+    * it bucketed by `keys` (TableIO layout) so the next run's ledger join
+    * needs no re-shuffle of this side. */
+  def verdictLedger(df: DataFrame, cs: CompiledSchema,
+                    keys: Seq[String] = Seq("repo", "path"),
+                    digestCol: String = "sha256",
+                    contentCol: String = "content"): DataFrame =
+    df.filter(inScope(df))
+      .select((keys.map(col) :+ col(digestCol)
+        :+ passCol(cs, col(contentCol)).as("pass")): _*)
+
   /** Incremental (digest-memoized) validation: re-validate only rows whose
     * content changed since a previous run, trusting the prior verdict
     * everywhere the content digest still matches.

@@ -57,6 +57,31 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((false, true)), "b" -> ((false, false))))
   }
 
+  test("verdictLedger round-trip on the repo fixture equals full validation") {
+    import graft.sources.RepoFiles
+    val fixtureCs = SchemaCompiler.compile(RepoFiles.schemaJson)
+    val t1 = RepoFiles.dataset(spark, 400L).toDF()
+      .dropDuplicates("repo", "path") // the 5% dup stratum would fan the join
+    val ledger = Validate.verdictLedger(t1, fixtureCs)
+    // day 2: ~10% of paths get replaced content, digests recomputed
+    val changed = xxhash64(col("path")) % 10 === 0
+    val t2 = t1
+      .withColumn("content",
+        when(changed, lit("""{"replaced":true}""")).otherwise(col("content")))
+      .withColumn("sha256", sha2(col("content"), 256))
+    val day2Json = t2.filter(col("lang") === "json")
+    val inc = Validate.incrementalVerdicts(day2Json, ledger, fixtureCs).cache()
+    // every changed row revalidated, every unchanged row reused
+    assert(inc.filter(changed && col("reused")).count() == 0)
+    assert(inc.filter(!changed && !col("reused")).count() == 0)
+    assert(inc.filter(col("reused")).count() > 0)
+    // verdicts identical to a from-scratch full validation of day 2
+    val full = Validate.withVerdict(day2Json, fixtureCs)
+      .select("repo", "path", "pass")
+    assert(inc.select("repo", "path", "pass").exceptAll(full).count() == 0)
+    assert(full.exceptAll(inc.select("repo", "path", "pass")).count() == 0)
+  }
+
   test("plan shape: exactly one join, no re-scan of the current side") {
     import spark.implicits._
     val cur = (0 until 100).map(i => ("r", s"p$i", s"""{"v":$i}"""))

@@ -394,15 +394,20 @@ object SparkEntry {
       val (in, out, ckpt) = (s"$base/input", s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
       val cs = SchemaCompiler.compile(
         """{"properties":{"k":{"type":"integer","minimum":25,
           |  "maximum":75,"exclusiveMaximum":true}}}""".stripMargin)
-      t(s, dir, "events").select(
-          timestamp_seconds(lit(1758000000L) + pmod(col("event_id"), lit(600))).as("ts"),
-          to_json(struct(kCol.as("k"))).as("content"),
-          lit("json").as("lang"))
-        .coalesce(4).write.mode("overwrite").parquet(in)
+      // input is pure-function-of-the-table: write once, reuse across runs.
+      // Earlier runs' sentinel files accumulate harmlessly — their rows land
+      // in the sentinel window, which never closes and so never emits.
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$in/_SUCCESS")))
+        t(s, dir, "events").select(
+            timestamp_seconds(lit(1758000000L) + pmod(col("event_id"), lit(600))).as("ts"),
+            to_json(struct(kCol.as("k"))).as("content"),
+            lit("json").as("lang"))
+          .coalesce(4).write.mode("overwrite").parquet(in)
       val schema = StructType(Seq(StructField("ts", TimestampType),
         StructField("content", StringType), StructField("lang", StringType)))
       graft.streaming.StreamValidate.runWindowedStream(s, cs, schema, in, out, ckpt)

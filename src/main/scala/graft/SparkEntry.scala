@@ -381,6 +381,12 @@ object SparkEntry {
           .filter(col("lang") === "json"))
         .orderBy(col("commit"), col("key"))),
 
+    // schema drift between snapshots: keys added/removed/frequency-shifted
+    "q_key_drift" -> ((s, dir) =>
+      Stats.keyDrift(RepoFiles.dataset(s, repoRowsFor(dir)).toDF()
+          .filter(col("lang") === "json"), "c000", "c111")
+        .orderBy(col("key"))),
+
     // windowed event-time streaming rates, driver-verified: events-derived
     // docs with a deterministic timestamp (10 one-minute windows) drain
     // through the watermarked Append-mode window aggregate in TWO runs —
@@ -872,6 +878,22 @@ object SparkEntry {
          |      FROM rf WHERE lang = 'json')
          |SELECT commit, key, count(*) AS n_docs
          |FROM k GROUP BY commit, key ORDER BY commit, key""".stripMargin,
+    "q_key_drift" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
+         |k AS (SELECT commit, unnest(
+         |        CASE WHEN json_valid(content)
+         |             THEN CASE WHEN json_type(content) = 'OBJECT'
+         |                       THEN json_keys(content) END
+         |        END) AS key
+         |      FROM rf WHERE lang = 'json' AND commit IN ('c000', 'c111')),
+         |p AS (SELECT key,
+         |  CAST(sum(CASE WHEN commit = 'c000' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN commit = 'c111' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM k GROUP BY key)
+         |SELECT key, n_a, n_b,
+         |  CASE WHEN n_a = 0 THEN 'added'
+         |       WHEN n_b = 0 THEN 'removed' ELSE 'common' END AS status
+         |FROM p ORDER BY key""".stripMargin,
     "q_stream_windowed" ->
       """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |            1758000000 + (event_id % 600) AS sec FROM events),

@@ -119,4 +119,24 @@ object Stats {
       .groupBy((gs :+ col("key")): _*)
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Key-space drift between two commit snapshots: which top-level keys
+    * appeared, disappeared, or shifted in document frequency. A conditional
+    * pivot over ONE [[keyProfile]] pass (a filter-and-self-join spelling
+    * would re-execute the scan per side); everything after the profile agg
+    * operates on distinct keys only — driver-safe at any table size. */
+  def keyDrift(df: org.apache.spark.sql.DataFrame,
+               commitA: String, commitB: String,
+               contentCol: String = "content"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    keyProfile(df.filter(col("commit").isin(commitA, commitB)), contentCol)
+      .groupBy(col("key"))
+      .agg(
+        sum(when(col("commit") === commitA, col("n_docs")).otherwise(0L)).as("n_a"),
+        sum(when(col("commit") === commitB, col("n_docs")).otherwise(0L)).as("n_b"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0, "added")
+          .when(col("n_b") === 0, "removed")
+          .otherwise("common").as("status"))
+  }
 }

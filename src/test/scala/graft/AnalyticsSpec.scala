@@ -30,6 +30,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(prof.count() > 0)
   }
 
+  test("keyDrift classifies added/removed/common keys between snapshots") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("c0", """{"stable":1,"gone":2}"""),
+      ("c0", """{"stable":3}"""),
+      ("c1", """{"stable":4,"fresh":5}""")
+    ).toDF("commit", "content")
+    val got = Stats.keyDrift(docs, "c0", "c1").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == Map(
+      "stable" -> ((2L, 1L, "common")),
+      "gone" -> ((1L, 0L, "removed")),
+      "fresh" -> ((0L, 1L, "added"))))
+  }
+
   test("jsonTopLevelKeys == json_object_keys over corpus and adversarial docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, json_object_keys, not}

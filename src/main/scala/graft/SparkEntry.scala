@@ -353,7 +353,11 @@ object SparkEntry {
     // construction: the generator records sha256 of the content it emits.)
     "q_stream_validate" -> ((s, dir) => {
       val n = repoRowsFor(dir)
-      val base = s"/tmp/graft_stream/run_$n"
+      // content fingerprint in the cache key: a generator change invalidates
+      // the reused input snapshot instead of silently serving stale rows
+      val fp = (RepoFiles.row(0, n).sha256.take(8)
+        + RepoFiles.row(n - 1, n).sha256.take(8))
+      val base = s"/tmp/graft_stream/run_${n}_$fp"
       val (in, out, ckpt) = (s"$base/input", s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -377,14 +381,13 @@ object SparkEntry {
     // space of the JSON documents per commit snapshot; DuckDB recomputes
     // from the exported table with json_keys
     "q_key_profile" -> ((s, dir) =>
-      Stats.keyProfile(RepoFiles.dataset(s, repoRowsFor(dir)).toDF()
-          .filter(col("lang") === "json"))
+      Stats.keyProfile(repoFiles(s, dir).filter(col("lang") === "json"))
         .orderBy(col("commit"), col("key"))),
 
     // schema drift between snapshots: keys added/removed/frequency-shifted
     "q_key_drift" -> ((s, dir) =>
-      Stats.keyDrift(RepoFiles.dataset(s, repoRowsFor(dir)).toDF()
-          .filter(col("lang") === "json"), "c000", "c111")
+      Stats.keyDrift(repoFiles(s, dir).filter(col("lang") === "json"),
+          "c000", "c111")
         .orderBy(col("key"))),
 
     // windowed event-time streaming rates, driver-verified: events-derived
@@ -396,7 +399,10 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, dir) => {
       import org.apache.spark.sql.types.{StructField, StructType, StringType, TimestampType}
       val n = repoRowsFor(dir)
-      val base = s"/tmp/graft_stream_win/run_$n"
+      // v2: bump this suffix whenever the input DERIVATION below changes —
+      // it keys the reused snapshot (the events fixture itself is
+      // driver-managed and stable within a round)
+      val base = s"/tmp/graft_stream_win/run_${n}_v2"
       val (in, out, ckpt) = (s"$base/input", s"$base/out", s"$base/ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -422,7 +428,10 @@ object SparkEntry {
         .toDF("ts", "content", "lang").write.mode("append").parquet(in)
       graft.streaming.StreamValidate.runWindowedStream(s, cs, schema, in, out, ckpt)
       s.read.parquet(out)
-        .filter(col("window_start").cast("long") < 1758100000L)
+        // bound at the real windows' end (last real window starts at
+        // +540): the SENTINEL's window starts at 1758099960, which a
+        // `< sentinel-ts` filter would wrongly admit if it ever closed
+        .filter(col("window_start").cast("long") < 1758000600L)
         .select(col("window_start").cast("long").as("ws_sec"),
                 col("window_end").cast("long").as("we_sec"),
                 col("rows").as("n_rows"), col("passed"), col("failed"))

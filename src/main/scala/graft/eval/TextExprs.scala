@@ -50,10 +50,12 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression
 }
 
 /** Top-level JSON object keys via the in-place byte scanner
-  * ([[graft.json.Utf8Json.topLevelKeys]]): keys are decoded, values only
-  * structurally skipped — O(bytes) with no value materialization, vs the
-  * built-in `json_object_keys` fully parsing every value. Null for
-  * non-objects and malformed input, matching the built-in. */
+  * ([[graft.json.Utf8Json.topLevelKeys]]): keys are decoded, values
+  * grammar-checked but never materialized — O(bytes) with no value
+  * allocation, vs the built-in `json_object_keys` fully parsing every
+  * value. Null for non-objects and malformed input like the built-in,
+  * except that trailing content after the object is rejected here
+  * (DuckDB-json_valid semantics) and tolerated by the built-in. */
 case class TopLevelKeysExpr(child: Expression) extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

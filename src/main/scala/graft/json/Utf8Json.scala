@@ -46,19 +46,20 @@ object Utf8Json {
     catch { case _: JsonParseException | _: StackOverflowError => null }
 
   /** Top-level object keys WITHOUT materializing values: one forward byte
-    * scan that decodes each key (escape-aware, interned) and structurally
-    * skips its value (strings escape-aware; containers by depth counting
-    * with in-string tracking; numbers/literals by character class). Returns
-    * null unless the input is a well-formed JSON object — the engine's fast
-    * analog of `json_object_keys` for schema discovery over 100 TB of
-    * content, where the built-in's full parse of every value is pure waste.
-    * Structure inside skipped values is checked loosely (a malformed value
-    * that still balances its brackets passes the scan); on well-formed
-    * documents both paths agree key-for-key (differential test in
-    * AnalyticsSpec). */
+    * scan that decodes each key (escape-aware, interned) and skips each
+    * value while enforcing the full JSON grammar (string escapes validated,
+    * object/array comma-colon structure checked, RFC number grammar) — no
+    * allocation for anything but the keys. Returns null unless the input is
+    * a well-formed JSON object — the engine's fast analog of
+    * `json_object_keys` for schema discovery over 100 TB of content, where
+    * the built-in's full parse of every value is pure waste. Differentially
+    * tested against the built-in over the corpus plus adversarial malformed
+    * shapes (AnalyticsSpec); one documented divergence: trailing content
+    * after the object is rejected here (like DuckDB's json_valid) but
+    * tolerated by the built-in. */
   def topLevelKeys(u: UTF8String): Array[UTF8String] =
     try new ByteParser(u).topLevelKeysScan()
-    catch { case _: JsonParseException => null }
+    catch { case _: JsonParseException | _: StackOverflowError => null }
 
   private val JTrue = JBool(true)
   private val JFalse = JBool(false)
@@ -151,49 +152,101 @@ object Utf8Json {
       if (atEnd) keys.toArray else null
     }
 
-    /** Skip one value structurally: strings escape-aware, containers by
-      * depth counting (string-aware), numbers/literals by character class. */
+    /** Skip one value enforcing full JSON grammar (same grammar as
+      * parseValue) WITHOUT materializing anything: strings escape-aware,
+      * objects/arrays recursively with comma/colon structure checked,
+      * numbers by the RFC grammar. A malformed value therefore fails the
+      * scan exactly as it fails the parser. */
     private def skipValueStruct(): Unit = {
       skipWs()
       if (i >= n) fail("unexpected end of input")
       val b = at(i)
       if (b == '"') skipStringStruct()
-      else if (b == '{' || b == '[') {
-        var depth = 0
-        while (i < n) {
-          val c = at(i)
-          if (c == '"') skipStringStruct()
-          else {
-            if (c == '{' || c == '[') depth += 1
-            else if (c == '}' || c == ']') {
-              depth -= 1
-              if (depth == 0) { i += 1; return }
-            }
-            i += 1
-          }
+      else if (b == '{') {
+        i += 1
+        skipWs()
+        if (i < n && at(i) == '}') { i += 1; return }
+        var done = false
+        while (!done) {
+          skipWs()
+          if (i >= n || at(i) != '"') fail("expected object key")
+          skipStringStruct()
+          skipWs()
+          expect(':')
+          skipValueStruct()
+          skipWs()
+          if (i < n && at(i) == ',') i += 1
+          else if (i < n && at(i) == '}') { i += 1; done = true }
+          else fail("expected ',' or '}'")
         }
-        fail("unterminated container")
+      }
+      else if (b == '[') {
+        i += 1
+        skipWs()
+        if (i < n && at(i) == ']') { i += 1; return }
+        var done = false
+        while (!done) {
+          skipValueStruct()
+          skipWs()
+          if (i < n && at(i) == ',') i += 1
+          else if (i < n && at(i) == ']') { i += 1; done = true }
+          else fail("expected ',' or ']'")
+        }
       }
       else if (b == 't') parseLit("true")
       else if (b == 'f') parseLit("false")
       else if (b == 'n') parseLit("null")
-      else if (b == '-' || (b >= '0' && b <= '9')) {
-        i += 1
-        while (i < n && {
-          val c = at(i)
-          (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-'
-        }) i += 1
-      }
+      else if (b == '-' || (b >= '0' && b <= '9')) skipNumberStrict()
       else fail(s"unexpected character '${(b & 0xFF).toChar}'")
     }
 
-    /** Skip a quoted string including escapes (no decoding). */
+    /** RFC 8259 number grammar without value construction:
+      * -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)? */
+    private def skipNumberStrict(): Unit = {
+      if (i < n && at(i) == '-') i += 1
+      if (i >= n) fail("truncated number")
+      if (at(i) == '0') i += 1
+      else if (at(i) >= '1' && at(i) <= '9') {
+        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
+      } else fail("invalid number")
+      if (i < n && at(i) == '.') {
+        i += 1
+        if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid fraction")
+        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
+      }
+      if (i < n && (at(i) == 'e' || at(i) == 'E')) {
+        i += 1
+        if (i < n && (at(i) == '+' || at(i) == '-')) i += 1
+        if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid exponent")
+        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
+      }
+    }
+
+    /** Skip a quoted string validating escapes and control characters
+      * (no decoding) — same acceptance as parseString. */
     private def skipStringStruct(): Unit = {
       i += 1 // opening quote
       while (i < n) {
         val c = at(i)
-        if (c == '\\') i += 2
+        if (c == '\\') {
+          if (i + 1 >= n) fail("unterminated escape")
+          val e = at(i + 1)
+          if (e == 'u') {
+            if (i + 5 >= n) fail("truncated unicode escape")
+            var k = i + 2
+            while (k <= i + 5) {
+              val h = at(k)
+              val hex = (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F')
+              if (!hex) fail("invalid unicode escape")
+              k += 1
+            }
+            i += 6
+          } else if (e == '"' || e == '\\' || e == '/' || e == 'b' || e == 'f' ||
+                     e == 'n' || e == 'r' || e == 't') i += 2
+          else fail("invalid escape")
+        }
         else if (c == '"') { i += 1; return }
+        else if (c >= 0 && c < 0x20) fail("unescaped control character")
         else i += 1
       }
       fail("unterminated string")

@@ -98,7 +98,15 @@ object Validate {
   /** The verdict ledger a run persists for the NEXT run's
     * [[incrementalVerdicts]]: (keys, digest, pass) per in-scope row. Write
     * it bucketed by `keys` (TableIO layout) so the next run's ledger join
-    * needs no re-shuffle of this side. */
+    * needs no re-shuffle of this side.
+    *
+    * The ledger MUST be unique per key — duplicate-key input rows (the
+    * fixture's 5% dup stratum, or a real table before its uniqueness check
+    * has quarantined offenders) would otherwise fan out the next run's
+    * join into contradictory verdict rows — so one row per key is kept
+    * here. A key whose duplicates carried different content keeps one
+    * arbitrary digest: the next run simply revalidates whichever content
+    * it then sees if the digest differs — conservative, never wrong. */
   def verdictLedger(df: DataFrame, cs: CompiledSchema,
                     keys: Seq[String] = Seq("repo", "path"),
                     digestCol: String = "sha256",
@@ -106,6 +114,7 @@ object Validate {
     df.filter(inScope(df))
       .select((keys.map(col) :+ col(digestCol)
         :+ passCol(cs, col(contentCol)).as("pass")): _*)
+      .dropDuplicates(keys)
 
   /** Incremental (digest-memoized) validation: re-validate only rows whose
     * content changed since a previous run, trusting the prior verdict

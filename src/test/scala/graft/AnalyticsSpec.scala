@@ -56,6 +56,10 @@ class AnalyticsSpec extends AnyFunSuite {
       """  { "ws" : 1 }  """, """{"dup":1,"dup":2}""",
       """[1,2]""", """"str"""", """3""", """null""",
       """{broken""", """{"a":}""", """{"a":1,}""", """{"a" 1}""",
+      """{"a":-}""", """{"a":01}""", """{"a":1.2.3}""", """{"a":{]}""",
+      """{"a":[1,]}""", """{"a":{"b":1,}}""", """{"a":"\q"}""",
+      "{\"a\":\"\\" + "u12G4\"}", """{"a":truthy}""", """{"a":1e}""",
+      """{"a":.5}""", """{"a":+1}""", """{"a":[1 2]}""",
       """{"a":{"b":{"c":[1,2,{"d":4}]}}}""", """{"☃":1,"😀":2}""").toDF("content")
     val corpus = df.filter(col("lang") === "json").select("content").unionByName(edge)
     val cmp = corpus.select(

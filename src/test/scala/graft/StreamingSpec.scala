@@ -125,8 +125,10 @@ class StreamingSpec extends AnyFunSuite {
     Seq((at(100000), "{}", "json")).toDF("ts", "content", "lang")
       .write.mode(SaveMode.Append).parquet(in)
     StreamValidate.runWindowedStream(spark, mini, schema, in, out, ckpt)
+    // bound at the real windows' end, not the sentinel timestamp — the
+    // sentinel's own window starts before its ts and must stay excluded
     val got = spark.read.parquet(out)
-      .filter(col("window_start").cast("long") < 100000L)
+      .filter(col("window_start").cast("long") < 180L)
       .select(col("window_start").cast("long"), col("rows"),
         col("passed"), col("failed"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -135,7 +137,7 @@ class StreamingSpec extends AnyFunSuite {
     // a third drain with no new input emits nothing new (exactly-once)
     StreamValidate.runWindowedStream(spark, mini, schema, in, out, ckpt)
     assert(spark.read.parquet(out)
-      .filter(col("window_start").cast("long") < 100000L).count() == 2)
+      .filter(col("window_start").cast("long") < 180L).count() == 2)
   }
 
   test("windowedRates: watermark closes windows, counts match verdicts") {

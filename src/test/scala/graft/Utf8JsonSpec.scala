@@ -122,5 +122,22 @@ class Utf8JsonSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(500)
         .withInitialSeed(Seed(20260817L)), prop)
     assert(res.passed, res.status.toString)
+
+    // the key SCANNER must agree with the full parser on the same space:
+    // object docs yield exactly the parsed field names (order + dups),
+    // everything else yields null
+    val keysProp = Prop.forAll(genDoc(3)) { v =>
+      val got = Utf8Json.topLevelKeys(
+        UTF8String.fromString(Json.compact(v)))
+      v match {
+        case o: JObj =>
+          got != null && got.map(_.toString).toSeq == o.fields.keysIterable.toSeq
+        case _ => got == null
+      }
+    }
+    val kres = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500)
+        .withInitialSeed(Seed(20260818L)), keysProp)
+    assert(kres.passed, kres.status.toString)
   }
 }

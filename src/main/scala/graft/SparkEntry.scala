@@ -622,7 +622,14 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver contract field: oracle SQL at the default export scale. Tools
+    * that know their sf should call [[oracleSqlFor]] with the row count they
+    * actually exported — passing it as a parameter makes the engine-side /
+    * oracle-side coupling structural instead of relying on a mutable global
+    * being set before this is read. */
+  def oracleSql: Map[String, String] = oracleSqlFor(oracleExportRows)
+
+  def oracleSqlFor(exportRows: Long): Map[String, String] = Map(
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | count(DISTINCT source) AS n_sources,
@@ -707,12 +714,12 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_validate_golden" ->
       s"""SELECT repo, path, "constraint"
-         |FROM read_parquet('${goldenDir(oracleExportRows)}/*.parquet')
+         |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,
     // streaming drain must reproduce the construction-known violation set
     "q_stream_validate" ->
       s"""SELECT repo, path, "constraint"
-         |FROM read_parquet('${goldenDir(oracleExportRows)}/*.parquet')
+         |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,
     "q_constraint_type" -> verdictOracle("value = floor(value)"),
     "q_constraint_enum" ->
@@ -742,7 +749,7 @@ object SparkEntry {
       verdictOracle("length(event_type) BETWEEN 5 AND 6"),
     "q_constraint_empty" -> verdictOracle("TRUE"),
     "q_repo_drift" ->
-      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |h AS (SELECT "commit" AS c,
          |        CAST(least(floor(ln(length(content)+1.0)/ln(2.0)), 63) AS INT) AS b,
          |        count(*) AS cnt
@@ -780,7 +787,7 @@ object SparkEntry {
     // checks the aggregate bookkeeping (rows/validated/passed/failed/bytes/
     // sha256) without trusting any engine output.
     "q_summary_totals" ->
-      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |jr AS (SELECT content::JSON AS j FROM rf WHERE lang = 'json'),
          |jt AS (SELECT j, json_keys(j) AS ks,
          |         CASE WHEN json_type(j, '$$.tags') = 'ARRAY'
@@ -832,11 +839,11 @@ object SparkEntry {
          |  (SELECT CAST(sum(CASE WHEN sha256(content) <> sha256 THEN 1 ELSE 0 END) AS BIGINT) FROM rf) AS sha256_failures""".stripMargin,
     "q_repo_uniqueness" ->
       s"""SELECT repo, path, "commit", count(*) AS multiplicity
-         |FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')
+         |FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')
          |GROUP BY repo, path, "commit" HAVING count(*) > 1
          |ORDER BY repo, path, "commit"""".stripMargin,
     "q_repo_referential" ->
-      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |refs AS (
          |  SELECT repo, path,
          |    unnest(regexp_extract_all(content, 'repo://([^"\\s]+)', 1)) AS target
@@ -867,7 +874,7 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
     "q_simhash_slice" ->
-      s"""WITH fp AS (SELECT * FROM read_parquet('${simhashFpExportDir(oracleExportRows)}/*.parquet'))
+      s"""WITH fp AS (SELECT * FROM read_parquet('${simhashFpExportDir(exportRows)}/*.parquet'))
          |SELECT a.id AS a, b.id AS b,
          |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.id < b.id
@@ -875,10 +882,10 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
     "q_top_violating_repos" ->
       s"""SELECT repo, count(*) AS n_violations
-         |FROM read_parquet('${goldenDir(oracleExportRows)}/*.parquet')
+         |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |GROUP BY repo ORDER BY n_violations DESC, repo LIMIT 10""".stripMargin,
     "q_key_profile" ->
-      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |k AS (SELECT commit, unnest(
          |        CASE WHEN json_valid(content)
          |             THEN CASE WHEN json_type(content) = 'OBJECT'
@@ -888,7 +895,7 @@ object SparkEntry {
          |SELECT commit, key, count(*) AS n_docs
          |FROM k GROUP BY commit, key ORDER BY commit, key""".stripMargin,
     "q_key_drift" ->
-      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(oracleExportRows)}/*.parquet')),
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |k AS (SELECT commit, unnest(
          |        CASE WHEN json_valid(content)
          |             THEN CASE WHEN json_type(content) = 'OBJECT'

@@ -65,7 +65,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor(n): structurally coupled to THIS run's exports (the
+    // contract field SparkEntry.oracleSql only reflects n because the
+    // assignment above set the global — don't depend on that ordering here)
+    val json = SparkEntry.oracleSqlFor(SparkEntry.repoRowsFor(sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -72,7 +72,11 @@ case class CosineExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // length mismatch = corrupt embedding: null (row drops out of top-k /
+    // near-dup filters), matching the old zip_with spelling — a silent
+    // prefix cosine could fabricate ~1.0 similarity for truncated rows
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -113,7 +117,11 @@ case class SrpBucketsExpr(child: Expression, bits: Int, dim: Int, seeds: Seq[Lon
   }.toArray
 
   override def nullSafeEval(input: Any): Any = {
-    val v = VecExprs.readVec(input.asInstanceOf[ArrayData], isFloat, dim)
+    val arr = input.asInstanceOf[ArrayData]
+    // wrong-dimension vector: null (dropped by the posexplode) rather than
+    // a silently zero-padded/truncated bucket assignment
+    if (arr.numElements() != dim) return null
+    val v = VecExprs.readVec(arr, isFloat, dim)
     val n = v.length
     val out = new Array[Long](planes.length)
     var t = 0
@@ -151,7 +159,10 @@ case class NearestCellsExpr(child: Expression, cents: Seq[Seq[Double]], nprobe: 
 
   override def nullSafeEval(input: Any): Any = {
     val dim = if (cArr.isEmpty) 0 else cArr(0).length
-    val v = VecExprs.readVec(input.asInstanceOf[ArrayData], isFloat, dim)
+    val arr = input.asInstanceOf[ArrayData]
+    // wrong-dimension vector: null cell assignment, not a prefix dot
+    if (arr.numElements() != dim) return null
+    val v = VecExprs.readVec(arr, isFloat, dim)
     val n = v.length
     val k = cArr.length
     val scores = new Array[Double](k)

@@ -392,6 +392,12 @@ object Json {
       throw new IllegalStateException
     }
 
+    // ASCII-only: Character.isDigit also accepts Unicode digits (U+0662 …),
+    // which RFC 8259 forbids — and which the byte-level twin (Utf8Json)
+    // correctly rejects; isDigit here would both accept malformed input and
+    // compute a garbage value in the charAt-'0' fast path below.
+    @inline private def asciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
     private def parseNumber(): JNum = {
       val start = i
       var hasFracOrExp = false
@@ -399,20 +405,20 @@ object Json {
       if (atEnd) fail("truncated number")
       if (s.charAt(i) == '0') i += 1
       else if (s.charAt(i) >= '1' && s.charAt(i) <= '9') {
-        while (!atEnd && s.charAt(i).isDigit) i += 1
+        while (!atEnd && asciiDigit(s.charAt(i))) i += 1
       } else fail("invalid number")
       if (!atEnd && s.charAt(i) == '.') {
         hasFracOrExp = true
         i += 1
-        if (atEnd || !s.charAt(i).isDigit) fail("invalid fraction")
-        while (!atEnd && s.charAt(i).isDigit) i += 1
+        if (atEnd || !asciiDigit(s.charAt(i))) fail("invalid fraction")
+        while (!atEnd && asciiDigit(s.charAt(i))) i += 1
       }
       if (!atEnd && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
         hasFracOrExp = true
         i += 1
         if (!atEnd && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
-        if (atEnd || !s.charAt(i).isDigit) fail("invalid exponent")
-        while (!atEnd && s.charAt(i).isDigit) i += 1
+        if (atEnd || !asciiDigit(s.charAt(i))) fail("invalid exponent")
+        while (!atEnd && asciiDigit(s.charAt(i))) i += 1
       }
       // fast path: plain integer fitting a Long → skip BigDecimal(String)
       val len = i - start

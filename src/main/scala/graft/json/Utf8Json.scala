@@ -305,7 +305,11 @@ object Utf8Json {
       val len = until - from
       var buf = ctx.spanBuf
       if (buf.length < len) {
-        buf = new Array[Byte](java.lang.Integer.highestOneBit(len) * 2)
+        // saturate: highestOneBit(len)*2 overflows negative for len >= 2^30
+        // (a >1 GiB single token) — allocate exact-size instead of crashing
+        // the task with NegativeArraySizeException
+        val doubled = java.lang.Integer.highestOneBit(len) * 2
+        buf = new Array[Byte](if (doubled < len) len else doubled)
         ctx.spanBuf = buf
       }
       Platform.copyMemory(base, off + from, buf, Platform.BYTE_ARRAY_OFFSET, len)

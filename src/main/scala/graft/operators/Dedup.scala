@@ -51,10 +51,13 @@ object Dedup {
       .filter(size(col("ids")).between(2, maxBucketSize))
     // struct ordering compares fields in order; `id` is first and unique,
     // so sorting members and pairing each with its successors yields every
-    // unordered pair exactly once with a.id < b.id
-    val sorted = sort_array(col("ids"))
+    // unordered pair exactly once with a.id < b.id. The sorted array is
+    // bound ONCE as a lambda variable: pairsOf references its argument from
+    // inside per-element lambdas (slice/size), where a plain column
+    // reference would re-evaluate the sort per member — O(B² log B) per
+    // bucket at the cap instead of O(B log B).
     grouped
-      .select(explode(pairsOf(sorted)).as("p"))
+      .select(explode(bindOnce(sort_array(col("ids")), pairsOf)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 

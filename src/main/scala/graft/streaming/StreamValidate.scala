@@ -94,6 +94,11 @@ object StreamValidate {
       val viol = Validate.allViolations(batch, cs).toDF()
         .withColumn("batch", lit(batchId))
       overwriteBatchPartition(viol, s"$outDir/violations")
+      // count from the just-written partition: only the raw input rows are
+      // cached, so counting `viol` itself would re-run the whole
+      // parse+validate+explode pipeline a second time per micro-batch
+      val violCount = spark.read.parquet(s"$outDir/violations")
+        .filter(col("batch") === batchId).count()
 
       val verdicts = Validate.withVerdict(batch, cs)
       val audit = verdicts.agg(
@@ -101,7 +106,7 @@ object StreamValidate {
         sum(when(col("validated"), 1L).otherwise(0L)).as("validated"),
         sum(when(col("validated") && col("pass"), 1L).otherwise(0L)).as("passed"),
         sum(when(col("validated") && !col("pass"), 1L).otherwise(0L)).as("failed"))
-        .withColumn("violations", lit(viol.count()))
+        .withColumn("violations", lit(violCount))
         .withColumn("runId", lit(runId))
         .withColumn("batch", lit(batchId))
         .withColumn("wallMs", lit((System.nanoTime() - t0) / 1000000L))

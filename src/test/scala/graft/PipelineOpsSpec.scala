@@ -191,6 +191,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.count() == 50)
   }
 
+  test("ragged (corrupt) embeddings yield null, never a prefix score") {
+    import spark.implicits._
+    // a 3-dim prefix of a 64-dim vector has prefix-cosine ~1.0 against it —
+    // the silent-truncation failure mode the null contract forbids
+    val full = Seq.tabulate(64)(i => (i + 1).toDouble / 64.0)
+    val ragged = full.take(3)
+    val df = Seq((1L, full, full), (2L, full, ragged))
+      .toDF("id", "a", "b")
+      .select(col("id"), Similarity.cosine(col("a"), col("b")).as("cos"),
+        graft.eval.VecExprs.srpBuckets(col("b"), bits = 8, dim = 64,
+          seeds = Seq(0L)).as("buckets"),
+        graft.eval.VecExprs.nearestCells(col("b"),
+          Seq(full, full.map(-_)), nprobe = 1).as("cells"))
+    val rows = df.orderBy(col("id")).collect()
+    assert(math.abs(rows(0).getAs[Double]("cos") - 1.0) < 1e-9)
+    assert(!rows(0).isNullAt(2) && !rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1), "ragged cosine must be null")
+    assert(rows(1).isNullAt(2), "ragged SRP buckets must be null")
+    assert(rows(1).isNullAt(3), "ragged cell assignment must be null")
+  }
+
   test("multi-probe LSH top-k: self always found; recall@10 >= 0.8 vs brute") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -58,7 +58,12 @@ class Utf8JsonSpec extends AnyFunSuite {
       // unrepresentable exponents: valid JSON grammar but beyond
       // BigDecimal's Int exponent range — both parsers reject (previously
       // an unwrapped NumberFormatException)
-      "1e99999999999", "1e-99999999999", "[1e2147483700]")
+      "1e99999999999", "1e-99999999999", "[1e2147483700]",
+      // Unicode digits (RFC 8259 forbids them): the String parser's former
+      // Character.isDigit scan accepted them AND computed a garbage value
+      // in the charAt-'0' fast path ([1٢] parsed as 1596)
+      "[1٢]", "1٢", "3.٢", "1e٢", "-٢",
+      "[12۵]", "{\"a\":4२}")
     bads.foreach { s =>
       val (a, b) = both(s)
       assert(a.isEmpty && b.isEmpty, s"should reject: $s ($a vs $b)")

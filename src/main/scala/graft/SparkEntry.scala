@@ -119,6 +119,24 @@ object SparkEntry {
   private def verdictOracle(pred: String): String =
     constraintVerdictOracle.format(pred, pred)
 
+  /** Brute-force cosine top-10 over the vec_id < 2000 slice — the shared
+    * oracle of both exhaustive-probe ANN queries (probing every IVF cell /
+    * every SRP bucket makes the approximate paths exactly brute force). */
+  private val annProbeAllOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE vec_id < 2000),
+      |q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_sum(list_transform(list_zip(e.v, q.qvec), x -> x[1] * x[2]))
+      |     / (sqrt(list_sum(list_transform(e.v, y -> y*y)))
+      |        * sqrt(list_sum(list_transform(q.qvec, y -> y*y)))) AS c
+      |  FROM e CROSS JOIN q)
+      |SELECT query_id, vec_id, round(c, 6) AS cosine,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |            ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ oracle-checked (SQL)
     "q_doc_stats" -> ((s, dir) =>
@@ -313,6 +331,32 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    // Exhaustive-probe ANN variants: with every cell / bucket probed the
+    // approximate paths degenerate to exact brute force on a sliced corpus,
+    // so DuckDB hash-compares the ENTIRE candidate-join + dedup + top-k
+    // machinery end to end. (Approximation QUALITY is pinned by the recall
+    // tests; these pin the plumbing — a wrong cell assignment, a dropped
+    // candidate, or a tie-break bug diverges from the brute-force oracle.)
+    "q_ann_ivf_probeall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queries, 10, numCells = 16, nprobe = 16)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_lsh_probeall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries, 10, probeFlips = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_media_features" -> ((s, dir) =>
@@ -689,6 +733,9 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY query_id
         |            ORDER BY c DESC, vec_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // exhaustive-probe variants == brute force over the vec_id < 2000 slice
+    "q_ann_ivf_probeall" -> annProbeAllOracle,
+    "q_ann_lsh_probeall" -> annProbeAllOracle,
     "q_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
         |sha AS (SELECT doc_id, list_distinct(list_transform(

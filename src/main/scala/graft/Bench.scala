@@ -80,13 +80,17 @@ object Bench {
     }
   }
 
-  /** Measure the flagship block once; accept/reject on exogenous gates. */
+  /** Measure the flagship block once; accept/reject on exogenous gates.
+    * Bandwidth gate mirrors the scaling harness' hardened form: MAX of 3
+    * probes (the probe itself swings ~±8% run-to-run) against a 3%-decaying
+    * session best (`bestBw` arrives pre-decayed from the caller) — a single
+    * high reading early can otherwise starve every later attempt. */
   private def flagshipAttempt(spark: SparkSession, input: String,
                               bestBw: Double): FlagshipAttempt = {
-    val bw = bandwidthProbeGBs()
-    if (bestBw > 0 && bw < 0.9 * bestBw)
+    val bw = (1 to 3).map(_ => bandwidthProbeGBs()).max
+    if (bestBw > 0 && bw < 0.9 * math.max(bw, bestBw))
       return FlagshipAttempt(Nil, bw, accepted = false,
-        f"bandwidth probe $bw%.1f GB/s below 90%% of session best $bestBw%.1f")
+        f"bandwidth probe $bw%.1f GB/s below 90%% of decayed session best $bestBw%.1f")
     val runs = (1 to FlagshipRuns).map { _ =>
       System.gc()
       val st0 = ScalingBench.stealJiffies()
@@ -136,7 +140,7 @@ object Bench {
     var bestBw = 0.0
     while (attempts.size < MaxFlagshipAttempts && !attempts.exists(_.accepted)) {
       val a = flagshipAttempt(spark, input, bestBw)
-      bestBw = math.max(bestBw, a.bwGBs)
+      bestBw = math.max(a.bwGBs, 0.97 * bestBw) // decaying best (see above)
       attempts :+= a
       System.err.println(s"# flagship attempt ${attempts.size}: ${a.reason} " +
         a.fps.map(f => f"$f%.0f").mkString("[", ",", "]"))

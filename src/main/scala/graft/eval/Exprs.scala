@@ -102,11 +102,18 @@ object Sha256MatchesExpr {
   /** MessageDigest is stateful and not thread-safe; Spark's built-in sha2
     * calls `MessageDigest.getInstance` per row (commons-codec DigestUtils),
     * which shows up as reflective `Provider$Service.newInstanceOf` in
-    * profiles. One digest per thread, reset between rows, removes that. */
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
+    * profiles. One digest per thread, reset between rows, removes that.
+    * The digest and its 32-byte output buffer live in one per-thread ctx
+    * fetched through [[graft.util.ThreadSlots]] (a per-row ThreadLocal.get
+    * was a measured ~9%-of-CPU leaf frame via ThreadLocalMap probing), and
+    * `digest(out, 0, 32)` reuses the buffer instead of allocating 32 bytes
+    * per row. */
+  private final class ShaCtx {
+    val md: java.security.MessageDigest =
       java.security.MessageDigest.getInstance("SHA-256")
+    val out = new Array[Byte](32)
   }
+  private val ctxs = new graft.util.ThreadSlots[ShaCtx](() => new ShaCtx)
   /** Hex nibble for lowercase-hex chars only: Spark's sha2 renders lowercase,
     * so an uppercase expected digest must compare unequal here too. */
   private def nibble(b: Byte): Int =
@@ -116,10 +123,12 @@ object Sha256MatchesExpr {
 
   def matches(content: UTF8String, expectedHex: UTF8String): Boolean = {
     if (expectedHex.numBytes != 64) return false
-    val md = digests.get()
+    val ctx = ctxs.get()
+    val md = ctx.md
     md.reset()
     md.update(content.getByteBuffer)
-    val d = md.digest() // 32 bytes
+    md.digest(ctx.out, 0, 32)
+    val d = ctx.out // 32 bytes
     var i = 0
     while (i < 32) {
       val hi = nibble(expectedHex.getByte(2 * i))

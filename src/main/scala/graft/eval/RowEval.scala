@@ -157,12 +157,26 @@ object RowEval {
           // allocation (null-returning HashMap + precompiled patterns)
           val patterns = pr.patternsC
           val additional = pr.additionalOrNull
+          // small property sets (the common case): linear scan over flat
+          // (hash, key) arrays — String caches its hashCode, so each probe
+          // is an int compare; equals only on a hash hit
+          val pk = if (pr.propKeys.length <= 16) pr.propKeys else null
+          val ph = if (pk != null) pr.propHashes else null
+          val pv = if (pk != null) pr.propPlans else null
           var i = 0
           var ok = true
           while (ok && i < fs.size0) {
             val k = fs.keyAt(i); val child = fs.valueAt(i)
             var applied = false
-            val named = pr.propsJ.get(k)
+            var named: CPlan = null
+            if (pk != null) {
+              val kh = k.hashCode
+              var j = 0
+              while (named == null && j < pk.length) {
+                if (ph(j) == kh && pk(j).equals(k)) named = pv(j)
+                j += 1
+              }
+            } else named = pr.propsJ.get(k)
             if (named != null) { applied = true; ok = check(named, child, cs, depth) }
             var p = 0
             while (ok && p < patterns.length) {

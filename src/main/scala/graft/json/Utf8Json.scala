@@ -82,9 +82,7 @@ object Utf8Json {
     var spanBuf: Array[Byte] = new Array[Byte](256)
     val keyCache: Array[String] = new Array[String](KeyCacheSize)
   }
-  private val ctxs = new ThreadLocal[ParseCtx] {
-    override def initialValue(): ParseCtx = new ParseCtx
-  }
+  private val ctxs = new graft.util.ThreadSlots[ParseCtx](() => new ParseCtx)
 
   private final class ByteParser(u: UTF8String) {
     private val base: AnyRef = u.getBaseObject

@@ -19,9 +19,12 @@ sealed trait CPlan
   * flagship samples in `Matcher.<init>`). Reusing one Matcher per thread via
   * `reset` is the standard fix; Matcher is not thread-safe, Pattern is. */
 final class CachedPattern(val pattern: java.util.regex.Pattern) extends Serializable {
-  @transient private lazy val tl = new ThreadLocal[java.util.regex.Matcher] {
-    override def initialValue(): java.util.regex.Matcher = pattern.matcher("")
-  }
+  // One Matcher cache per compiled pattern: with several patterns live these
+  // were the bulk of the JVM's ThreadLocals, and ThreadLocalMap collision
+  // probing (getEntryAfterMiss) profiled hot — ThreadSlots is one volatile
+  // read + identity compare per fetch instead.
+  @transient private lazy val tl =
+    new graft.util.ThreadSlots[java.util.regex.Matcher](() => pattern.matcher(""))
   def find(s: CharSequence): Boolean = {
     val m = tl.get()
     m.reset(s)
@@ -93,6 +96,14 @@ object CPlan {
       props.foreach { case (k, v) => m.put(k, v) }
       m
     }
+    /** Flat (hash, key, plan) arrays for small property sets: a linear scan
+      * comparing the cached String hash first beats HashMap.get's bucket
+      * indirection at typical schema sizes (JFR: the propsJ probe was ~4% of
+      * flagship CPU). [[graft.eval.RowEval]] uses these when
+      * `propKeys.length <= 16`, the HashMap otherwise. */
+    @transient lazy val propKeys: Array[String] = props.keysIterator.toArray
+    @transient lazy val propHashes: Array[Int] = propKeys.map(_.hashCode)
+    @transient lazy val propPlans: Array[CPlan] = propKeys.map(props)
     @transient lazy val patternsC: Array[(CachedPattern, CPlan)] =
       patterns.map { case (r, s) =>
         (new CachedPattern(java.util.regex.Pattern.compile(r)), s) }.toArray

@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.eval.{RowEval, Sha256MatchesExpr}
+import graft.sources.RepoFiles
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-thread microbenchmark of the flagship per-row hot path — parse +
+  * validate (RowEval over UTF8String bytes) + sha256 integrity compare — with
+  * no Spark session. One thread on a pinned core is far less sensitive to
+  * co-tenant noise than a 32-thread bandwidth-bound run, so this is the A/B
+  * harness for evaluator micro-optimizations (run under `taskset -c <cpu>`).
+  *
+  * Usage: runMain graft.tools.MicroBench [docs] [reps]
+  * Prints per-rep docs/s and the best, plus a checksum so work can't be
+  * dead-code-eliminated.
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(20000)
+    val reps = args.lift(1).map(_.toInt).getOrElse(12)
+    val cs = SparkEntry.fixtureSchema
+    val total = 4000000L
+    val contents = new Array[UTF8String](nDocs)
+    val shas = new Array[UTF8String](nDocs)
+    var i = 0
+    while (i < nDocs) {
+      val s = RepoFiles.contentOf(i.toLong * 97L % total, total)
+      contents(i) = UTF8String.fromString(s)
+      shas(i) = UTF8String.fromString(RepoFiles.sha256Hex(s))
+      i += 1
+    }
+    var check = 0L
+    var best = 0.0
+    var r = 0
+    while (r < reps) {
+      val t0 = System.nanoTime()
+      var k = 0
+      while (k < nDocs) {
+        if (RowEval.isValidText(cs, contents(k))) check += 1
+        if (Sha256MatchesExpr.matches(contents(k), shas(k))) check += 1
+        k += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val dps = nDocs / dt
+      if (r >= 2 && dps > best) best = dps // skip 2 warm-up reps
+      println(f"# rep $r: $dps%.0f docs/s")
+      r += 1
+    }
+    println(f"best: $best%.0f docs/s (check $check)")
+  }
+}

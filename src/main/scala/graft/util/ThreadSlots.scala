@@ -1,0 +1,49 @@
+package graft.util
+
+import java.util.concurrent.atomic.AtomicReferenceArray
+
+/** Per-thread instance cache that avoids `java.lang.ThreadLocal`.
+  *
+  * Motivation (JFR leaf-frame profile of the flagship validation pass):
+  * with several ThreadLocals live in a Spark JVM — parser scratch, digest,
+  * one Matcher cache per compiled pattern — `ThreadLocalMap` slots collide
+  * and `getEntryAfterMiss` probes linearly on every fetch; the flagship
+  * fetches per-thread scratch once per ROW, so the probing was a top-5 leaf
+  * frame. This cache is a single direct-mapped array indexed by thread id:
+  * the hit path is one volatile array read plus one identity compare, with
+  * no probing and no per-Thread map.
+  *
+  * Correctness under slot collisions (two live threads whose ids are equal
+  * mod `size`): the (owner, value) pair is ONE immutable `Slot` object read
+  * through an [[AtomicReferenceArray]], so a reader sees either its own
+  * complete slot or another thread's complete slot — never a torn pair. A
+  * non-owner never touches the occupant's value: it builds a fresh instance
+  * via `create` and republishes the slot (last writer wins). Each thread
+  * therefore only ever uses instances it created itself, so cross-thread
+  * sharing of the cached value is impossible by construction; a persistent
+  * collision degrades to create-per-call (the pre-cache behavior), never to
+  * corruption. Slots of dead threads are overwritten on the next collision
+  * and bound the footprint at `size` entries.
+  *
+  * Intended for JVM-singleton use (`object` fields); instances are not
+  * serialized into Spark tasks.
+  */
+final class ThreadSlots[T <: AnyRef](create: () => T, sizeBits: Int = 10) {
+  require(sizeBits >= 0 && sizeBits <= 16, s"sizeBits out of range: $sizeBits")
+  private[this] val mask: Long = (1L << sizeBits) - 1L
+  private[this] val slots = new AtomicReferenceArray[AnyRef](1 << sizeBits)
+
+  private final class Slot(val owner: Thread, val value: T)
+
+  def get(): T = {
+    val t = Thread.currentThread()
+    val i = (t.getId & mask).toInt
+    val s = slots.get(i).asInstanceOf[Slot]
+    if ((s ne null) && (s.owner eq t)) s.value
+    else {
+      val v = create()
+      slots.set(i, new Slot(t, v))
+      v
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.util.ThreadSlots
+import org.scalatest.funsuite.AnyFunSuite
+
+class ThreadSlotsSpec extends AnyFunSuite {
+
+  test("same thread gets the same instance back") {
+    val ts = new ThreadSlots[Object](() => new Object)
+    val a = ts.get()
+    assert(ts.get() eq a)
+    assert(ts.get() eq a)
+  }
+
+  test("distinct threads get distinct instances") {
+    val ts = new ThreadSlots[Object](() => new Object)
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Object]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val v = ts.get()
+        assert(ts.get() eq v) // stable within the thread
+        results.put(Thread.currentThread().getId, v)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val vals = results.values()
+    assert(results.size == 8)
+    val identities = new java.util.IdentityHashMap[Object, Object]()
+    vals.forEach(v => identities.put(v, v))
+    assert(identities.size == 8, "two threads shared an instance")
+  }
+
+  test("forced collisions (1 slot) never share an instance across threads") {
+    // sizeBits=0 puts every thread in the same slot: the worst case. Each
+    // instance records the thread that created it; every user asserts it
+    // only ever touches instances created by itself.
+    final class Marked { val creator: Thread = Thread.currentThread() }
+    val ts = new ThreadSlots[Marked](() => new Marked, sizeBits = 0)
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val iterations = 20000
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        var i = 0
+        while (i < iterations) {
+          val v = ts.get()
+          if (v.creator ne Thread.currentThread()) bad.incrementAndGet()
+          i += 1
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(bad.get() == 0, s"${bad.get()} cross-thread instance observations")
+  }
+
+  test("collision degrades to create-per-call, not to a stuck slot") {
+    // After a colliding thread overwrites the slot, the original thread's
+    // next get() must still return a usable instance it owns.
+    val ts = new ThreadSlots[Object](() => new Object, sizeBits = 0)
+    val mine = ts.get()
+    val t = new Thread(() => { ts.get(); () })
+    t.start(); t.join()
+    val after = ts.get() // slot was stolen; must get a fresh owned instance
+    assert(after ne null)
+    assert(ts.get() eq after) // and it re-establishes stability
+    assert(mine ne after)
+  }
+}

@@ -300,8 +300,8 @@ object RowEval {
         n == 1
       case Not(sub)    => !check(sub, v, cs, depth)
 
-      case Ref(target) =>
-        depth < MaxRefDepth && check(cs.resolve(target), v, cs, depth + 1)
+      case r @ Ref(_) =>
+        depth < MaxRefDepth && check(r.deref(cs), v, cs, depth + 1)
     }
   }
 
@@ -473,10 +473,10 @@ object RowEval {
       case Not(_) =>
         if (!check(p, v, cs, depth)) fail("not", "subschema matched but must not")
 
-      case Ref(target) =>
+      case r @ Ref(target) =>
         if (depth >= MaxRefDepth)
           fail("$ref", s"$$ref expansion exceeded depth $MaxRefDepth")
-        else if (!check(cs.resolve(target), v, cs, depth + 1))
+        else if (!check(r.deref(cs), v, cs, depth + 1))
           fail("$ref", s"value does not satisfy referenced schema $target")
     }
   }

@@ -624,9 +624,9 @@ object StreamEval {
           skipValue()
           !r
 
-        case Ref(target) =>
+        case r @ Ref(_) =>
           if (depth >= RowEval.MaxRefDepth) { skipValue(); false }
-          else eval(cs.resolve(target), depth + 1)
+          else eval(r.deref(cs), depth + 1)
       }
     }
 

@@ -145,7 +145,21 @@ object CPlan {
   /** `$ref` — resolved JSON-Pointer target, by name into CompiledSchema.defs.
     * jvst compiles each target once and CALLs it (reference:src/validate_ir.c
     * frames/CALL); we interpret recursively (RowEval) or unroll (ColumnBackend). */
-  final case class Ref(target: String) extends CPlan
+  final case class Ref(target: String) extends CPlan {
+    /** Memoized resolution. A Ref node is created fresh by each schema
+      * compile and only ever evaluated against its own CompiledSchema, so
+      * the first `cs.resolve` answer is final; caching it removes a Map
+      * probe per nesting level per ROW on recursive schemas (JFR: the
+      * flagship fixture's meta chain made `HashMap.get` a visible check()
+      * leaf frame). Benign race: concurrent first calls compute the same
+      * value; transient so executors repopulate after deserialization. */
+    @transient private var cached: CPlan = _
+    def deref(cs: CompiledSchema): CPlan = {
+      val c = cached
+      if (c ne null) c
+      else { val r = cs.resolve(target); cached = r; r }
+    }
+  }
 
   /** Structural simplification — the analog of jvst_cnode_simplify:
     * VALID/INVALID propagation, AND/OR flattening, dedup. Catalyst would

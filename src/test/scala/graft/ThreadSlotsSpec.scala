@@ -52,6 +52,28 @@ class ThreadSlotsSpec extends AnyFunSuite {
     assert(bad.get() == 0, s"${bad.get()} cross-thread instance observations")
   }
 
+  test("props lookup: flat-scan (<=16 keys) and HashMap (>16 keys) paths agree") {
+    // RowEval switches lookup strategy at 16 properties; drive a schema on
+    // each side of the boundary (16 and 17 keys) plus hash-colliding-ish
+    // keys, and assert verdicts through the full text path.
+    import graft.schema.SchemaCompiler
+    import graft.json.Json
+    import graft.eval.RowEval
+    def schemaWith(n: Int): String = {
+      val props = (1 to n).map(i => s""""k$i":{"type":"integer"}""").mkString(",")
+      s"""{"type":"object","properties":{$props},"additionalProperties":false}"""
+    }
+    for (n <- Seq(1, 16, 17, 24)) {
+      val cs = SchemaCompiler.compile(Json.parse(schemaWith(n)))
+      val okDoc = "{" + (1 to n).map(i => s""""k$i":$i""").mkString(",") + "}"
+      val badType = "{" + s""""k$n":"notint"""" + "}"
+      val extraKey = """{"zz":1}"""
+      assert(RowEval.isValidText(cs, okDoc), s"n=$n okDoc")
+      assert(!RowEval.isValidText(cs, badType), s"n=$n badType")
+      assert(!RowEval.isValidText(cs, extraKey), s"n=$n extraKey")
+    }
+  }
+
   test("collision degrades to create-per-call, not to a stuck slot") {
     // After a colliding thread overwrites the slot, the original thread's
     // next get() must still return a usable instance it owns.

@@ -98,8 +98,9 @@ object RowEval {
       case Valid   => true
       case Invalid => false
 
-      case TypeIs(ts) =>
-        ts.contains(v.tpe) || (v.tpe == "number" && ts.contains("integer") && v.isIntegral)
+      case t @ TypeIs(_) =>
+        val tg = v.tag
+        (t.mask & tg) != 0 || (tg == 4 && t.hasInteger && v.isIntegral)
 
       case e @ InEnum(canon) => v match {
         // string instances compare raw-to-raw (canonical is injective on

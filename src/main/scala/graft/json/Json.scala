@@ -27,6 +27,17 @@ sealed trait JValue {
     case _: JArr    => "array"
     case _: JObj    => "object"
   }
+  /** One-hot type bit, aligned with [[graft.schema.CPlan.TypeIs]]'s
+    * precompiled mask so the hot `type` check is a single AND instead of a
+    * Set[String] probe per evaluation. */
+  def tag: Int = this match {
+    case JNull      => 1
+    case _: JBool   => 2
+    case _: JNum    => 4
+    case _: JStr    => 8
+    case _: JArr    => 16
+    case _: JObj    => 32
+  }
   def isIntegral: Boolean = this match {
     case JNum(v) => v.isWhole
     case _       => false

@@ -42,7 +42,22 @@ object CPlan {
 
   /** `type` — instance type in set; "integer" = number with integral value.
     * jvst: per-token-type SWITCH (reference:src/validate_constraints.c). */
-  final case class TypeIs(types: Set[String]) extends CPlan
+  final case class TypeIs(types: Set[String]) extends CPlan {
+    /** Bit per accepted primitive type, aligned with [[graft.json.JValue.tag]]
+      * (null=1, boolean=2, number=4, string=8, array=16, object=32); the hot
+      * check is `(mask & v.tag) != 0` instead of a Set[String] probe.
+      * "integer" is NOT in the mask — it additionally requires integrality,
+      * tracked by [[hasInteger]]. Unknown names contribute no bit, matching
+      * Set.contains-returns-false. */
+    @transient lazy val mask: Int = types.foldLeft(0) { (m, t) =>
+      m | (t match {
+        case "null" => 1; case "boolean" => 2; case "number" => 4
+        case "string" => 8; case "array" => 16; case "object" => 32
+        case _ => 0
+      })
+    }
+    @transient lazy val hasInteger: Boolean = types.contains("integer")
+  }
 
   /** `enum` — deep equality against literal set; pre-canonicalized forms.
     * `strMembers` is the decoded string subset: a JStr instance equals an

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// When the bench harness runs under sbt (SPARK_GRAFT_SF_DIR set by the
+// round driver), suppress sbt's trailing "[success] Total time" line so
+// graft.Bench's compact metric JSON is the LAST line of process output —
+// rounds 1-2 both lost the driver-side parse to output-tail noise.
+Global / showSuccess := !sys.env.contains("SPARK_GRAFT_SF_DIR")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

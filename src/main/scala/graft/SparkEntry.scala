@@ -70,6 +70,11 @@ object SparkEntry {
 
   private def kCol: Column = get_json_object(col("props"), "$.k").cast("long")
 
+  /** Schema the SQL-face queries embed as a literal (single-quoted in the
+    * SQL text, so it must not contain single quotes). */
+  private val sqlFaceSchema =
+    """{"properties":{"k":{"minimum":10,"multipleOf":3}}}"""
+
   // ---------------- near-dup slice corpora (exact-duplicate plants) --------
   // Small enough for DuckDB to brute-force ALL pairs, so the LSH near-dup
   // paths get a first-principles hash-compare end to end. Planted copies are
@@ -609,6 +614,38 @@ object SparkEntry {
       verdictCounts(s, dir, """{}""",
         to_json(struct(col("event_type").as("t"), kCol.as("k"))))),
 
+    // ---------------- SQL face (GraftFunctions / SparkSessionExtensions) --
+    // the same verdict machinery reached through spark.sql + registered
+    // functions instead of the Scala API; DuckDB recomputes from typed
+    // columns exactly like the q_constraint_* family
+    "q_sql_validate" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      t(s, dir, "events")
+        .select(col("event_type"), to_json(struct(kCol.as("k"))).as("doc"))
+        .createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        s"""SELECT event_type,
+           |  CAST(sum(CASE WHEN jsonschema_valid(doc, '$sqlFaceSchema')
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           |  CAST(sum(CASE WHEN jsonschema_valid(doc, '$sqlFaceSchema')
+           |           THEN 0 ELSE 1 END) AS BIGINT) AS failed
+           |FROM graft_sql_docs GROUP BY event_type
+           |ORDER BY event_type""".stripMargin)
+    }),
+
+    "q_sql_violations" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      t(s, dir, "events")
+        .select(to_json(struct(kCol.as("k"))).as("doc"))
+        .createOrReplaceTempView("graft_sql_docs2")
+      s.sql(
+        s"""SELECT f.constraint AS constraint, CAST(count(*) AS BIGINT) AS n
+           |FROM graft_sql_docs2
+           |LATERAL VIEW explode(jsonschema_violations(doc, '$sqlFaceSchema'))
+           |  t AS f
+           |GROUP BY f.constraint ORDER BY f.constraint""".stripMargin)
+    }),
+
     // ---------------- near-dup family, sliced exact oracles ---------------
     "q_minhash_slice" -> ((s, dir) =>
       Dedup.nearDuplicates(minhashSliceInput(s, dir), threshold = 0.8)
@@ -795,6 +832,17 @@ object SparkEntry {
     "q_constraint_minlength" ->
       verdictOracle("length(event_type) BETWEEN 5 AND 6"),
     "q_constraint_empty" -> verdictOracle("TRUE"),
+    "q_sql_validate" -> verdictOracle("k >= 10 AND k % 3 = 0"),
+    "q_sql_violations" ->
+      """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |           FROM events),
+        |v AS (
+        |  SELECT 'properties/k/minimum' AS c, CAST(count(*) AS BIGINT) AS n
+        |  FROM e WHERE k < 10
+        |  UNION ALL
+        |  SELECT 'properties/k/multipleOf', CAST(count(*) AS BIGINT)
+        |  FROM e WHERE k % 3 <> 0)
+        |SELECT c AS "constraint", n FROM v WHERE n > 0 ORDER BY c""".stripMargin,
     "q_repo_drift" ->
       s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |h AS (SELECT "commit" AS c,

@@ -1,0 +1,160 @@
+package graft.sql
+
+import graft.eval.{CanonicalJsonExpr, CosineExpr, MinHashBandsExpr,
+  Sha256MatchesExpr, ShinglesExpr, SimHash64Expr, StreamValidateBoolExpr,
+  TopLevelKeysExpr, ValidateBoolExpr, ValidateFailsExpr}
+import graft.schema.{CompiledSchema, SchemaCompiler}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import java.util.concurrent.ConcurrentHashMap
+
+/** The engine's SQL face: every custom Catalyst expression registered as a
+  * named SQL function, so `spark.sql("... WHERE jsonschema_valid(content,
+  * '<schema>')")` works without touching the Scala API — the Spark analog
+  * of jvst's CLI entry point (reference:src/main.c), which validates
+  * documents against a schema given as an argument.
+  *
+  * Two registration paths, same function table:
+  *  - config-driven for NEW sessions:
+  *    `spark.sql.extensions=graft.sql.GraftExtensions` (the
+  *    [[GraftExtensions]] class injects each function at session build);
+  *  - imperative for an EXISTING session: [[GraftFunctions.register]]
+  *    (idempotent — re-registration overwrites with identical builders).
+  *
+  * Schema arguments must be foldable string literals: the schema is
+  * compiled ONCE at analysis time (per plan, memoized process-wide by
+  * schema text) and the compiled plan rides inside the expression —
+  * exactly the batch API's compile-then-evaluate split, so the SQL face
+  * adds zero per-row overhead over [[graft.eval.Exprs]].
+  */
+object GraftFunctions {
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * FunctionDescription shape. */
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  // Process-wide schema-text -> compiled-plan memo. Bounded defensively:
+  // a pipeline uses a handful of schemas; a runaway generator of distinct
+  // schema literals gets a clear() (recompile), never unbounded growth.
+  private val schemaCache = new ConcurrentHashMap[String, CompiledSchema]()
+  private def compiled(text: String): CompiledSchema = {
+    if (schemaCache.size > 64) schemaCache.clear()
+    schemaCache.computeIfAbsent(text, SchemaCompiler.compile(_))
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${args.length}")
+
+  /** Evaluate a foldable string argument at analysis time. */
+  private def litString(fn: String, what: String, e: Expression): String = {
+    if (!e.foldable || e.dataType != StringType)
+      throw new IllegalArgumentException(
+        s"$fn: $what must be a foldable string literal, got ${e.sql}")
+    val v = e.eval(null)
+    if (v == null)
+      throw new IllegalArgumentException(s"$fn: $what must not be null")
+    v.toString
+  }
+
+  private def litInt(fn: String, what: String, e: Expression): Int = {
+    val ok = e.foldable &&
+      (e.dataType == IntegerType || e.dataType == LongType)
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"$fn: $what must be a foldable integer literal, got ${e.sql}")
+    val v = e.eval(null)
+    if (v == null)
+      throw new IllegalArgumentException(s"$fn: $what must not be null")
+    v.asInstanceOf[Number].intValue()
+  }
+
+  private def desc(name: String, clazz: Class[_], usage: String)(
+      builder: Seq[Expression] => Expression): FunctionDescription =
+    (FunctionIdentifier(name),
+     new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
+     builder)
+
+  /** The full function table (name -> builder). */
+  val functions: Seq[FunctionDescription] = Seq(
+    desc("jsonschema_valid", classOf[ValidateBoolExpr],
+      "jsonschema_valid(json, schemaLiteral) - true iff the JSON document" +
+        " satisfies the draft-04 schema (false for malformed JSON).") { args =>
+      arity("jsonschema_valid", args, 2)
+      ValidateBoolExpr(args.head,
+        compiled(litString("jsonschema_valid", "schema", args(1))))
+    },
+    desc("jsonschema_valid_stream", classOf[StreamValidateBoolExpr],
+      "jsonschema_valid_stream(json, schemaLiteral) - jsonschema_valid via" +
+        " the streaming (jvst-VM-analog) evaluator.") { args =>
+      arity("jsonschema_valid_stream", args, 2)
+      StreamValidateBoolExpr(args.head,
+        compiled(litString("jsonschema_valid_stream", "schema", args(1))))
+    },
+    desc("jsonschema_violations", classOf[ValidateFailsExpr],
+      "jsonschema_violations(json, schemaLiteral) - array<struct<constraint" +
+        ",detail>> of labeled failures; empty when valid.") { args =>
+      arity("jsonschema_violations", args, 2)
+      ValidateFailsExpr(args.head,
+        compiled(litString("jsonschema_violations", "schema", args(1))))
+    },
+    desc("canonical_json", classOf[CanonicalJsonExpr],
+      "canonical_json(json) - canonical string form (sorted keys," +
+        " normalized numbers); null if malformed.") { args =>
+      arity("canonical_json", args, 1)
+      CanonicalJsonExpr(args.head)
+    },
+    desc("json_top_level_keys", classOf[TopLevelKeysExpr],
+      "json_top_level_keys(json) - top-level object keys via the in-place" +
+        " byte scanner; null for non-objects/malformed.") { args =>
+      arity("json_top_level_keys", args, 1)
+      TopLevelKeysExpr(args.head)
+    },
+    desc("sha256_matches", classOf[Sha256MatchesExpr],
+      "sha256_matches(content, hexDigest) - true iff sha256(content) equals" +
+        " the lowercase-hex digest (allocation-free integrity check).") { args =>
+      arity("sha256_matches", args, 2)
+      Sha256MatchesExpr(args.head, args(1))
+    },
+    desc("simhash64", classOf[SimHash64Expr],
+      "simhash64(tokens) - 64-bit SimHash of an array<string>.") { args =>
+      arity("simhash64", args, 1)
+      SimHash64Expr(args.head)
+    },
+    desc("shingles", classOf[ShinglesExpr],
+      "shingles(text, n) - distinct word n-gram shingles (n a literal).") { args =>
+      arity("shingles", args, 2)
+      ShinglesExpr(args.head, litInt("shingles", "n", args(1)))
+    },
+    desc("minhash_bands", classOf[MinHashBandsExpr],
+      "minhash_bands(shingles, k, bands) - banded MinHash signature" +
+        " (k, bands literals).") { args =>
+      arity("minhash_bands", args, 3)
+      MinHashBandsExpr(args.head, litInt("minhash_bands", "k", args(1)),
+        litInt("minhash_bands", "bands", args(2)))
+    },
+    desc("vec_cosine", classOf[CosineExpr],
+      "vec_cosine(a, b) - exact cosine similarity of two float/double" +
+        " arrays; null on length mismatch.") { args =>
+      arity("vec_cosine", args, 2)
+      CosineExpr(args.head, args(1))
+    }
+  )
+
+  /** Register every function into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions` — injects the function
+  * table at session build, the config-driven path for spark-submit users. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.eval.{Exprs, TextExprs, VecExprs}
+import graft.schema.SchemaCompiler
+import graft.sql.{GraftExtensions, GraftFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL face: every custom expression reachable as a registered SQL
+  * function, both via GraftFunctions.register (existing session) and via
+  * spark.sql.extensions=graft.sql.GraftExtensions (session build). */
+class SqlFaceSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = {
+    val s = SparkTestSession.get
+    GraftFunctions.register(s)
+    s
+  }
+
+  private val schema =
+    """{"properties":{"k":{"type":"integer","minimum":25,
+      |  "maximum":75,"exclusiveMaximum":true}}}""".stripMargin
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"""{"k":$i}"""))
+      .toDF("id", "doc")
+  }
+
+  test("jsonschema_valid in SQL matches the Scala-API verdict") {
+    docs(100).createOrReplaceTempView("sql_face_docs")
+    val viaSql = spark.sql(
+      s"SELECT id FROM sql_face_docs WHERE jsonschema_valid(doc, '$schema')")
+      .collect().map(_.getLong(0)).toSet
+    val cs = SchemaCompiler.compile(schema)
+    val viaApi = docs(100).filter(Exprs.validateBool(cs, col("doc")))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == viaApi)
+    assert(viaSql == (25 until 75).map(_.toLong).toSet)
+  }
+
+  test("jsonschema_valid_stream agrees with jsonschema_valid over SQL") {
+    docs(100).createOrReplaceTempView("sql_face_docs")
+    val n = spark.sql(
+      s"""SELECT count(*) FROM sql_face_docs
+         | WHERE jsonschema_valid(doc, '$schema')
+         |    != jsonschema_valid_stream(doc, '$schema')""".stripMargin)
+      .head().getLong(0)
+    assert(n == 0)
+  }
+
+  test("jsonschema_violations in SQL: labeled constraint paths") {
+    docs(100).createOrReplaceTempView("sql_face_docs")
+    val rows = spark.sql(
+      s"""SELECT f.constraint AS c, count(*) AS n
+         |FROM sql_face_docs
+         |LATERAL VIEW explode(jsonschema_violations(doc, '$schema')) t AS f
+         |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val byC = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byC == Map("properties/k/minimum" -> 25L,
+                      "properties/k/exclusiveMaximum" -> 25L))
+  }
+
+  test("scalar helpers: canonical_json, keys, sha, simhash, shingles, bands") {
+    import spark.implicits._
+    val df = Seq(("""{"b":1,"a":[1,2.0]}""", "the quick brown fox jumps"))
+      .toDF("j", "txt")
+    df.createOrReplaceTempView("sql_face_one")
+    val row = spark.sql(
+      """SELECT canonical_json(j) AS cj,
+        |       json_top_level_keys(j) AS keys,
+        |       sha256_matches(txt, sha2(txt, 256)) AS sha_ok,
+        |       simhash64(split(txt, ' ')) AS sh,
+        |       shingles(txt, 3) AS shg,
+        |       minhash_bands(shingles(txt, 3), 8, 4) AS bands
+        |FROM sql_face_one""".stripMargin).head()
+    // equivalence against the Scala API on the same input
+    val api = df.select(
+      Exprs.canonicalJson($"j"), TextExprs.jsonTopLevelKeys($"j"),
+      TextExprs.simhash64(split($"txt", " ")),
+      TextExprs.shingles($"txt", 3),
+      TextExprs.minhashBands(TextExprs.shingles($"txt", 3), 8, 4)).head()
+    assert(row.getString(0) == api.getString(0))
+    assert(row.getSeq[String](1) == api.getSeq[String](1))
+    assert(row.getBoolean(2))
+    assert(row.getLong(3) == api.getLong(2))
+    assert(row.getSeq[String](4) == api.getSeq[String](3))
+    assert(row.getSeq[Long](5) == api.getSeq[Long](4))
+  }
+
+  test("vec_cosine in SQL matches VecExprs.cosine; null on ragged input") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("sql_face_vec")
+    val viaSql = spark.sql(
+      "SELECT vec_cosine(a, b) FROM sql_face_vec").head().getDouble(0)
+    val viaApi = df.select(VecExprs.cosine($"a", $"b")).head().getDouble(0)
+    assert(viaSql == viaApi)
+    val ragged = spark.sql(
+      "SELECT vec_cosine(a, slice(b, 1, 2)) FROM sql_face_vec").head()
+    assert(ragged.isNullAt(0))
+  }
+
+  test("schema argument must be a foldable string literal") {
+    docs(3).createOrReplaceTempView("sql_face_docs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT jsonschema_valid(doc, doc) FROM sql_face_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable string literal"))
+    val a = intercept[Exception] {
+      spark.sql("SELECT jsonschema_valid(doc) FROM sql_face_docs").collect()
+    }
+    assert(a.getMessage.contains("expects 2 arguments"))
+  }
+
+  test("extensions class injects the same table at session build") {
+    val prev = SparkTestSession.get // ensure the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is a STATIC conf read at SparkContext
+      // creation — unreachable from a shared-context test JVM — so apply
+      // the same class through Builder.withExtensions, which routes
+      // through the identical injectFunction path at session build.
+      val fresh = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // must be a DIFFERENT session object (else we'd be testing register())
+      assert(fresh ne prev)
+      import fresh.implicits._
+      Seq(("""{"k":30}""", 1), ("""{"k":99}""", 2)).toDF("doc", "id")
+        .createOrReplaceTempView("sql_face_ext")
+      val ok = fresh.sql(
+        s"SELECT id FROM sql_face_ext WHERE jsonschema_valid(doc, '$schema')")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ok == Seq(1))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}

@@ -84,12 +84,39 @@ object Utf8Json {
   }
   private val ctxs = new graft.util.ThreadSlots[ParseCtx](() => new ParseCtx)
 
+  // SWAR (word-at-a-time) string scanning. Exact bit tricks ("Bit Twiddling
+  // Hacks"): hasZero flags bytes equal to a constant, hasLess flags unsigned
+  // bytes < 0x20 (exact for thresholds <= 0x80). Little-endian only — the
+  // first flagged byte is the lowest set bit; on a big-endian JVM the byte
+  // loop below runs unchanged (correctness never depends on the fast path).
+  private val LittleEndian =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+  private final val SwarOnes  = 0x0101010101010101L
+  private final val SwarHighs = 0x8080808080808080L
+  /** Bytes that stop a string scan: '"', '\', or a raw control char. */
+  @inline private def stringStopMask(w: Long): Long = {
+    val q = w ^ (SwarOnes * '"')
+    val s = w ^ (SwarOnes * '\\')
+    ((q - SwarOnes) & ~q & SwarHighs) |
+      ((s - SwarOnes) & ~s & SwarHighs) |
+      ((w - SwarOnes * 0x20) & ~w & SwarHighs)
+  }
+
   private final class ByteParser(u: UTF8String) {
     private val base: AnyRef = u.getBaseObject
     private val off: Long = u.getBaseOffset
     private val n: Int = u.numBytes
     private var i: Int = 0
     private val ctx: ParseCtx = ctxs.get()
+    // on-heap fast path: decode Strings straight from the backing array
+    // (UnsafeRow/UTF8String bytes are byte[] in practice; off-heap falls
+    // back to the copy-through-scratch-buffer path)
+    private val arr: Array[Byte] = base match {
+      case a: Array[Byte] => a
+      case _              => null
+    }
+    private val arrOff: Int =
+      if (arr != null) (off - Platform.BYTE_ARRAY_OFFSET).toInt else 0
 
     @inline private def at(k: Int): Byte = Platform.getByte(base, off + k)
 
@@ -225,6 +252,21 @@ object Utf8Json {
     private def skipStringStruct(): Unit = {
       i += 1 // opening quote
       while (i < n) {
+        // same word-at-a-time bulk skip as parseString (no decoding, so no
+        // ascii tracking); a flagged word advances to its first stop byte
+        if (LittleEndian) {
+          var cont = true
+          while (cont && i + 8 <= n) {
+            val w = Platform.getLong(base, off + i)
+            val stop = stringStopMask(w)
+            if (stop == 0L) i += 8
+            else {
+              i += java.lang.Long.numberOfTrailingZeros(stop) >> 3
+              cont = false
+            }
+          }
+        }
+        if (i >= n) fail("unterminated string")
         val c = at(i)
         if (c == '\\') {
           if (i + 1 >= n) fail("unterminated escape")
@@ -301,6 +343,9 @@ object Utf8Json {
     /** Materialize bytes [from, until) as a String (full UTF-8 decode). */
     private def spanString(from: Int, until: Int): String = {
       val len = until - from
+      if (arr != null)
+        return new String(arr, arrOff + from, len,
+          java.nio.charset.StandardCharsets.UTF_8)
       var buf = ctx.spanBuf
       if (buf.length < len) {
         // saturate: highestOneBit(len)*2 overflows negative for len >= 2^30
@@ -324,15 +369,41 @@ object Utf8Json {
       var ascii = true
       var done = false
       while (!done) {
-        if (i >= n) fail("unterminated string")
-        val b = at(i)
-        if (b == '"') done = true
-        else if (b == '\\') {
-          sawEscape = true
-          i += 2
-          if (i > n) fail("unterminated string")
-        } else if (b >= 0 && b < ' ') fail("raw control character in string")
-        else { if (b < 0) ascii = false; i += 1 }
+        // word-at-a-time bulk scan: a clean word (no quote/backslash/
+        // control byte) advances 8 bytes at once; a flagged word advances
+        // exactly to its first stop byte, which the byte logic handles
+        if (LittleEndian && i + 8 <= n) {
+          val w = Platform.getLong(base, off + i)
+          val stop = stringStopMask(w)
+          if (stop == 0L) {
+            if ((w & SwarHighs) != 0L) ascii = false
+            i += 8
+          } else {
+            val k = java.lang.Long.numberOfTrailingZeros(stop) >> 3
+            if (k > 0) {
+              // bytes [i, i+k) are clean string content
+              if ((w & ((1L << (k << 3)) - 1) & SwarHighs) != 0L) ascii = false
+              i += k
+            }
+            val b = at(i)
+            if (b == '"') done = true
+            else if (b == '\\') {
+              sawEscape = true
+              i += 2
+              if (i > n) fail("unterminated string")
+            } else fail("raw control character in string")
+          }
+        } else {
+          if (i >= n) fail("unterminated string")
+          val b = at(i)
+          if (b == '"') done = true
+          else if (b == '\\') {
+            sawEscape = true
+            i += 2
+            if (i > n) fail("unterminated string")
+          } else if (b >= 0 && b < ' ') fail("raw control character in string")
+          else { if (b < 0) ascii = false; i += 1 }
+        }
       }
       val end = i
       i += 1 // closing quote

@@ -65,9 +65,15 @@ object RowEval {
   }
 
   /** Per-row hot path: parse the UnsafeRow-backed bytes in place (no
-    * whole-document UTF8String→String conversion). */
+    * whole-document UTF8String→String conversion), pruning top-level member
+    * values the compile-time analysis proved no constraint inspects
+    * (jvst's CONSUME analog, [[graft.schema.PruneTable]]) — skipped values
+    * are still grammar+representability checked, so the verdict is
+    * byte-identical to a full parse. */
   def isValidText(cs: CompiledSchema, text: org.apache.spark.unsafe.types.UTF8String): Boolean = {
-    val v = Utf8Json.parseOrNull(text)
+    val t = cs.rootPrune
+    val v = if (t != null) Utf8Json.parseOrNullPruned(text, t)
+            else Utf8Json.parseOrNull(text)
     v != null && isValid(cs, v)
   }
 

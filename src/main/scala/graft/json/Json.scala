@@ -26,6 +26,8 @@ sealed trait JValue {
     case _: JStr    => "string"
     case _: JArr    => "array"
     case _: JObj    => "object"
+    case JSkipped   => throw new IllegalStateException(
+      "JSkipped inspected: prune analysis admitted a deep constraint")
   }
   /** One-hot type bit, aligned with [[graft.schema.CPlan.TypeIs]]'s
     * precompiled mask so the hot `type` check is a single AND instead of a
@@ -37,6 +39,8 @@ sealed trait JValue {
     case _: JStr    => 8
     case _: JArr    => 16
     case _: JObj    => 32
+    case JSkipped   => throw new IllegalStateException(
+      "JSkipped inspected: prune analysis admitted a deep constraint")
   }
   def isIntegral: Boolean = this match {
     case JNum(v) => v.isWhole
@@ -44,6 +48,14 @@ sealed trait JValue {
   }
 }
 case object JNull extends JValue
+/** Sentinel for a member value the pruned verdict parse structurally
+  * checked but did not materialize (jvst's CONSUME analog — see
+  * [[graft.schema.PruneTable]]). It may appear ONLY where the prune
+  * analysis proved every applicable constraint is `Valid`, so presence
+  * (Required/dependencies) and count (min/maxProperties) still observe the
+  * member while nothing ever inspects the value; tpe/tag/canonical fail
+  * loudly if that invariant is ever broken. */
+case object JSkipped extends JValue
 final case class JBool(value: Boolean) extends JValue
 final case class JNum(value: BigDecimal) extends JValue
 final case class JStr(value: String) extends JValue
@@ -192,6 +204,8 @@ object Json {
   }
 
   private def writeCanonical(v: JValue, sb: StringBuilder): Unit = v match {
+    case JSkipped   => throw new IllegalStateException(
+      "JSkipped inspected: prune analysis admitted a deep constraint")
     case JNull      => sb.append("null")
     case JBool(b)   => sb.append(if (b) "true" else "false")
     case JNum(n)    => sb.append(normalizeNum(n))
@@ -216,6 +230,8 @@ object Json {
   }
 
   private def writeCompact(v: JValue, sb: StringBuilder): Unit = v match {
+    case JSkipped   => throw new IllegalStateException(
+      "JSkipped inspected: prune analysis admitted a deep constraint")
     case JNull      => sb.append("null")
     case JBool(b)   => sb.append(if (b) "true" else "false")
     case JNum(n)    => sb.append(normalizeNum(n))

@@ -45,6 +45,25 @@ object Utf8Json {
     try parse(u)
     catch { case _: JsonParseException | _: StackOverflowError => null }
 
+  /** Verdict-path parse with top-level member pruning (jvst's CONSUME
+    * analog): member values the [[graft.schema.PruneTable]] marks
+    * skippable are grammar-checked in place — full RFC structure, string
+    * escapes, number REPRESENTABILITY (exactly parseValue's acceptance,
+    * which skipValueStruct deliberately does not enforce) — but never
+    * materialized; the member is recorded as [[JSkipped]] so presence and
+    * count constraints still observe it. Non-object roots parse fully.
+    * Verdicts are therefore byte-identical to parseOrNull + full eval
+    * (differentially tested incl. malformed/unrepresentable content inside
+    * skipped values). */
+  def parseOrNullPruned(u: UTF8String, table: graft.schema.PruneTable): JValue =
+    try {
+      val p = new ByteParser(u)
+      val v = p.parseRootPruned(table)
+      p.skipWs()
+      if (!p.atEnd) p.fail("trailing content")
+      v
+    } catch { case _: JsonParseException | _: StackOverflowError => null }
+
   /** Top-level object keys WITHOUT materializing values: one forward byte
     * scan that decodes each key (escape-aware, interned) and skips each
     * value while enforcing the full JSON grammar (string escapes validated,
@@ -321,6 +340,120 @@ object Utf8Json {
         else fail("expected ',' or '}'")
       }
       JObj(b.result())
+    }
+
+    /** Root-object parse with per-member prune decisions; any other root
+      * shape falls through to the exhaustive parseValue. */
+    def parseRootPruned(table: graft.schema.PruneTable): JValue = {
+      skipWs()
+      if (i >= n) fail("unexpected end of input")
+      if (at(i) != '{') return parseValue()
+      i += 1
+      skipWs()
+      if (i < n && at(i) == '}') { i += 1; return JObj.empty }
+      val memo = table.memo()
+      val b = new JFields.Builder
+      var done = false
+      while (!done) {
+        skipWs()
+        if (i >= n || at(i) != '"') fail("expected object key")
+        val k = parseString(intern = true)
+        skipWs(); expect(':')
+        if (table.skipMemo(k, memo)) { skipValueChecked(); b.add(k, JSkipped) }
+        else b.add(k, parseValue())
+        skipWs()
+        if (i >= n) fail("unterminated object")
+        val c = at(i)
+        if (c == ',') i += 1
+        else if (c == '}') { i += 1; done = true }
+        else fail("expected ',' or '}'")
+      }
+      JObj(b.result())
+    }
+
+    /** Skip one value with parseValue's EXACT acceptance, materializing
+      * nothing: strings via skipStringStruct (identical accept/reject to
+      * parseString+unescape), numbers via skipNumberChecked (grammar AND
+      * representability), containers recursively. This is what makes a
+      * pruned parse verdict-identical to a full parse. */
+    private def skipValueChecked(): Unit = {
+      skipWs()
+      if (i >= n) fail("unexpected end of input")
+      val b = at(i)
+      if (b == '"') skipStringStruct()
+      else if (b == '{') {
+        i += 1
+        skipWs()
+        if (i < n && at(i) == '}') { i += 1; return }
+        var done = false
+        while (!done) {
+          skipWs()
+          if (i >= n || at(i) != '"') fail("expected object key")
+          skipStringStruct()
+          skipWs()
+          expect(':')
+          skipValueChecked()
+          skipWs()
+          if (i < n && at(i) == ',') i += 1
+          else if (i < n && at(i) == '}') { i += 1; done = true }
+          else fail("expected ',' or '}'")
+        }
+      }
+      else if (b == '[') {
+        i += 1
+        skipWs()
+        if (i < n && at(i) == ']') { i += 1; return }
+        var done = false
+        while (!done) {
+          skipValueChecked()
+          skipWs()
+          if (i < n && at(i) == ',') i += 1
+          else if (i < n && at(i) == ']') { i += 1; done = true }
+          else fail("expected ',' or ']'")
+        }
+      }
+      else if (b == 't') parseLit("true")
+      else if (b == 'f') parseLit("false")
+      else if (b == 'n') parseLit("null")
+      else if (b == '-' || (b >= '0' && b <= '9')) skipNumberChecked()
+      else fail(s"unexpected character '${(b & 0xFF).toChar}'")
+    }
+
+    /** Number grammar + the representability rule parseNumber enforces
+      * (reject iff the exponent saturates or the BigDecimal scale leaves
+      * Int range) — no value construction. */
+    private def skipNumberChecked(): Unit = {
+      if (i < n && at(i) == '-') i += 1
+      if (i >= n) fail("truncated number")
+      if (at(i) == '0') i += 1
+      else if (at(i) >= '1' && at(i) <= '9') {
+        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
+      } else fail("invalid number")
+      var fracDigits = 0
+      if (i < n && at(i) == '.') {
+        i += 1
+        if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid fraction")
+        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) {
+          fracDigits += 1; i += 1
+        }
+      }
+      var exp = 0L
+      var expOverflow = false
+      if (i < n && (at(i) == 'e' || at(i) == 'E')) {
+        var expNeg = false
+        i += 1
+        if (i < n && (at(i) == '+' || at(i) == '-')) { expNeg = at(i) == '-'; i += 1 }
+        if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid exponent")
+        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) {
+          if (exp < 1000000000L) exp = exp * 10 + (at(i) - '0')
+          else expOverflow = true
+          i += 1
+        }
+        if (expNeg) exp = -exp
+      }
+      val scale = fracDigits.toLong - exp
+      if (expOverflow || scale < Int.MinValue || scale > Int.MaxValue)
+        fail("unrepresentable number")
     }
 
     private def parseArray(): JArr = {

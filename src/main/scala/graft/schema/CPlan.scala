@@ -229,6 +229,107 @@ object CPlan {
 final case class CompiledSchema(root: CPlan, defs: Map[String, CPlan]) {
   def resolve(name: String): CPlan =
     defs.getOrElse(name, throw new IllegalStateException(s"unresolved $$ref: $name"))
+
+  /** CONSUME analog (jvst skips unvalidated subtrees in its IR,
+    * reference:src/validate_ir.c): the prune table the verdict parse uses
+    * to structurally skip top-level member values no constraint inspects.
+    * Null when the root plan's shape doesn't admit static pruning.
+    * Per-executor lazy (holds compiled regexes). */
+  @transient lazy val rootPrune: PruneTable = PruneTable.of(root)
+}
+
+/** Decides, for an OBJECT document's top-level members, whether a member's
+  * VALUE can be skipped by the pruned verdict parse: allowed iff no named
+  * property plan, no matching patternProperties plan, and no
+  * additionalProperties plan other than `Valid` would ever inspect it.
+  *
+  * Built by [[PruneTable.of]] only when the ROOT plan is a conjunction of
+  * object-shape constraints that never deep-inspect unconstrained member
+  * values: presence/count checks (required, dependencies property form,
+  * min/maxProperties), type dispatch, and constraints vacuous on objects
+  * (string/number/array keywords). Any root-level enum, not, anyOf/oneOf,
+  * $ref, schema-form dependency, or non-trivial additionalProperties makes
+  * the analysis return null and the parse stays exhaustive. Skipped member
+  * PRESENCE is still recorded (as [[graft.json.JSkipped]]) so required /
+  * dependencies / property counts are unaffected, and skipped values are
+  * still grammar-checked byte-for-byte (malformed content inside a skipped
+  * value fails the document exactly as the full parse does). */
+final class PruneTable private[schema] (
+    namedNeeded: java.util.HashSet[String],
+    patterns: Array[(CachedPattern, CPlan)]) {
+
+  private final class Entry(val key: String, val skip: Boolean)
+  private[this] val memos =
+    new graft.util.ThreadSlots[Array[AnyRef]](() => new Array[AnyRef](256))
+
+  /** Per-thread decision memo — fetch once per document, pass to
+    * [[skipMemo]] (fetching per member would pay the ThreadSlots volatile
+    * read 9× per doc; per document it is one). */
+  def memo(): Array[AnyRef] = memos.get()
+
+  /** [[skip]] memoized on key IDENTITY: verdict keys are interned through
+    * the parser's per-thread key cache, so after a thread's first document
+    * each member's decision is one array read + reference compare instead
+    * of a set probe (+ pattern finds). The memo is per-thread, so plain
+    * non-volatile slots are safe; the decision is a pure function of the
+    * key's value, so an evicted or recomputed slot can never yield a wrong
+    * answer. */
+  def skipMemo(key: String, memo: Array[AnyRef]): Boolean = {
+    val idx = System.identityHashCode(key) & (memo.length - 1)
+    val e = memo(idx).asInstanceOf[Entry]
+    if ((e ne null) && (e.key eq key)) e.skip
+    else {
+      val s = skip(key)
+      memo(idx) = new Entry(key, s)
+      s
+    }
+  }
+
+  /** Unmemoized decision: skippable iff no named plan and no matching
+    * pattern plan would inspect the value. */
+  def skip(key: String): Boolean = {
+    if (namedNeeded.contains(key)) return false
+    var i = 0
+    while (i < patterns.length) {
+      if (patterns(i)._1.find(key)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+object PruneTable {
+  import CPlan._
+
+  /** Null unless every root conjunct is provably shallow on objects. */
+  def of(root: CPlan): PruneTable = {
+    val needed = new java.util.HashSet[String]()
+    val pats = Vector.newBuilder[(CachedPattern, CPlan)]
+    def walk(p: CPlan): Boolean = p match {
+      case Valid           => true
+      case AllOf(subs)     => subs.forall(walk)
+      case pr: Props =>
+        val add = pr.additionalOrNull
+        if (add != null && !(add eq Valid)) false
+        else {
+          pr.props.foreach { case (k, sub) =>
+            if (!(sub eq Valid)) needed.add(k)
+          }
+          pats ++= pr.patternsC.iterator.filter(t => !(t._2 eq Valid))
+          true
+        }
+      // presence/count only — never inspect member values
+      case Required(_) | PropCount(_, _) | TypeIs(_) => true
+      case Dependencies(_, sd)                       => sd.isEmpty
+      // vacuous on objects (the pruned parse applies only to object roots)
+      case NumRange(_, _, _, _) | NumMultipleOf(_) | StrLen(_, _) |
+           StrPattern(_) | ItemsAll(_) | ItemsTuple(_, _) |
+           ItemCount(_, _) | UniqueItems => true
+      // anything that can deep-inspect the whole object: no pruning
+      case _ => false
+    }
+    if (walk(root)) new PruneTable(needed, pats.result().toArray) else null
+  }
 }
 
 final class SchemaCompileException(msg: String) extends RuntimeException(msg)

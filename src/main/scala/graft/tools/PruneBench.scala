@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.eval.RowEval
+import graft.json.Utf8Json
+import graft.sources.RepoFiles
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Same-JVM interleaved A/B of the pruned vs exhaustive verdict path
+  * (parse + plan eval, no sha) — cross-JVM host noise cancels because both
+  * variants alternate within one process on one core.
+  *
+  * Usage: runMain graft.tools.PruneBench [docs] [rounds] [wide]
+  *
+  * `wide` injects an unconstrained ~1 KB member into every JSON stratum —
+  * the shape where CONSUME-style pruning pays (telemetry blobs, vendored
+  * metadata): the fixture corpus itself is near-worst-case (one ≤255-char
+  * skippable member of nine).
+  */
+object PruneBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(16)
+    val wide = args.lift(2).contains("wide")
+    val cs = SparkEntry.fixtureSchema
+    val table = cs.rootPrune
+    require(table != null, "fixture schema must admit pruning")
+    require(table.skip("extra"), "the injected wide member must be skippable")
+    val total = 4000000L
+    val payload = (0 until 64).map(k => s""""k$k":[$k,${k * 7},"v${k}x"]""")
+      .mkString(""","extra":{""", ",", "}")
+    val contents = Array.tabulate(nDocs) { k =>
+      val c = RepoFiles.contentOf(k.toLong * 97L % total, total)
+      val s = if (wide && c.startsWith("{") && c.endsWith("}"))
+        c.dropRight(1) + payload + "}"
+      else c
+      UTF8String.fromString(s)
+    }
+
+    var checkA = 0L; var checkB = 0L
+    def runFull(): Double = {
+      val t0 = System.nanoTime()
+      var k = 0
+      while (k < nDocs) {
+        val v = Utf8Json.parseOrNull(contents(k))
+        if (v != null && RowEval.isValid(cs, v)) checkA += 1
+        k += 1
+      }
+      nDocs / ((System.nanoTime() - t0) / 1e9)
+    }
+    def runPruned(): Double = {
+      val t0 = System.nanoTime()
+      var k = 0
+      while (k < nDocs) {
+        val v = Utf8Json.parseOrNullPruned(contents(k), table)
+        if (v != null && RowEval.isValid(cs, v)) checkB += 1
+        k += 1
+      }
+      nDocs / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    val fulls = Array.ofDim[Double](rounds)
+    val prunes = Array.ofDim[Double](rounds)
+    var r = 0
+    while (r < rounds) {
+      fulls(r) = runFull()
+      prunes(r) = runPruned()
+      println(f"# round $r: full ${fulls(r)}%.0f/s pruned ${prunes(r)}%.0f/s")
+      r += 1
+    }
+    require(checkA == checkB, s"verdict mismatch: $checkA != $checkB")
+    def med(a: Array[Double], skip: Int): Double = {
+      val s = a.drop(skip).sorted
+      s(s.length / 2)
+    }
+    val mf = med(fulls, rounds / 4)
+    val mp = med(prunes, rounds / 4)
+    println(f"median full $mf%.0f/s pruned $mp%.0f/s ratio ${mp / mf}%.3f (check $checkA)")
+  }
+}

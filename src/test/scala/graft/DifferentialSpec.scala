@@ -174,6 +174,38 @@ class DifferentialSpec extends AnyFunSuite {
     info(s"stream-vs-row pairs checked: $checked")
   }
 
+  test("pruned verdict parse == full parse on random (schema, doc) pairs") {
+    // the UTF8String overload of isValidText prunes whenever the schema
+    // admits it; the String overload always parses fully — they must agree
+    // on every verdict (pairs where the analysis bails exercise the
+    // null-table path; pairs where it doesn't exercise real pruning)
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
+    var seed = Seed(77L)
+    var checked = 0
+    var prunedSchemas = 0
+    for (_ <- 0 until 500) {
+      val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val compiled: CompiledSchema =
+        try SchemaCompiler.compile(schema)
+        catch { case _: graft.schema.SchemaCompileException => null }
+      if (compiled != null) {
+        if (compiled.rootPrune != null) prunedSchemas += 1
+        docs.foreach { d =>
+          val text = Json.compact(d)
+          val expected = RowEval.isValidText(compiled, text)
+          assert(RowEval.isValidText(compiled, UTF8String.fromString(text)) == expected,
+            s"\nschema=${Json.compact(schema)}\ndoc=$text\nexpected=$expected" +
+              s"\npruneTable=${compiled.rootPrune != null}")
+          checked += 1
+        }
+      }
+    }
+    info(s"pruned-vs-full pairs checked: $checked ($prunedSchemas schemas admitted pruning)")
+    assert(prunedSchemas > 0, "generator never produced a prunable schema")
+  }
+
   test("stream evaluator rejects malformed and trailing-content docs like the row path") {
     val cs = SchemaCompiler.compile("""{"type":"object"}""")
     val bads = Seq("{", "{\"a\":}", "{\"a\":1,}", "[1,", "\"x", "01", "truu",

@@ -1,0 +1,146 @@
+package graft
+
+import graft.eval.RowEval
+import graft.json.{Json, JSkipped, JObj, JStr}
+import graft.schema.{PruneTable, SchemaCompiler}
+import graft.sources.RepoFiles
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CONSUME analog: compile-time prune analysis + pruned verdict parse.
+  * Every test here asserts verdict equality with the full parse — the
+  * pruned path must be observationally identical. */
+class PruneSpec extends AnyFunSuite {
+
+  private def cs(s: String) = SchemaCompiler.compile(s)
+  private def full(c: graft.schema.CompiledSchema, doc: String): Boolean =
+    RowEval.isValidText(c, doc) // String overload: always exhaustive parse
+  private def pruned(c: graft.schema.CompiledSchema, doc: String): Boolean =
+    RowEval.isValidText(c, UTF8String.fromString(doc))
+  private def both(c: graft.schema.CompiledSchema, doc: String): Boolean = {
+    val f = full(c, doc)
+    assert(pruned(c, doc) == f, s"pruned != full for $doc")
+    f
+  }
+
+  test("flagship fixture schema admits pruning; constrained keys are kept") {
+    val t = SparkEntry.fixtureSchema.rootPrune
+    assert(t != null)
+    assert(t.skip("pad"))            // unconstrained: the prune target
+    assert(t.skip("unknown_key"))    // no additionalProperties constraint
+    for (k <- Seq("name", "size", "kind", "tags", "score", "count", "flag",
+                  "meta", "ref"))
+      assert(!t.skip(k), s"constrained key $k must not be skipped")
+  }
+
+  test("analysis bails on deep-inspecting root shapes") {
+    assert(cs("""{"enum":[{"a":1}]}""").rootPrune == null)
+    assert(cs("""{"not":{"properties":{"x":{"type":"string"}}}}""").rootPrune == null)
+    assert(cs("""{"anyOf":[{"type":"object"},{"type":"null"}]}""").rootPrune == null)
+    assert(cs("""{"oneOf":[{"type":"object"},{"type":"null"}]}""").rootPrune == null)
+    assert(cs("""{"definitions":{"m":{"type":"object"}},
+                  "$ref":"#/definitions/m"}""").rootPrune == null)
+    assert(cs("""{"additionalProperties":{"type":"string"}}""").rootPrune == null)
+    assert(cs("""{"additionalProperties":false}""").rootPrune == null)
+    assert(cs("""{"dependencies":{"a":{"properties":{"b":{"type":"number"}}}}}""")
+      .rootPrune == null)
+  }
+
+  test("presence/count/vacuous root keywords do not block pruning") {
+    val c = cs("""{"type":"object","required":["a"],"minProperties":1,
+                   "maxProperties":5,"dependencies":{"a":["b"]},
+                   "minLength":3,"minimum":10,"uniqueItems":true,
+                   "properties":{"a":{"type":"integer"},"free":{}}}""")
+    val t = c.rootPrune
+    assert(t != null)
+    assert(!t.skip("a"))      // constrained
+    assert(t.skip("free"))    // explicit Valid subplan
+    assert(t.skip("b"))       // presence-only via dependencies
+    // presence, count, dependency semantics survive skipping
+    assert(both(c, """{"a":1,"b":2,"free":{"deep":[1,2,{"x":"y"}]}}"""))
+    assert(!both(c, """{"a":1,"free":"anything"}"""))        // dep b missing
+    assert(!both(c, """{"b":1,"free":"anything"}"""))        // required a missing
+    assert(!both(c, """{"a":1,"b":1,"c":1,"d":1,"e":1,"f":1}""")) // maxProperties
+  }
+
+  test("patternProperties: matching keys are never skipped") {
+    val c = cs("""{"properties":{"a":{}},
+                   "patternProperties":{"^x":{"type":"integer"},"free$":{}}}""")
+    val t = c.rootPrune
+    assert(t != null)
+    assert(t.skip("a"))          // named but Valid
+    assert(!t.skip("x1"))        // non-Valid pattern matches
+    assert(t.skip("is_free"))    // only the Valid pattern matches
+    assert(both(c, """{"x1":3,"is_free":["deep",{"x":1}],"a":null}"""))
+    assert(!both(c, """{"x1":"not an int"}"""))
+  }
+
+  test("malformed content inside a skipped value still fails the document") {
+    val c = SparkEntry.fixtureSchema
+    assert(c.rootPrune != null && c.rootPrune.skip("pad"))
+    val bads = Seq(
+      """{"name":"f","size":1,"tags":[],"pad":{"a":}}""",
+      """{"name":"f","size":1,"tags":[],"pad":[1,]}""",
+      """{"name":"f","size":1,"tags":[],"pad":"unterminated}""",
+      """{"name":"f","size":1,"tags":[],"pad":01}""",
+      """{"name":"f","size":1,"tags":[],"pad":truu}""",
+      """{"name":"f","size":1,"tags":[],"pad":"bad \q escape"}""",
+      "{\"name\":\"f\",\"size\":1,\"tags\":[],\"pad\":\"bad \\" + "u00zz escape\"}",
+      """{"name":"f","size":1,"tags":[],"pad":{"k":1,}}""")
+    bads.foreach { b => assert(!both(c, b), s"must reject: $b") }
+  }
+
+  test("unrepresentable numbers inside skipped values match the full parse") {
+    val c = SparkEntry.fixtureSchema
+    // exponent saturates / scale outside Int range — full parse rejects,
+    // so the pruned structural check must too
+    assert(!both(c, """{"name":"f","size":1,"tags":[],"pad":1e99999999999}"""))
+    assert(!both(c, """{"name":"f","size":1,"tags":[],"pad":1e-99999999999}"""))
+    // representable extremes stay accepted
+    assert(both(c, """{"name":"f","size":1,"tags":[],"pad":1e308}"""))
+    assert(both(c, """{"name":"f","size":1,"tags":[],"pad":-0.0000001e-2000000000}"""))
+  }
+
+  test("escapes, unicode and deep nesting inside skipped values") {
+    val c = SparkEntry.fixtureSchema
+    assert(both(c,
+      """{"name":"f","size":1,"tags":[],"pad":"q\"\\\/\b\f\n\r\téé"}"""))
+    val deep = "[" * 40 + "1" + "]" * 40
+    assert(both(c, s"""{"name":"f","size":1,"tags":[],"pad":$deep}"""))
+  }
+
+  test("duplicate keys: last-wins is preserved for skipped and kept keys") {
+    val c = cs("""{"properties":{"a":{"minimum":5}},"maxProperties":2}""")
+    assert(c.rootPrune != null)
+    assert(both(c, """{"a":1,"a":9}"""))     // kept key, last wins → valid
+    assert(!both(c, """{"a":9,"a":1}"""))    // last wins → invalid
+    assert(both(c, """{"free":1,"free":2,"a":9}""")) // dup skipped key: 2 props
+    assert(!both(c, """{"free":1,"b":2,"a":9}"""))   // 3 distinct props
+  }
+
+  test("fixture corpus: pruned and full verdicts agree on every stratum") {
+    val n = 4000L
+    var checked = 0
+    (0L until n).foreach { i =>
+      val text = RepoFiles.contentOf(i, n)
+      both(SparkEntry.fixtureSchema, text)
+      checked += 1
+    }
+    assert(checked == 4000)
+  }
+
+  test("JSkipped fails loudly if deep-inspected") {
+    intercept[IllegalStateException](JSkipped.tag)
+    intercept[IllegalStateException](JSkipped.tpe)
+    intercept[Exception](Json.canonical(JObj("a" -> JSkipped)))
+  }
+
+  test("non-object roots parse fully under a prune table") {
+    val c = cs("""{"properties":{"a":{}},"minimum":5}""")
+    assert(c.rootPrune != null)
+    assert(both(c, "7"))
+    assert(!both(c, "3"))
+    assert(both(c, """[1,2,3]"""))
+    assert(!both(c, "not json"))
+  }
+}

@@ -90,8 +90,14 @@ object RowEval {
       case None    => Vector(Fail("_parse.json", "malformed JSON document"))
     }
 
+  /** Violations path shares the pruned parse: a skipped member's plan is
+    * `Valid`, which `collect` never emits for, and malformed content inside
+    * a skipped value still nulls the parse — so the violation set is
+    * identical to a full parse (asserted in PruneSpec). */
   def validateText(cs: CompiledSchema, text: org.apache.spark.unsafe.types.UTF8String): Vector[Fail] = {
-    val v = Utf8Json.parseOrNull(text)
+    val t = cs.rootPrune
+    val v = if (t != null) Utf8Json.parseOrNullPruned(text, t)
+            else Utf8Json.parseOrNull(text)
     if (v != null) validate(cs, v)
     else Vector(Fail("_parse.json", "malformed JSON document"))
   }

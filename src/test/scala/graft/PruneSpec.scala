@@ -129,6 +129,22 @@ class PruneSpec extends AnyFunSuite {
     assert(checked == 4000)
   }
 
+  test("violation SETS (not just verdicts) agree between pruned and full parse") {
+    val n = 2000L
+    (0L until n).foreach { i =>
+      val text = RepoFiles.contentOf(i, n)
+      val fullFails =
+        RowEval.validateText(SparkEntry.fixtureSchema, text)
+      val prunedFails =
+        RowEval.validateText(SparkEntry.fixtureSchema, UTF8String.fromString(text))
+      assert(prunedFails == fullFails, s"doc $i: $prunedFails != $fullFails")
+    }
+    // malformed content inside a skipped value → same _parse.json fail
+    val bad = """{"name":"f","size":1,"tags":[],"pad":{"a":}}"""
+    assert(RowEval.validateText(SparkEntry.fixtureSchema, UTF8String.fromString(bad)) ==
+      RowEval.validateText(SparkEntry.fixtureSchema, bad))
+  }
+
   test("JSkipped fails loudly if deep-inspected") {
     intercept[IllegalStateException](JSkipped.tag)
     intercept[IllegalStateException](JSkipped.tpe)

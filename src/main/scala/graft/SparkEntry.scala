@@ -3,7 +3,7 @@ package graft
 import graft.eval.Exprs
 import graft.operators._
 import graft.schema.SchemaCompiler
-import graft.sources.RepoFiles
+import graft.sources.{JsonDocs, RepoFiles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,55 @@ object SparkEntry {
     * exhaustive for hamming ≤ 3 by pigeonhole over 4×16-bit bands). */
   def simhashFpExportDir(n: Long): String = s"/tmp/graft_golden/simhash_fp_$n"
 
+  // ---------------- raw-JSON-document corpus (JsonDocs source oracle) ------
+
+  /** Schema for the JSONL-corpus query: one keyword per violation family so
+    * the DuckDB oracle can recompute every label from first principles. */
+  val jsonlSchemaJson: String =
+    """{"type":"object","required":["id","a"],
+      |"properties":{"id":{"type":"integer"},
+      |"a":{"type":"integer","minimum":0},
+      |"b":{"type":"string","pattern":"^x"}}}""".stripMargin
+
+  def jsonlExportDir(n: Long): String = s"/tmp/graft_golden/docs_jsonl_$n"
+
+  /** Deterministic NDJSON line for doc k: valid strata, one violation
+    * family per stratum, non-object docs, and malformed lines (both the
+    * engine parser and DuckDB's `ignore_errors` reject them). Integral
+    * literals only, so the oracle's BIGINT/UBIGINT type test is exact. */
+  def jsonlLineOf(k: Long): String =
+    if (k % 17 == 3) s"""{"id":$k,"a":"""               // malformed (truncated)
+    else if (k % 13 == 5) s"[$k]"                       // non-object → type
+    else (k % 8) match {
+      case 0 | 1 | 2 => s"""{"id":$k,"a":${k % 97},"b":"xq${k % 7}"}"""
+      case 3         => s"""{"id":$k,"a":0}"""          // b optional → valid
+      case 4         => s"""{"id":$k,"a":-${k % 50 + 1},"b":"xx"}""" // minimum
+      case 5         => s"""{"id":$k,"a":"bad","b":"xx"}"""          // a: type
+      case 6         => s"""{"id":$k,"a":3,"b":"y$k"}"""             // b: pattern
+      case _         => s"""{"id":$k,"b":"xy"}"""                    // required a
+    }
+
+  /** Write-if-missing deterministic corpus: 4 `.jsonl` files + a completion
+    * marker. Driver-local fixture like the other oracle exports (the
+    * ENGINE-side read goes through the distributed text source). */
+  def ensureJsonlExport(n: Long): String = synchronized {
+    val dir = java.nio.file.Paths.get(jsonlExportDir(n))
+    val marker = dir.resolve("_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(dir)
+      val files = 4
+      (0 until files).foreach { f =>
+        val sb = new StringBuilder
+        var k = f.toLong
+        while (k < n) { sb.append(jsonlLineOf(k)).append('\n'); k += files }
+        java.nio.file.Files.write(dir.resolve(s"part-$f.jsonl"),
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
+
   private def verdictCounts(s: SparkSession, dir: String,
                             schemaJson: String, doc: Column): DataFrame =
     t(s, dir, "events")
@@ -201,6 +250,26 @@ object SparkEntry {
       t(s, dir, "documents").groupBy(col("source"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("source")).limit(5)),
+
+    // Raw-JSON-document corpus through the distributed JSONL source (the
+    // reference CLI's input shape at cluster scale): verdict + labeled
+    // violation counts; DuckDB recomputes every label from
+    // read_ndjson_objects over the same files.
+    "q_jsonl_validate" -> ((s, dir) => {
+      val path = ensureJsonlExport(repoRowsFor(dir))
+      val v = JsonDocs.validate(JsonDocs.jsonl(s, path),
+        SchemaCompiler.compile(jsonlSchemaJson))
+      val cons = v.select(explode(col("violations")).as("f"))
+        .select(concat(lit("constraint/"), col("f.constraint")).as("label"))
+      val verd = v.select(
+        when(col("pass"), lit("verdict/valid"))
+          .when(exists(col("violations"),
+            f => f.getField("constraint") === "_parse.json"),
+            lit("verdict/malformed"))
+          .otherwise(lit("verdict/invalid")).as("label"))
+      cons.unionByName(verd).groupBy(col("label"))
+        .agg(count(lit(1)).as("n")).orderBy(col("label"))
+    }),
 
     "q_embedding_dims" -> ((s, dir) =>
       t(s, dir, "embeddings").groupBy(col("label"))
@@ -711,6 +780,58 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlFor(oracleExportRows)
 
   def oracleSqlFor(exportRows: Long): Map[String, String] = Map(
+    "q_jsonl_validate" ->
+      s"""WITH o AS (
+         |  SELECT json,
+         |    json IS NULL AS malformed,
+         |    json_type(json) = 'OBJECT' AS isobj,
+         |    json_type(json,'$$.id') AS idt,
+         |    json_type(json,'$$.a') AS at,
+         |    json_type(json,'$$.b') AS bt,
+         |    json_extract_string(json,'$$.b') AS bs,
+         |    CASE WHEN json_type(json,'$$.a') IN ('BIGINT','UBIGINT')
+         |         THEN CAST(json_extract(json,'$$.a') AS BIGINT) END AS av
+         |  FROM read_ndjson_objects('${jsonlExportDir(exportRows)}/*.jsonl',
+         |                           ignore_errors=true)
+         |), c AS (
+         |  SELECT 'constraint/_parse.json' AS label, count(*) AS n FROM o WHERE malformed
+         |  UNION ALL SELECT 'constraint/type', count(*) FROM o
+         |    WHERE NOT malformed AND NOT isobj
+         |  UNION ALL SELECT 'constraint/required',
+         |    (SELECT COALESCE(sum(CASE WHEN idt IS NULL THEN 1 ELSE 0 END)
+         |                   + sum(CASE WHEN at IS NULL THEN 1 ELSE 0 END), 0)
+         |     FROM o WHERE NOT malformed AND isobj)
+         |  UNION ALL SELECT 'constraint/properties/id/type', count(*) FROM o
+         |    WHERE NOT malformed AND isobj AND idt IS NOT NULL
+         |      AND idt NOT IN ('BIGINT','UBIGINT')
+         |  UNION ALL SELECT 'constraint/properties/a/type', count(*) FROM o
+         |    WHERE NOT malformed AND isobj AND at IS NOT NULL
+         |      AND at NOT IN ('BIGINT','UBIGINT')
+         |  UNION ALL SELECT 'constraint/properties/a/minimum', count(*) FROM o
+         |    WHERE av IS NOT NULL AND av < 0
+         |  UNION ALL SELECT 'constraint/properties/b/type', count(*) FROM o
+         |    WHERE NOT malformed AND isobj AND bt IS NOT NULL AND bt <> 'VARCHAR'
+         |  UNION ALL SELECT 'constraint/properties/b/pattern', count(*) FROM o
+         |    WHERE bt = 'VARCHAR' AND NOT regexp_matches(bs, '^x')
+         |  UNION ALL SELECT 'verdict/malformed', count(*) FROM o WHERE malformed
+         |  UNION ALL SELECT 'verdict/valid', count(*) FROM o
+         |    WHERE NOT malformed AND isobj
+         |      AND idt IN ('BIGINT','UBIGINT') AND at IN ('BIGINT','UBIGINT')
+         |      AND av >= 0
+         |      AND (bt IS NULL OR (bt = 'VARCHAR' AND regexp_matches(bs, '^x')))
+         |  -- invalid = parsed minus valid: negating the valid conjunction
+         |  -- trips DuckDB 1.0 three-valued-logic folding (the conjunction
+         |  -- evaluates to NULL, not FALSE, for bound-violating rows in
+         |  -- aggregate context), so derive it arithmetically instead
+         |  UNION ALL SELECT 'verdict/invalid',
+         |    (SELECT count(*) FROM o WHERE NOT malformed)
+         |    - (SELECT count(*) FROM o
+         |       WHERE NOT malformed AND isobj
+         |         AND idt IN ('BIGINT','UBIGINT') AND at IN ('BIGINT','UBIGINT')
+         |         AND av >= 0
+         |         AND (bt IS NULL OR (bt = 'VARCHAR' AND regexp_matches(bs, '^x'))))
+         |)
+         |SELECT label, CAST(n AS BIGINT) AS n FROM c WHERE n > 0 ORDER BY label""".stripMargin,
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | count(DISTINCT source) AS n_sources,

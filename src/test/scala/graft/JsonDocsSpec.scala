@@ -1,0 +1,94 @@
+package graft
+
+import graft.schema.SchemaCompiler
+import graft.sources.JsonDocs
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The raw-JSON-document sources (JSONL + whole-file) and their validate
+  * pass — the cluster analog of the reference CLI's file input. */
+class JsonDocsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private val schema = SchemaCompiler.compile(SparkEntry.jsonlSchemaJson)
+
+  private def tmpDir(name: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("jsonl source: per-line verdicts incl. malformed and non-object") {
+    val d = tmpDir("jsonl_src")
+    java.nio.file.Files.write(d.resolve("a.jsonl"),
+      ("""{"id":1,"a":5,"b":"xq"}""" + "\n" +
+       """{"id":2,"a":-3}"""        + "\n" +
+       """[7]"""                    + "\n" +
+       """{"id":4,"a":"""           + "\n").getBytes("UTF-8"))
+    val rows = JsonDocs.validate(JsonDocs.jsonl(spark, d.toString), schema)
+      .select(col("doc"), col("pass"),
+        col("violations.constraint").as("labels"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getSeq[String](2).toVector))).toMap
+    assert(rows("""{"id":1,"a":5,"b":"xq"}""") == ((true, Vector())))
+    assert(rows("""{"id":2,"a":-3}""") ==
+      ((false, Vector("properties/a/minimum"))))
+    assert(rows("[7]") == ((false, Vector("type"))))
+    assert(rows("""{"id":4,"a":""") == ((false, Vector("_parse.json"))))
+  }
+
+  test("whole-file source agrees with the jsonl source per document") {
+    val docs = Seq(
+      """{"id":1,"a":5,"b":"xq"}""",
+      """{"id":2,"a":-3,"b":"xx"}""",
+      """{"id":3,"b":"y"}""",
+      """not json""")
+    val dl = tmpDir("jsonl_par")
+    java.nio.file.Files.write(dl.resolve("docs.jsonl"),
+      docs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val dw = tmpDir("whole_par")
+    docs.zipWithIndex.foreach { case (s, i) =>
+      java.nio.file.Files.write(dw.resolve(s"doc_$i.json"), s.getBytes("UTF-8"))
+    }
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[String, Boolean] =
+      JsonDocs.validate(df, schema).select(col("doc"), col("pass"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(verdicts(JsonDocs.jsonl(spark, dl.toString)) ==
+           verdicts(JsonDocs.wholeFiles(spark, dw.toString)))
+  }
+
+  test("validate pass is shuffle-free (narrow projection over the scan)") {
+    val d = tmpDir("jsonl_plan")
+    java.nio.file.Files.write(d.resolve("a.jsonl"),
+      """{"id":1,"a":5}""".getBytes("UTF-8"))
+    val plan = JsonDocs.validate(JsonDocs.jsonl(spark, d.toString), schema)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty, plan.toString)
+  }
+
+  test("q_jsonl_validate label counts match a Scala recomputation of the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val n = SparkEntry.repoRowsFor(dir)
+    val got = SparkEntry.queries("q_jsonl_validate")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // independent recomputation from the generator, via the String-parse
+    // (always-exhaustive) evaluator rather than the pruned UTF8String path
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    (0L until n).foreach { k =>
+      val line = SparkEntry.jsonlLineOf(k)
+      val fails = graft.eval.RowEval.validateText(schema, line)
+      fails.foreach(f => expected(s"constraint/${f.constraint}") += 1)
+      val verdict =
+        if (fails.isEmpty) "verdict/valid"
+        else if (fails.exists(_.constraint == "_parse.json")) "verdict/malformed"
+        else "verdict/invalid"
+      expected(verdict) += 1
+    }
+    assert(got == expected.toMap, s"\ngot=$got\nexpected=$expected")
+    assert(got("verdict/valid") > 0 && got("verdict/malformed") > 0 &&
+           got("constraint/required") > 0)
+  }
+}

@@ -126,14 +126,20 @@ object RowEval {
         case _       => true
       }
 
-      case NumRange(min, minE, max, maxE) => v match {
-        case JNum(n) =>
+      case nr @ NumRange(min, minE, max, maxE) => v match {
+        case n: JNum =>
+          // raw-to-raw comparison (JNum.cmpBound) when both sides carry the
+          // two-long form: no BigDecimal materialization on the hot path
           (min match {
-            case Some(m) => if (minE) n > m else n >= m
-            case None    => true
+            case Some(m) =>
+              val c = JNum.cmpBound(n, m, nr.minRaw)
+              if (minE) c > 0 else c >= 0
+            case None => true
           }) && (max match {
-            case Some(m) => if (maxE) n < m else n <= m
-            case None    => true
+            case Some(m) =>
+              val c = JNum.cmpBound(n, m, nr.maxRaw)
+              if (maxE) c < 0 else c <= 0
+            case None => true
           })
         case _ => true
       }
@@ -346,17 +352,21 @@ object RowEval {
         if (!check(p, v, cs, depth))
           fail("pattern", s"string does not match /$pat/")
 
-      case NumRange(min, minE, max, maxE) => v match {
-        case JNum(n) =>
+      case nr @ NumRange(min, minE, max, maxE) => v match {
+        case n: JNum =>
+          // raw-to-raw compare; materialization (normalizeNum) only on the
+          // failure path, where the message needs the rendered value
           min.foreach { m =>
-            if (if (minE) n <= m else n < m)
+            val c = JNum.cmpBound(n, m, nr.minRaw)
+            if (if (minE) c <= 0 else c < 0)
               fail(if (minE) "exclusiveMinimum" else "minimum",
-                   s"${Json.normalizeNum(n)} < bound ${Json.normalizeNum(m)}")
+                   s"${Json.normalizeNum(n.value)} < bound ${Json.normalizeNum(m)}")
           }
           max.foreach { m =>
-            if (if (maxE) n >= m else n > m)
+            val c = JNum.cmpBound(n, m, nr.maxRaw)
+            if (if (maxE) c >= 0 else c > 0)
               fail(if (maxE) "exclusiveMaximum" else "maximum",
-                   s"${Json.normalizeNum(n)} > bound ${Json.normalizeNum(m)}")
+                   s"${Json.normalizeNum(n.value)} > bound ${Json.normalizeNum(m)}")
           }
         case _ => ()
       }
@@ -498,7 +508,7 @@ object RowEval {
     * numbers — same relation the canonical-form comparison encodes). */
   private def scalarEq(a: JValue, b: JValue): Boolean = a match {
     case JStr(x)  => b match { case JStr(y) => x == y; case _ => false }
-    case JNum(x)  => b match { case JNum(y) => x.compare(y) == 0; case _ => false }
+    case x: JNum  => b match { case y: JNum => JNum.cmp(x, y) == 0; case _ => false }
     case JBool(x) => b match { case JBool(y) => x == y; case _ => false }
     case JNull    => b == JNull
     case _        => false

@@ -57,7 +57,167 @@ case object JNull extends JValue
   * loudly if that invariant is ever broken. */
 case object JSkipped extends JValue
 final case class JBool(value: Boolean) extends JValue
-final case class JNum(value: BigDecimal) extends JValue
+
+/** JSON number. Numbers are BigDecimal-exact (draft-04 semantics: 1 == 1.0,
+  * fractional multipleOf, integrality test), but the BigDecimal itself is
+  * built LAZILY when the unscaled value needs more than 18 digits: the byte
+  * parser hands over a [[Dec128]] (two-long unscaled magnitude + scale) and
+  * the expensive BigInteger/BigDecimal materialization happens only if a
+  * constraint actually inspects the value in a way the raw form can't
+  * serve. Bound checks (`minimum`/`maximum`) compare raw-to-raw without
+  * materializing — on content whose wide decimals are only range-checked
+  * (the common machine-generated shape: high-precision scores, timestamps,
+  * money), the BigInteger construction disappears from the hot path
+  * entirely (it profiled at ~9% of flagship CPU).
+  *
+  * Equality/hashCode are numeric (scale-insensitive), matching the old
+  * case-class-over-scala-BigDecimal behavior. */
+final class JNum private (@volatile private var cached: BigDecimal,
+                          val raw: Dec128) extends JValue with Serializable {
+  /** The exact value; materializes (once) from [[raw]] on first use. */
+  def value: BigDecimal = {
+    var b = cached
+    if (b == null) { b = raw.toBigDecimal; cached = b } // benign race: equal
+    b
+  }
+  override def equals(o: Any): Boolean = o match {
+    case j: JNum => (this eq j) || JNum.cmp(this, j) == 0
+    case _       => false
+  }
+  override def hashCode: Int = value.hashCode
+  override def toString: String = s"JNum(${value})"
+}
+object JNum {
+  def apply(value: BigDecimal): JNum = new JNum(value, null)
+  def fromRaw(raw: Dec128): JNum = new JNum(null, raw)
+  def unapply(j: JNum): Some[BigDecimal] = Some(j.value)
+  /** Numeric comparison; raw-to-raw when both sides carry it. */
+  def cmp(a: JNum, b: JNum): Int =
+    if (a.raw != null && b.raw != null) Dec128.compare(a.raw, b.raw)
+    else a.value.compare(b.value)
+  /** Compare against a schema bound: raw-to-raw when the instance carries a
+    * raw form and the bound was representable ([[Dec128.fromBigDecimal]],
+    * cached on the plan node); exact BigDecimal otherwise. */
+  def cmpBound(n: JNum, m: BigDecimal, mRaw: Dec128): Int =
+    if (n.raw != null && mRaw != null) Dec128.compare(n.raw, mRaw)
+    else n.value.compare(m)
+}
+
+/** An unscaled decimal in two longs: value = sign × (hi·2^64 + lo) × 10^-scale
+  * with `hi:lo` the UNSIGNED 128-bit unscaled magnitude. Constructed only
+  * for magnitudes below 2^126 (< 10^38, ≤ 38 digits), which keeps every
+  * intermediate of [[Dec128.compare]]'s scale alignment inside 128 bits.
+  * Fields are final: instances publish safely across task threads without
+  * synchronization. Zero is normalized to neg=false. */
+final case class Dec128(neg: Boolean, hi: Long, lo: Long, scale: Int) {
+  def isZero: Boolean = hi == 0L && lo == 0L
+  def signum: Int = if (isZero) 0 else if (neg) -1 else 1
+  def toBigDecimal: BigDecimal = {
+    val mag = new Array[Byte](16)
+    var b = 0
+    while (b < 8) {
+      mag(b) = (hi >>> ((7 - b) * 8)).toByte
+      mag(b + 8) = (lo >>> ((7 - b) * 8)).toByte
+      b += 1
+    }
+    val unscaled = new java.math.BigInteger(signum, mag)
+    BigDecimal(new java.math.BigDecimal(unscaled, scale))
+  }
+}
+object Dec128 {
+  /** Raw form of a BigDecimal, or null when the unscaled value needs more
+    * than 126 bits (> 38 digits) — callers fall back to exact BigDecimal. */
+  def fromBigDecimal(v: BigDecimal): Dec128 = {
+    val u = v.underlying.unscaledValue
+    if (u.bitLength > 126) return null
+    val abs = u.abs
+    Dec128(u.signum < 0 && abs.signum != 0,
+           abs.shiftRight(64).longValue, abs.longValue, v.underlying.scale)
+  }
+
+  /** Decimal digit count of the unsigned 128-bit magnitude (≥ 1 digit for
+    * zero, but callers handle zero before calling). */
+  private def digits128(hi: Long, lo: Long): Int = {
+    if (hi == 0L) {
+      // unsigned 64-bit digit ladder
+      if (lo >= 0L) {
+        var d = 1
+        var t = lo
+        while (t >= 10L) { t /= 10L; d += 1 }
+        d
+      } else if (java.lang.Long.compareUnsigned(lo, Ten19) < 0) 19
+      else 20 // 10^19 ≤ lo < 2^64 < 10^20
+    } else {
+      // ≥ 2^64: between 20 and 39 digits; walk the 128-bit pow10 ladder
+      var d = 20
+      while (d < Pow10Hi.length &&
+             cmp128(hi, lo, Pow10Hi(d), Pow10Lo(d)) >= 0) d += 1
+      d
+    }
+  }
+
+  private val Ten19 = java.lang.Long.parseUnsignedLong("10000000000000000000")
+
+  // 10^k as (hi, lo) for k = 0..38 (10^38 < 2^127)
+  private val Pow10Hi = new Array[Long](39)
+  private val Pow10Lo = new Array[Long](39)
+  locally {
+    var hi = 0L; var lo = 1L
+    var k = 0
+    while (k < 39) {
+      Pow10Hi(k) = hi; Pow10Lo(k) = lo
+      val nl = lo * 10L
+      val carry = Math.multiplyHigh(lo, 10L) + (if (lo < 0L) 10L else 0L)
+      hi = hi * 10L + carry; lo = nl
+      k += 1
+    }
+  }
+
+  private def cmp128(ah: Long, al: Long, bh: Long, bl: Long): Int = {
+    val h = java.lang.Long.compareUnsigned(ah, bh)
+    if (h != 0) h else java.lang.Long.compareUnsigned(al, bl)
+  }
+
+  /** Exact comparison of two raw decimals, allocation-free.
+    * Precondition (by construction): both magnitudes ≤ 38 digits. */
+  def compare(a: Dec128, b: Dec128): Int = {
+    val sa = a.signum; val sb = b.signum
+    if (sa != sb) return java.lang.Integer.compare(sa, sb)
+    if (sa == 0) return 0
+    // same nonzero sign: compare magnitudes, flip if negative
+    val m = compareMagnitude(a, b)
+    if (sa < 0) -m else m
+  }
+
+  private def compareMagnitude(a: Dec128, b: Dec128): Int = {
+    val da = digits128(a.hi, a.lo)
+    val db = digits128(b.hi, b.lo)
+    // exponent = count of integer digits; differing exponents decide
+    val ea = da - a.scale
+    val eb = db - b.scale
+    if (ea != eb) return java.lang.Integer.compare(ea, eb)
+    // equal exponents: align the smaller-scale side up to the larger scale.
+    // The aligned magnitude has exactly max(da, db) ≤ 38 digits (equal
+    // exponents make digit counts match after alignment), so the ×10 loop
+    // never leaves 128 bits.
+    var ah = a.hi; var al = a.lo
+    var bh = b.hi; var bl = b.lo
+    var d = a.scale - b.scale
+    while (d > 0) { // b has the smaller scale → scale b up
+      val nl = bl * 10L
+      val carry = Math.multiplyHigh(bl, 10L) + (if (bl < 0L) 10L else 0L)
+      bh = bh * 10L + carry; bl = nl
+      d -= 1
+    }
+    while (d < 0) { // a has the smaller scale → scale a up
+      val nl = al * 10L
+      val carry = Math.multiplyHigh(al, 10L) + (if (al < 0L) 10L else 0L)
+      ah = ah * 10L + carry; al = nl
+      d += 1
+    }
+    cmp128(ah, al, bh, bl)
+  }
+}
 final case class JStr(value: String) extends JValue
 final case class JArr(items: Vector[JValue]) extends JValue
 final case class JObj(fields: JFields) extends JValue {

@@ -680,27 +680,19 @@ object Utf8Json {
           k += 1
         }
         // hi·10^18 + lo as an unsigned 128-bit (high:low) pair — one
-        // multiplyHigh intrinsic + carry, then ONE BigInteger from the
-        // 16-byte big-endian magnitude. The former valueOf/multiply/add
-        // chain allocated four intermediate BigIntegers per number and was
-        // 13% of flagship CPU in the post-rewrite JFR profile (hi < 10^18,
-        // so the product < 10^36 < 2^120 never overflows the pair).
+        // multiplyHigh intrinsic + carry (hi < 10^18, so the product
+        // < 10^36 < 2^120 never overflows the pair). The pair goes into the
+        // JNum RAW (Dec128): no BigInteger/BigDecimal is built unless a
+        // constraint actually needs the materialized value — bound checks
+        // compare raw-to-raw (the BigInteger construction previously
+        // profiled at ~9% of flagship CPU on wide-decimal content).
         val pLow = hi * 1000000000000000000L
         var high = Math.multiplyHigh(hi, 1000000000000000000L)
         val low = pLow + lo
         if (java.lang.Long.compareUnsigned(low, pLow) < 0) high += 1L
-        val mag = new Array[Byte](16)
-        var bi = 0
-        while (bi < 8) {
-          mag(bi) = (high >>> ((7 - bi) * 8)).toByte
-          mag(bi + 8) = (low >>> ((7 - bi) * 8)).toByte
-          bi += 1
-        }
-        // signum 0 for an all-zero digit run ("-0.0000000000000000000"):
-        // BigInteger rejects a nonzero signum with a zero magnitude
-        val signum = if (high == 0L && low == 0L) 0 else if (neg) -1 else 1
-        val unscaled = new java.math.BigInteger(signum, mag)
-        JNum(BigDecimal(new java.math.BigDecimal(unscaled, scale.toInt)))
+        // zero magnitude ("-0.0000000000000000000") normalizes to non-neg
+        JNum.fromRaw(Dec128(neg && !(high == 0L && low == 0L),
+                            high, low, scale.toInt))
       } else {
         val s = spanString(start, i)
         try JNum(BigDecimal(s))

@@ -78,7 +78,16 @@ object CPlan {
 
   /** minimum/maximum/exclusive* folded into one interval (jvst NUM_RANGE). */
   final case class NumRange(min: Option[BigDecimal], minExclusive: Boolean,
-                            max: Option[BigDecimal], maxExclusive: Boolean) extends CPlan
+                            max: Option[BigDecimal], maxExclusive: Boolean) extends CPlan {
+    /** Raw (two-long) forms of the bounds, computed once per executor:
+      * instances parsed to a raw [[graft.json.Dec128]] then range-check
+      * without materializing a BigDecimal (null when a bound needs > 38
+      * digits — the eval falls back to exact BigDecimal). */
+    @transient lazy val minRaw: graft.json.Dec128 =
+      min.map(graft.json.Dec128.fromBigDecimal).orNull
+    @transient lazy val maxRaw: graft.json.Dec128 =
+      max.map(graft.json.Dec128.fromBigDecimal).orNull
+  }
 
   /** `multipleOf` (jvst NUM_MULTIPLE_OF); decimal-exact semantics.
     * `kLong` caches k as a positive Long when exactly representable (0

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.json.{Dec128, JNum, Json, Utf8Json}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dec128 (two-long raw decimal) vs BigDecimal: the raw comparison that
+  * serves NumRange bound checks without materializing a BigInteger must
+  * order EXACTLY like BigDecimal.compare for every representable pair. */
+class Dec128Spec extends AnyFunSuite {
+
+  private def raw(s: String): Dec128 = Dec128.fromBigDecimal(BigDecimal(s))
+
+  test("hand-picked ordering pairs incl. scale-mismatched equals and zeros") {
+    val cases = Seq(
+      ("0", "0"), ("0", "0.000"), ("-0.00", "0"), ("0E-34", "0"),
+      ("1", "1.000"), ("1.0", "1"), ("-1", "1"), ("-1.5", "-1.50"),
+      ("0.9999999999999999999999999999999999", "1"),
+      ("1.0000000000000000000000000000000001", "1"),
+      ("0.1228771228771228771228771228771229", "1"),
+      ("0.1228771228771228771228771228771229", "0"),
+      ("0.1228771228771228771228771228771229",
+       "0.1228771228771228771228771228771228"),
+      ("123456789012345678901234567890.123456",
+       "123456789012345678901234567890.123457"),
+      ("-123456789012345678901234567890.123456",
+       "-123456789012345678901234567890.123457"),
+      ("1e30", "999999999999999999999999999999"),   // 10^30 vs 30 nines
+      ("1e-30", "0"), ("-1e-30", "0"), ("5", "5e0"), ("50e-1", "5"),
+      ("18446744073709551616", "18446744073709551615"), // 2^64 boundary
+      ("9223372036854775808", "9223372036854775807"),   // 2^63 boundary
+      ("10000000000000000000", "9999999999999999999"),  // 10^19 boundary
+      ("1.7976931348623157", "1.7976931348623158")
+    )
+    cases.foreach { case (a, b) =>
+      val (ba, bb) = (BigDecimal(a), BigDecimal(b))
+      val (ra, rb) = (raw(a), raw(b))
+      assert(ra != null && rb != null, s"unrepresentable: $a / $b")
+      assert(Integer.signum(Dec128.compare(ra, rb)) ==
+             Integer.signum(ba.compare(bb)), s"compare($a, $b)")
+      assert(Integer.signum(Dec128.compare(rb, ra)) ==
+             Integer.signum(bb.compare(ba)), s"compare($b, $a)")
+    }
+  }
+
+  test("fromBigDecimal round-trips through toBigDecimal exactly") {
+    val vals = Seq("0", "-0.00", "1", "-1", "0.5", "1e30", "-1e-30",
+      "0.1228771228771228771228771228771229",
+      "-123456789012345678901234567890.123456",
+      "18446744073709551616", "9999999999999999999999999999999999999")
+    vals.foreach { s =>
+      val b = BigDecimal(s)
+      val r = Dec128.fromBigDecimal(b)
+      assert(r != null, s)
+      // exact: same unscaled value AND same scale (not just numeric equal)
+      assert(r.toBigDecimal.underlying.compareTo(b.underlying) == 0, s)
+      assert(r.toBigDecimal.underlying.scale == b.underlying.scale, s)
+    }
+    // beyond 126 bits (38 nines ≈ 1e38 > 2^126) → not representable,
+    // callers fall back to exact BigDecimal
+    assert(Dec128.fromBigDecimal(
+      BigDecimal("99999999999999999999999999999999999999")) == null)
+  }
+
+  private val genDec: Gen[BigDecimal] = for {
+    digits <- Gen.choose(1, 37) // < 10^37 < 2^126: always representable
+    ds <- Gen.listOfN(digits, Gen.choose(0, 9))
+    neg <- Gen.oneOf(true, false)
+    scale <- Gen.choose(-40, 80)
+  } yield {
+    val mag = BigInt(ds.mkString)
+    BigDecimal(new java.math.BigDecimal(
+      (if (neg) -mag else mag).underlying, scale))
+  }
+
+  test("ScalaCheck differential: Dec128.compare == BigDecimal.compare") {
+    val prop = Prop.forAll(genDec, genDec) { (a, b) =>
+      val (ra, rb) = (Dec128.fromBigDecimal(a), Dec128.fromBigDecimal(b))
+      ra != null && rb != null &&
+        Integer.signum(Dec128.compare(ra, rb)) == Integer.signum(a.compare(b))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3000)
+        .withInitialSeed(Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("parsed wide decimals range-check without materializing (verdicts)") {
+    // the fixture's score shape: 34-digit decimal in [0, 1), bounds 0 / 1
+    val doc = """{"score":0.1228771228771228771228771228771229}"""
+    val schema = graft.schema.SchemaCompiler.compile(
+      """{"properties":{"score":{"type":"number","minimum":0,
+        |"maximum":1,"exclusiveMaximum":true}}}""".stripMargin)
+    assert(graft.eval.RowEval.isValidText(schema,
+      UTF8String.fromString(doc)))
+    assert(!graft.eval.RowEval.isValidText(schema,
+      UTF8String.fromString("""{"score":1.0000000000000000000000000000000001}""")))
+    assert(!graft.eval.RowEval.isValidText(schema,
+      UTF8String.fromString("""{"score":-0.0000000000000000000000000000000001}""")))
+    // boundary: exclusiveMaximum rejects exactly 1 spelled with 34 digits
+    assert(!graft.eval.RowEval.isValidText(schema,
+      UTF8String.fromString("""{"score":1.000000000000000000000000000000000}""")))
+    assert(graft.eval.RowEval.isValidText(schema,
+      UTF8String.fromString("""{"score":0.9999999999999999999999999999999999}""")))
+    // inclusive minimum accepts a 19-zero-digit zero
+    assert(graft.eval.RowEval.isValidText(schema,
+      UTF8String.fromString("""{"score":0.0000000000000000000}""")))
+  }
+
+  test("lazy JNum: equality, hashing and canonical form match the eager path") {
+    val texts = Seq("0.1228771228771228771228771228771229",
+      "-123456789012345678901234567890.123456",
+      "1234567890123456789012345", "-0.0000000000000000000")
+    texts.foreach { t =>
+      val lazyN = Utf8Json.parse(UTF8String.fromString(t))
+      val eagerN = Json.parse(t)
+      assert(lazyN == eagerN, t)
+      assert(eagerN == lazyN, t)
+      assert(Json.canonical(lazyN) == Json.canonical(eagerN), t)
+    }
+  }
+}

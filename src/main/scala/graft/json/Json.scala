@@ -237,13 +237,18 @@ object JObj {
   * (it replaced VectorMap: vector + champ-map + entry tuples per object).
   * Serializable by construction (ships inside compiled plans). */
 final class JFields(private val ks: Array[String],
-                    private val vs: Array[JValue])
+                    private val vs: Array[JValue],
+                    private val n: Int)
     extends Iterable[(String, JValue)] with Serializable {
-  def size0: Int = ks.length
-  override def size: Int = ks.length
+  // The arrays may carry slack beyond n: Builder.result hands its backing
+  // arrays over as-is (the trim copyOf pair was a visible slice of parse
+  // allocation). Every access must bound by n, not ks.length.
+  def this(ks: Array[String], vs: Array[JValue]) = this(ks, vs, ks.length)
+  def size0: Int = n
+  override def size: Int = n
   private def indexOf(key: String): Int = {
     var i = 0
-    while (i < ks.length) { if (ks(i) == key) return i; i += 1 }
+    while (i < n) { if (ks(i) == key) return i; i += 1 }
     -1
   }
   def contains(key: String): Boolean = indexOf(key) >= 0
@@ -251,40 +256,51 @@ final class JFields(private val ks: Array[String],
     val i = indexOf(key)
     if (i >= 0) Some(vs(i)) else None
   }
-  def keysIterable: Iterable[String] = ks.toSeq
+  def keysIterable: Iterable[String] = ks.take(n).toSeq
   def keyAt(i: Int): String = ks(i)
   def valueAt(i: Int): JValue = vs(i)
   def updated(key: String, v: JValue): JFields = {
     val i = indexOf(key)
-    if (i >= 0) { val nvs = vs.clone(); nvs(i) = v; new JFields(ks, nvs) }
-    else new JFields(ks :+ key, vs :+ v)
+    if (i >= 0) {
+      val nvs = java.util.Arrays.copyOf(vs, n); nvs(i) = v
+      new JFields(java.util.Arrays.copyOf(ks, n), nvs, n)
+    } else new JFields(ks.take(n) :+ key, vs.take(n) :+ v)
   }
   def removed(key: String): JFields = {
     val i = indexOf(key)
     if (i < 0) this
-    else new JFields(ks.patch(i, Nil, 1), vs.patch(i, Nil, 1))
+    else new JFields(ks.take(n).patch(i, Nil, 1), vs.take(n).patch(i, Nil, 1))
   }
   def iterator: Iterator[(String, JValue)] = new Iterator[(String, JValue)] {
     private var i = 0
-    def hasNext: Boolean = i < ks.length
+    def hasNext: Boolean = i < n
     def next(): (String, JValue) = { val t = (ks(i), vs(i)); i += 1; t }
   }
   override def equals(o: Any): Boolean = o match {
     case f: JFields =>
-      ks.length == f.ks.length &&
-        java.util.Arrays.equals(ks.asInstanceOf[Array[AnyRef]],
-                                f.ks.asInstanceOf[Array[AnyRef]]) &&
-        java.util.Arrays.equals(vs.asInstanceOf[Array[AnyRef]],
-                                f.vs.asInstanceOf[Array[AnyRef]])
+      if (n != f.n) return false
+      var i = 0
+      while (i < n) {
+        if (ks(i) != f.ks(i) || vs(i) != f.vs(i)) return false
+        i += 1
+      }
+      true
     case _ => false
   }
-  override def hashCode: Int =
-    java.util.Arrays.hashCode(ks.asInstanceOf[Array[AnyRef]]) * 31 +
-      java.util.Arrays.hashCode(vs.asInstanceOf[Array[AnyRef]])
+  override def hashCode: Int = {
+    var hk = 1; var hv = 1
+    var i = 0
+    while (i < n) {
+      hk = 31 * hk + ks(i).hashCode
+      hv = 31 * hv + (if (vs(i) == null) 0 else vs(i).hashCode)
+      i += 1
+    }
+    hk * 31 + hv
+  }
 }
 
 object JFields {
-  val empty: JFields = new JFields(Array.empty, Array.empty)
+  val empty: JFields = new JFields(Array.empty, Array.empty, 0)
   def apply(kvs: (String, JValue)*): JFields = {
     val b = new Builder
     kvs.foreach { case (k, v) => b.add(k, v) }
@@ -309,8 +325,9 @@ object JFields {
       }
       ks(n) = k; vs(n) = v; n += 1
     }
-    def result(): JFields =
-      new JFields(java.util.Arrays.copyOf(ks, n), java.util.Arrays.copyOf(vs, n))
+    // hand the backing arrays over (builders are single-use, one per
+    // object): no trim copy; JFields bounds every access by n
+    def result(): JFields = new JFields(ks, vs, n)
   }
 }
 

@@ -22,11 +22,19 @@ final class CachedPattern(val pattern: java.util.regex.Pattern) extends Serializ
   // One Matcher cache per compiled pattern: with several patterns live these
   // were the bulk of the JVM's ThreadLocals, and ThreadLocalMap collision
   // probing (getEntryAfterMiss) profiled hot — ThreadSlots is one volatile
-  // read + identity compare per fetch instead.
-  @transient private lazy val tl =
-    new graft.util.ThreadSlots[java.util.regex.Matcher](() => pattern.matcher(""))
+  // read + identity compare per fetch instead. Plain var, not lazy val: the
+  // lazy access path is a volatile bitmap read per find(). The race on first
+  // use is benign — ThreadSlots has only final fields (safe publication under
+  // the JMM even unsynchronized), duplicate instances each stay
+  // thread-correct, and one winner ends up cached.
+  @transient private var tl: graft.util.ThreadSlots[java.util.regex.Matcher] = _
   def find(s: CharSequence): Boolean = {
-    val m = tl.get()
+    var slots = tl
+    if (slots eq null) {
+      slots = new graft.util.ThreadSlots[java.util.regex.Matcher](() => pattern.matcher(""))
+      tl = slots
+    }
+    val m = slots.get()
     m.reset(s)
     val r = m.find()
     m.reset("") // drop the reference so the row's string is not retained
@@ -48,15 +56,23 @@ object CPlan {
       * check is `(mask & v.tag) != 0` instead of a Set[String] probe.
       * "integer" is NOT in the mask — it additionally requires integrality,
       * tracked by [[hasInteger]]. Unknown names contribute no bit, matching
-      * Set.contains-returns-false. */
-    @transient lazy val mask: Int = types.foldLeft(0) { (m, t) =>
+      * Set.contains-returns-false.
+      *
+      * Strict vals, not @transient lazy (likewise for the other precomputed
+      * plan-node fields below): the hot check() loop reads these once per
+      * node per ROW, and a lazy val's initialized-access path is still a
+      * volatile bitmap read the JIT cannot hoist — TypeIs.mask() alone
+      * profiled at ~4.5% of single-thread flagship samples. All are small
+      * and Serializable, so they ship with the plan and are restored
+      * directly on deserialization. */
+    val mask: Int = types.foldLeft(0) { (m, t) =>
       m | (t match {
         case "null" => 1; case "boolean" => 2; case "number" => 4
         case "string" => 8; case "array" => 16; case "object" => 32
         case _ => 0
       })
     }
-    @transient lazy val hasInteger: Boolean = types.contains("integer")
+    val hasInteger: Boolean = types.contains("integer")
   }
 
   /** `enum` — deep equality against literal set; pre-canonicalized forms.
@@ -64,28 +80,30 @@ object CPlan {
     * enum member iff its raw string is in this set (canonical encoding is
     * injective on strings), so the hot path skips re-canonicalizing. */
   final case class InEnum(canon: Set[String]) extends CPlan {
-    @transient lazy val strMembers: Set[String] =
+    val strMembers: Set[String] =
       canon.flatMap(c => Json.parseOpt(c).collect { case JStr(s) => s })
   }
 
   /** `pattern` — unanchored regex match on strings.
     * jvst: STR_MATCH via libfsm DFA; here JVM regex (superset dialect). */
   final case class StrPattern(pattern: String) extends CPlan {
-    @transient lazy val compiled: java.util.regex.Pattern =
+    // Pattern and CachedPattern are Serializable (the Matcher cache inside
+    // CachedPattern is itself @transient lazy), so strict vals are safe here
+    val compiled: java.util.regex.Pattern =
       java.util.regex.Pattern.compile(pattern)
-    @transient lazy val cached: CachedPattern = new CachedPattern(compiled)
+    val cached: CachedPattern = new CachedPattern(compiled)
   }
 
   /** minimum/maximum/exclusive* folded into one interval (jvst NUM_RANGE). */
   final case class NumRange(min: Option[BigDecimal], minExclusive: Boolean,
                             max: Option[BigDecimal], maxExclusive: Boolean) extends CPlan {
-    /** Raw (two-long) forms of the bounds, computed once per executor:
+    /** Raw (two-long) forms of the bounds, computed once at plan build:
       * instances parsed to a raw [[graft.json.Dec128]] then range-check
       * without materializing a BigDecimal (null when a bound needs > 38
       * digits — the eval falls back to exact BigDecimal). */
-    @transient lazy val minRaw: graft.json.Dec128 =
+    val minRaw: graft.json.Dec128 =
       min.map(graft.json.Dec128.fromBigDecimal).orNull
-    @transient lazy val maxRaw: graft.json.Dec128 =
+    val maxRaw: graft.json.Dec128 =
       max.map(graft.json.Dec128.fromBigDecimal).orNull
   }
 
@@ -96,7 +114,7 @@ object CPlan {
     * divideAndRemainder, which profiled as the single hottest allocation
     * site of the whole validation pass. */
   final case class NumMultipleOf(k: BigDecimal) extends CPlan {
-    @transient lazy val kLong: Long =
+    val kLong: Long =
       if (k.scale <= 0 && k.isValidLong) k.toLong else 0L
   }
 
@@ -115,7 +133,7 @@ object CPlan {
                          patterns: Vector[(String, CPlan)],
                          additional: Option[CPlan]) extends CPlan {
     /** Null-returning lookup for the per-field hot loop (no Option churn). */
-    @transient lazy val propsJ: java.util.HashMap[String, CPlan] = {
+    val propsJ: java.util.HashMap[String, CPlan] = {
       val m = new java.util.HashMap[String, CPlan](math.max(4, props.size * 2))
       props.foreach { case (k, v) => m.put(k, v) }
       m
@@ -125,13 +143,13 @@ object CPlan {
       * indirection at typical schema sizes (JFR: the propsJ probe was ~4% of
       * flagship CPU). [[graft.eval.RowEval]] uses these when
       * `propKeys.length <= 16`, the HashMap otherwise. */
-    @transient lazy val propKeys: Array[String] = props.keysIterator.toArray
-    @transient lazy val propHashes: Array[Int] = propKeys.map(_.hashCode)
-    @transient lazy val propPlans: Array[CPlan] = propKeys.map(props)
-    @transient lazy val patternsC: Array[(CachedPattern, CPlan)] =
+    val propKeys: Array[String] = props.keysIterator.toArray
+    val propHashes: Array[Int] = propKeys.map(_.hashCode)
+    val propPlans: Array[CPlan] = propKeys.map(props)
+    val patternsC: Array[(CachedPattern, CPlan)] =
       patterns.map { case (r, s) =>
         (new CachedPattern(java.util.regex.Pattern.compile(r)), s) }.toArray
-    @transient lazy val additionalOrNull: CPlan = additional.orNull
+    val additionalOrNull: CPlan = additional.orNull
   }
 
   /** minProperties/maxProperties (jvst COUNT_RANGE on object). */
@@ -156,13 +174,13 @@ object CPlan {
   /** Combinators (jvst AND/OR/XOR/NOT cnodes; oneOf lowers to SPLIT+popcount
     * in jvst's IR — here a plain exactly-one count). */
   final case class AllOf(subs: Vector[CPlan]) extends CPlan {
-    @transient lazy val subsArr: Array[CPlan] = subs.toArray
+    val subsArr: Array[CPlan] = subs.toArray
   }
   final case class AnyOf(subs: Vector[CPlan]) extends CPlan {
-    @transient lazy val subsArr: Array[CPlan] = subs.toArray
+    val subsArr: Array[CPlan] = subs.toArray
   }
   final case class OneOf(subs: Vector[CPlan]) extends CPlan {
-    @transient lazy val subsArr: Array[CPlan] = subs.toArray
+    val subsArr: Array[CPlan] = subs.toArray
   }
   final case class Not(sub: CPlan) extends CPlan
 

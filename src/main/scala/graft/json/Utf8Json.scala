@@ -623,15 +623,21 @@ object Utf8Json {
       if (i >= n) fail("truncated number")
       if (at(i) == '0') { acc = 0; digits = 1; i += 1 }
       else if (at(i) >= '1' && at(i) <= '9') {
-        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) {
-          acc = acc * 10 + (at(i) - '0'); digits += 1; i += 1
+        // single byte read per digit (the condition re-reading at(i) doubled
+        // the Unsafe traffic of the hottest numeric loop in the profile)
+        var b = at(i)
+        while (b >= '0' && b <= '9') {
+          acc = acc * 10 + (b - '0'); digits += 1; i += 1
+          b = if (i < n) at(i) else 0
         }
       } else fail("invalid number")
       if (i < n && at(i) == '.') {
         i += 1
         if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid fraction")
-        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) {
-          acc = acc * 10 + (at(i) - '0'); digits += 1; fracDigits += 1; i += 1
+        var b = at(i)
+        while (b >= '0' && b <= '9') {
+          acc = acc * 10 + (b - '0'); digits += 1; fracDigits += 1; i += 1
+          b = if (i < n) at(i) else 0
         }
       }
       var expOverflow = false
@@ -641,10 +647,12 @@ object Utf8Json {
         i += 1
         if (i < n && (at(i) == '+' || at(i) == '-')) { expNeg = at(i) == '-'; i += 1 }
         if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid exponent")
-        while (i < n && { val b = at(i); b >= '0' && b <= '9' }) {
-          if (exp < 1000000000L) exp = exp * 10 + (at(i) - '0')
+        var b = at(i)
+        while (b >= '0' && b <= '9') {
+          if (exp < 1000000000L) exp = exp * 10 + (b - '0')
           else expOverflow = true
           i += 1
+          b = if (i < n) at(i) else 0
         }
         if (expNeg) exp = -exp
       }

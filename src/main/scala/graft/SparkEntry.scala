@@ -508,6 +508,19 @@ object SparkEntry {
           "c000", "c111")
         .orderBy(col("key"))),
 
+    // schema INFERENCE: the per-key observation profile SchemaInfer.suggest
+    // assembles a draft-04 schema from — types, numeric bounds, string
+    // length bounds per top-level key. DuckDB recomputes every column from
+    // json_keys + json_extract over the exported table. n_int (exact
+    // BigDecimal integrality) stays engine-internal: DuckDB can only test
+    // integrality on the double cast, which diverges on wide decimals
+    // (2^70 + 0.5 double-rounds to integral).
+    "q_schema_infer" -> ((s, dir) =>
+      operators.SchemaInfer.profile(
+          repoFiles(s, dir).filter(col("lang") === "json"))
+        .drop("n_int")
+        .orderBy(col("key"))),
+
     // windowed event-time streaming rates, driver-verified: events-derived
     // docs with a deterministic timestamp (10 one-minute windows) drain
     // through the watermarked Append-mode window aggregate in TWO runs —
@@ -1110,6 +1123,33 @@ object SparkEntry {
          |      FROM rf WHERE lang = 'json')
          |SELECT commit, key, count(*) AS n_docs
          |FROM k GROUP BY commit, key ORDER BY commit, key""".stripMargin,
+    "q_schema_infer" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |j AS (SELECT content FROM rf
+         |      WHERE lang = 'json' AND json_valid(content)
+         |        AND json_type(content) = 'OBJECT'),
+         |k AS (SELECT content, unnest(json_keys(content)) AS key FROM j),
+         |v AS (SELECT key, json_extract(content, '$$."' || key || '"') AS val FROM k),
+         |t AS (SELECT key,
+         |        -- json_extract returns SQL NULL for a JSON null value; the
+         |        -- key came from json_keys so it is always present, making
+         |        -- SQL NULL here unambiguously the JSON null member
+         |        CASE WHEN val IS NULL THEN 'null' ELSE
+         |        CASE json_type(val)
+         |          WHEN 'VARCHAR' THEN 'string' WHEN 'ARRAY' THEN 'array'
+         |          WHEN 'OBJECT' THEN 'object' WHEN 'BOOLEAN' THEN 'boolean'
+         |          WHEN 'NULL' THEN 'null' ELSE 'number' END END AS tpe,
+         |        CASE WHEN json_type(val) IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+         |             THEN TRY_CAST(val AS DOUBLE) END AS num,
+         |        CASE WHEN json_type(val) = 'VARCHAR'
+         |             THEN CAST(length(val ->> '$$') AS INT) END AS slen
+         |      FROM v)
+         |SELECT key, count(*) AS n_docs,
+         |  string_agg(DISTINCT tpe, ',' ORDER BY tpe) AS types,
+         |  CAST(count(num) AS BIGINT) AS n_num,
+         |  min(num) AS min_num, max(num) AS max_num,
+         |  min(slen) AS min_str_len, max(slen) AS max_str_len
+         |FROM t GROUP BY key ORDER BY key""".stripMargin,
     "q_key_drift" ->
       s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |k AS (SELECT commit, unnest(

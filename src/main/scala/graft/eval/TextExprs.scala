@@ -72,10 +72,84 @@ case class TopLevelKeysExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-member type/shape stats of a top-level JSON object — the input to
+  * schema inference ([[graft.operators.SchemaInfer]]). One full strict parse
+  * per document (values must be inspected here, unlike
+  * [[TopLevelKeysExpr]]'s structural skip), then one struct per member:
+  * draft-04 type name, exact integrality (BigDecimal isWhole — NOT the
+  * double round-trip, so 2^70+0.5 is correctly non-integral), numeric value
+  * as double (null for non-numbers; correctly-rounded, so it matches any
+  * other correctly-rounded decimal→double conversion bit-for-bit), and a
+  * per-type length (string = code points, array = element count, object =
+  * key count). Null for malformed or non-object documents — same strict
+  * acceptance as the byte parser everywhere else (trailing content
+  * rejected). Duplicate top-level keys collapse last-wins like every parse
+  * in this engine. */
+case class KeyStatsExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  import graft.json._
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("tpe", StringType, nullable = false),
+    StructField("is_int", BooleanType, nullable = false),
+    StructField("num", DoubleType, nullable = true),
+    StructField("len", IntegerType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_key_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    graft.json.Utf8Json.parseOrNull(input.asInstanceOf[UTF8String]) match {
+      case JObj(fields) =>
+        val out = new Array[Any](fields.size0)
+        var i = 0
+        while (i < fields.size0) {
+          val k = fields.keyAt(i)
+          val v = fields.valueAt(i)
+          var isInt = false
+          var num: Any = null
+          var len: Any = null
+          val tpe = v match {
+            case n: JNum =>
+              val bd = n.value
+              isInt = bd.isWhole
+              num = java.lang.Double.valueOf(bd.doubleValue)
+              "number"
+            case JStr(s) =>
+              len = java.lang.Integer.valueOf(s.codePointCount(0, s.length))
+              "string"
+            case JArr(xs) =>
+              len = java.lang.Integer.valueOf(xs.length)
+              "array"
+            case JObj(fs) =>
+              len = java.lang.Integer.valueOf(fs.size0)
+              "object"
+            case _: JBool => "boolean"
+            case JNull    => "null"
+            case JSkipped => throw new IllegalStateException("unpruned parse")
+          }
+          out(i) = org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(k), UTF8String.fromString(tpe),
+            isInt, num, len)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case _ => null
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   /** SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  /** Per-member type/shape stats of a top-level JSON object (input to
+    * schema inference). */
+  def jsonKeyStats(content: Column): Column =
+    Bridge.column(KeyStatsExpr(Bridge.expression(content)))
 
   /** Top-level JSON object keys (fast byte-scan analog of
     * `json_object_keys`). */

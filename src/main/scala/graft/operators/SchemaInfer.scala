@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.json._
+
+/** Schema inference: observed JSON documents → a suggested draft-04 schema.
+  *
+  * The discovery complement of validation (and of [[Stats.keyProfile]]'s
+  * key-space survey): given a corpus column of JSON objects, derive the
+  * schema a maintainer would write for it — per-key types (with "integer"
+  * when every observed number is exactly integral), numeric bounds, string
+  * length bounds, and `required` for keys present in every document. The
+  * reference has no such operator (jvst only checks a given schema); this
+  * is deliberate pipeline surface for the 100 TB shape, where validation
+  * contracts for scraped/machine-generated JSON usually do not exist yet
+  * and must be derived from the data before they can be enforced.
+  *
+  * Shape for 100 TB: [[profile]] is one narrow scalar pass
+  * ([[graft.eval.KeyStatsExpr]], one strict parse per document) followed by
+  * explode + groupBy(key) — partial aggregation runs map-side, so the only
+  * shuffle carries per-(partition, key) partials, bounded by distinct
+  * top-level keys × partitions, not by table size. [[suggest]] collects
+  * only the per-key profile (distinct top-level keys — small by
+  * construction for any schema'd corpus) plus one scalar count.
+  *
+  * Round-trip guarantee (spec-asserted): every well-formed top-level-object
+  * document that participated in the profile validates against the
+  * suggested schema. Bounds make this safe by construction: `minimum` /
+  * `maximum` are widened two ulps beyond the observed double min/max — the
+  * profile's doubles are correctly-rounded casts of exact decimal values,
+  * so an exact instance value can sit at most half an ulp outside its own
+  * cast, never two — and "integer" is only suggested when every observed
+  * number was exactly integral (BigDecimal isWhole, not double round-trip).
+  * Malformed and non-object documents contribute nothing and are not
+  * covered by the guarantee (they fail any object schema).
+  */
+object SchemaInfer {
+
+  /** Per-top-level-key observation profile:
+    * (key, n_docs, types, n_num, n_int, min_num, max_num, min_str_len,
+    * max_str_len). `types` is the sorted comma-joined draft-04 type-name
+    * set; `n_int` counts exactly-integral numbers (n_int == n_num > 0 ⇒
+    * suggest "integer"). Duplicate top-level keys collapse last-wins
+    * before profiling, like every parse in this engine. */
+  def profile(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    df.select(explode(graft.eval.TextExprs.jsonKeyStats(col(contentCol))).as("m"))
+      .select(col("m.key").as("key"), col("m.tpe").as("tpe"),
+        col("m.is_int").as("is_int"), col("m.num").as("num"), col("m.len").as("len"))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(array_sort(collect_set(col("tpe"))), ",").as("types"),
+        count(when(col("tpe") === "number", 1)).as("n_num"),
+        count(when(col("tpe") === "number" && col("is_int"), 1)).as("n_int"),
+        min(when(col("tpe") === "number", col("num"))).as("min_num"),
+        max(when(col("tpe") === "number", col("num"))).as("max_num"),
+        min(when(col("tpe") === "string", col("len"))).as("min_str_len"),
+        max(when(col("tpe") === "string", col("len"))).as("max_str_len"))
+  }
+
+  /** Number of well-formed top-level-object documents (the profile's
+    * denominator: a key present in all of them becomes `required`). */
+  def objectDocCount(df: DataFrame, contentCol: String = "content"): Long =
+    df.select(graft.eval.TextExprs.jsonKeyStats(col(contentCol)).as("s"))
+      .where(col("s").isNotNull).count()
+
+  /** Suggested draft-04 schema text (canonical JSON — key-sorted, so the
+    * output is deterministic for a given corpus). */
+  def suggest(df: DataFrame, contentCol: String = "content"): String = {
+    val rows = profile(df, contentCol).collect()
+    val total = objectDocCount(df, contentCol)
+
+    // two ulps of margin absorb the correctly-rounded cast (≤ half an ulp)
+    def widenDown(d: Double): Double = Math.nextDown(Math.nextDown(d))
+    def widenUp(d: Double): Double = Math.nextUp(Math.nextUp(d))
+
+    val props = rows.sortBy(_.getString(0)).map { r =>
+      val key = r.getString(0)
+      val n = r.getLong(1)
+      val types = r.getString(2).split(',').toVector
+      val nNum = r.getLong(3)
+      val nInt = r.getLong(4)
+      val allInt = nNum > 0 && nInt == nNum
+      // re-sort after the number->integer substitution so the emitted type
+      // union stays deterministic and alphabetical
+      val typeNames =
+        types.map(t => if (t == "number" && allInt) "integer" else t).sorted
+      val fields = Vector.newBuilder[(String, JValue)]
+      fields += ("type" -> (typeNames match {
+        case Vector(single) => JStr(single)
+        case many           => JArr(many.map(JStr(_)))
+      }))
+      if (nNum > 0) {
+        fields += ("minimum" ->
+          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenDown(r.getDouble(5))))))
+        fields += ("maximum" ->
+          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenUp(r.getDouble(6))))))
+      }
+      if (!r.isNullAt(7)) {
+        fields += ("minLength" -> JNum(BigDecimal(r.getInt(7))))
+        fields += ("maxLength" -> JNum(BigDecimal(r.getInt(8))))
+      }
+      (key, JObj(JFields(fields.result(): _*)), n)
+    }
+
+    val required = props.collect { case (k, _, n) if total > 0 && n == total => k }
+    val schemaFields = Vector.newBuilder[(String, JValue)]
+    schemaFields += ("type" -> JStr("object"))
+    if (props.nonEmpty)
+      schemaFields += ("properties" ->
+        JObj(JFields(props.map { case (k, v, _) => (k, v: JValue) }.toIndexedSeq: _*)))
+    if (required.nonEmpty)
+      schemaFields += ("required" -> JArr(required.toVector.sorted.map(JStr(_))))
+    Json.canonical(JObj(JFields(schemaFields.result(): _*)))
+  }
+}

@@ -1,8 +1,9 @@
 package graft.sql
 
-import graft.eval.{CanonicalJsonExpr, CosineExpr, MinHashBandsExpr,
-  Sha256MatchesExpr, ShinglesExpr, SimHash64Expr, StreamValidateBoolExpr,
-  TopLevelKeysExpr, ValidateBoolExpr, ValidateFailsExpr}
+import graft.eval.{CanonicalJsonExpr, CosineExpr, KeyStatsExpr,
+  MinHashBandsExpr, Sha256MatchesExpr, ShinglesExpr, SimHash64Expr,
+  StreamValidateBoolExpr, TopLevelKeysExpr, ValidateBoolExpr,
+  ValidateFailsExpr}
 import graft.schema.{CompiledSchema, SchemaCompiler}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -113,6 +114,13 @@ object GraftFunctions {
         " byte scanner; null for non-objects/malformed.") { args =>
       arity("json_top_level_keys", args, 1)
       TopLevelKeysExpr(args.head)
+    },
+    desc("json_key_stats", classOf[KeyStatsExpr],
+      "json_key_stats(json) - array<struct<key,tpe,is_int,num,len>> of" +
+        " per-member type/shape stats of a top-level object (schema" +
+        " inference input); null for non-objects/malformed.") { args =>
+      arity("json_key_stats", args, 1)
+      KeyStatsExpr(args.head)
     },
     desc("sha256_matches", classOf[Sha256MatchesExpr],
       "sha256_matches(content, hexDigest) - true iff sha256(content) equals" +

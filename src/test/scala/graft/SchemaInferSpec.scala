@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.RowEval
+import graft.json._
+import graft.operators.SchemaInfer
+import graft.schema.SchemaCompiler
+import graft.sources.RepoFiles
+
+class SchemaInferSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  private def profileMap(df: org.apache.spark.sql.DataFrame) =
+    SchemaInfer.profile(df).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6),
+        if (r.isNullAt(7)) null else r.getInt(7),
+        if (r.isNullAt(8)) null else r.getInt(8)))
+    }.toMap
+
+  test("profile: types, counts, bounds; malformed/non-object dropped; last-wins dup keys") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"n": 1, "s": "ab", "mix": 1}""",
+      """{"n": 2.5, "s": "héllo𝄞", "mix": "x", "opt": [1,2,3]}""",
+      """{"n": -3, "s": "", "mix": null, "obj": {"a":1,"b":2}}""",
+      """{"dup": 1, "dup": "last"}""",
+      """[1,2]""", """{broken""", """"str""""
+    ).toDF("content")
+    val got = profileMap(docs)
+    // n: 3 numbers, 2 integral (1, -3), bounds [-3, 2.5]
+    assert(got("n") == ((3L, "number", 3L, 2L, -3.0, 2.5, null, null)))
+    // s: code-point lengths 2, 6, 0
+    assert(got("s") == ((3L, "string", 0L, 0L, null, null, 0, 6)))
+    // mix: union of number/string/null, sorted csv
+    assert(got("mix") == ((3L, "null,number,string", 1L, 1L, 1.0, 1.0, 1, 1)))
+    assert(got("opt")._2 == "array" && got("obj")._2 == "object")
+    // duplicate top-level key collapses last-wins => one member, type string
+    assert(got("dup") == ((1L, "string", 0L, 0L, null, null, 4, 4)))
+    assert(!got.contains("a") && !got.contains("b")) // nested keys not top-level
+  }
+
+  test("n_int uses exact integrality, not the double round-trip") {
+    import spark.implicits._
+    // 2^70 + 0.5: not integral, but its double cast IS integral-looking
+    val docs = Seq("""{"x": 1180591620717411303424.5}""",
+                   """{"x": 7}""").toDF("content")
+    val got = profileMap(docs)
+    assert(got("x")._3 == 2L && got("x")._4 == 1L) // n_num 2, n_int 1 (only 7)
+    val d = BigDecimal("1180591620717411303424.5").doubleValue
+    assert(d == math.floor(d)) // the divergence the exact check avoids
+  }
+
+  test("profile differential vs driver-side Json.parse over the generated corpus") {
+    import org.apache.spark.sql.functions.col
+    val df = RepoFiles.dataset(spark, 500L).toDF().filter(col("lang") === "json")
+    val got = profileMap(df)
+    // brute force with the String parser on the driver
+    val docs = df.select("content").collect().map(_.getString(0))
+    case class Acc(var n: Long = 0, var types: Set[String] = Set.empty,
+                   var nNum: Long = 0, var nInt: Long = 0,
+                   var minN: Double = Double.NaN, var maxN: Double = Double.NaN,
+                   var minL: Int = -1, var maxL: Int = -1)
+    val acc = scala.collection.mutable.Map.empty[String, Acc]
+    var objDocs = 0L
+    docs.foreach { text =>
+      Json.parseOpt(text) match {
+        case Some(JObj(fields)) =>
+          objDocs += 1
+          fields.foreach { case (k, v) =>
+            val a = acc.getOrElseUpdate(k, Acc())
+            a.n += 1
+            a.types += v.tpe
+            v match {
+              case n: JNum =>
+                a.nNum += 1; if (n.value.isWhole) a.nInt += 1
+                val d = n.value.doubleValue
+                if (a.minN.isNaN || d < a.minN) a.minN = d
+                if (a.maxN.isNaN || d > a.maxN) a.maxN = d
+              case JStr(s) =>
+                val l = s.codePointCount(0, s.length)
+                if (a.minL < 0 || l < a.minL) a.minL = l
+                if (a.maxL < 0 || l > a.maxL) a.maxL = l
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+    }
+    assert(acc.nonEmpty && got.keySet == acc.keySet)
+    acc.foreach { case (k, a) =>
+      val g = got(k)
+      assert(g._1 == a.n, s"n_docs($k)")
+      assert(g._2 == a.types.toSeq.sorted.mkString(","), s"types($k)")
+      assert(g._3 == a.nNum && g._4 == a.nInt, s"num counts($k)")
+      if (a.nNum > 0) assert(g._5 == a.minN && g._6 == a.maxN, s"bounds($k)")
+      if (a.minL >= 0) assert(g._7 == a.minL && g._8 == a.maxL, s"lens($k)")
+    }
+    assert(SchemaInfer.objectDocCount(df) == objDocs)
+  }
+
+  test("suggest: deterministic, structurally right, and round-trip safe") {
+    import spark.implicits._
+    val docs = Seq(
+      // 34-digit decimals exercise the ulp widening of min/max
+      """{"id": 1, "score": 0.1234567890123456789012345678901234, "name": "a"}""",
+      """{"id": 99, "score": 0.9999999999999999999999999999999999, "name": "bcd", "tag": "x"}""",
+      """{"id": 7, "score": 0.5, "name": "é𝄞"}""",
+      """[]""", """{bad"""
+    ).toDF("content")
+    val schema = SchemaInfer.suggest(docs)
+    assert(schema == SchemaInfer.suggest(docs)) // deterministic
+    val parsed = Json.parse(schema).asInstanceOf[JObj]
+    val props = parsed.get("properties").get.asInstanceOf[JObj]
+    // id observed only as integral numbers => integer
+    assert(props.get("id").get.asInstanceOf[JObj].get("type").contains(JStr("integer")))
+    assert(props.get("score").get.asInstanceOf[JObj].get("type").contains(JStr("number")))
+    // required = keys in every object doc (tag appears in 1 of 3)
+    val req = parsed.get("required").get.asInstanceOf[JArr].items.collect { case JStr(s) => s }
+    assert(req == Vector("id", "name", "score"))
+    // round trip: every well-formed object doc validates
+    val cs = SchemaCompiler.compile(schema)
+    docs.collect().map(_.getString(0)).foreach { text =>
+      val isObj = Json.parseOpt(text).exists(_.isInstanceOf[JObj])
+      assert(RowEval.isValidText(cs, UTF8String.fromString(text)) == isObj, text)
+    }
+  }
+
+  test("suggest round-trips the generated corpus (every json object doc validates)") {
+    import org.apache.spark.sql.functions.col
+    val df = RepoFiles.dataset(spark, 1000L).toDF().filter(col("lang") === "json")
+    val schema = SchemaInfer.suggest(df)
+    val cs = SchemaCompiler.compile(schema)
+    val docs = df.select("content").collect().map(_.getString(0))
+    var objs = 0
+    docs.foreach { text =>
+      if (Json.parseOpt(text).exists(_.isInstanceOf[JObj])) {
+        objs += 1
+        assert(RowEval.isValidText(cs, UTF8String.fromString(text)),
+          s"inferred schema rejected an observed doc: ${text.take(120)}")
+      }
+    }
+    assert(objs > 0)
+  }
+
+  test("suggest on mixed types emits a sorted type union and length bounds") {
+    import spark.implicits._
+    val docs = Seq("""{"v": 1}""", """{"v": "ab"}""", """{"v": [1]}""",
+                   """{"v": null}""").toDF("content")
+    val parsed = Json.parse(SchemaInfer.suggest(docs)).asInstanceOf[JObj]
+    val v = parsed.get("properties").get.asInstanceOf[JObj]
+      .get("v").get.asInstanceOf[JObj]
+    val types = v.get("type").get.asInstanceOf[JArr].items.collect { case JStr(s) => s }
+    assert(types == Vector("array", "integer", "null", "string"))
+    assert(v.get("minLength").contains(JNum(BigDecimal(2))))
+    assert(v.get("maxLength").contains(JNum(BigDecimal(2))))
+    assert(v.get("minimum").isDefined && v.get("maximum").isDefined)
+  }
+}

@@ -120,6 +120,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("schema-infer profile: explode scan-local; one partial->final agg exchange") {
+    val df = TableIO.readRepoFiles(spark, dir).filter(col("lang") === "json")
+    val p = plan(SchemaInfer.profile(df))
+    assert(exchanges(p) == 1, s"profile must shuffle exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    // partial aggregation must run before the exchange so the shuffle
+    // carries per-(partition, key) partials, not raw members
+    assert(p.contains("partial_collect_set") || p.contains("partial"), p)
+  }
+
   test("connected components: a star round is agg+join shaped, no cartesian, no neighborhood lists") {
     import spark.implicits._
     val edges = (0L until 50L).map(i => (i + 1, i)).toDF("u", "v")

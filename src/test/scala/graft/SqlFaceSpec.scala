@@ -88,6 +88,24 @@ class SqlFaceSpec extends AnyFunSuite {
     assert(row.getSeq[Long](5) == api.getSeq[Long](4))
   }
 
+  test("json_key_stats in SQL matches the Scala API; null for malformed") {
+    import spark.implicits._
+    val df = Seq("""{"a": 1, "b": "xy", "c": null}""", """{broken""")
+      .toDF("j")
+    df.createOrReplaceTempView("sql_face_ks")
+    val rows = spark.sql(
+      """SELECT m.key, m.tpe, m.is_int, m.num, m.len
+        |FROM sql_face_ks LATERAL VIEW explode(json_key_stats(j)) t AS m
+        |ORDER BY m.key""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "number"), ("b", "string"), ("c", "null")))
+    assert(rows(0).getBoolean(2) && rows(0).getDouble(3) == 1.0)
+    assert(rows(1).getInt(4) == 2)
+    assert(spark.sql(
+      """SELECT count(*) FROM sql_face_ks
+        |WHERE json_key_stats(j) IS NULL""".stripMargin).head().getLong(0) == 1L)
+  }
+
   test("vec_cosine in SQL matches VecExprs.cosine; null on ragged input") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)))

@@ -66,43 +66,44 @@ object SchemaInfer {
     df.select(graft.eval.TextExprs.jsonKeyStats(col(contentCol)).as("s"))
       .where(col("s").isNotNull).count()
 
-  /** Suggested draft-04 schema text (canonical JSON — key-sorted, so the
-    * output is deterministic for a given corpus). */
-  def suggest(df: DataFrame, contentCol: String = "content"): String = {
-    val rows = profile(df, contentCol).collect()
-    val total = objectDocCount(df, contentCol)
+  /** One key's aggregated observations — the assembly input, shared by the
+    * Spark path ([[suggest]]) and the driver-free CLI
+    * ([[graft.tools.InferCli]]), so both faces emit the identical schema
+    * for the same corpus. */
+  final case class KeyObs(key: String, n: Long, types: Seq[String],
+                          nNum: Long, nInt: Long,
+                          minNum: Option[Double], maxNum: Option[Double],
+                          minLen: Option[Int], maxLen: Option[Int])
 
+  /** Assemble the draft-04 schema text (canonical JSON — key-sorted, so the
+    * output is deterministic for a given corpus). */
+  def assemble(obs: Seq[KeyObs], total: Long): String = {
     // two ulps of margin absorb the correctly-rounded cast (≤ half an ulp)
     def widenDown(d: Double): Double = Math.nextDown(Math.nextDown(d))
     def widenUp(d: Double): Double = Math.nextUp(Math.nextUp(d))
 
-    val props = rows.sortBy(_.getString(0)).map { r =>
-      val key = r.getString(0)
-      val n = r.getLong(1)
-      val types = r.getString(2).split(',').toVector
-      val nNum = r.getLong(3)
-      val nInt = r.getLong(4)
-      val allInt = nNum > 0 && nInt == nNum
+    val props = obs.sortBy(_.key).map { o =>
+      val allInt = o.nNum > 0 && o.nInt == o.nNum
       // re-sort after the number->integer substitution so the emitted type
       // union stays deterministic and alphabetical
       val typeNames =
-        types.map(t => if (t == "number" && allInt) "integer" else t).sorted
+        o.types.map(t => if (t == "number" && allInt) "integer" else t).sorted.toVector
       val fields = Vector.newBuilder[(String, JValue)]
       fields += ("type" -> (typeNames match {
         case Vector(single) => JStr(single)
         case many           => JArr(many.map(JStr(_)))
       }))
-      if (nNum > 0) {
+      o.minNum.foreach { mn =>
         fields += ("minimum" ->
-          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenDown(r.getDouble(5))))))
+          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenDown(mn)))))
         fields += ("maximum" ->
-          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenUp(r.getDouble(6))))))
+          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenUp(o.maxNum.get)))))
       }
-      if (!r.isNullAt(7)) {
-        fields += ("minLength" -> JNum(BigDecimal(r.getInt(7))))
-        fields += ("maxLength" -> JNum(BigDecimal(r.getInt(8))))
+      o.minLen.foreach { ml =>
+        fields += ("minLength" -> JNum(BigDecimal(ml)))
+        fields += ("maxLength" -> JNum(BigDecimal(o.maxLen.get)))
       }
-      (key, JObj(JFields(fields.result(): _*)), n)
+      (o.key, JObj(JFields(fields.result(): _*)), o.n)
     }
 
     val required = props.collect { case (k, _, n) if total > 0 && n == total => k }
@@ -114,5 +115,61 @@ object SchemaInfer {
     if (required.nonEmpty)
       schemaFields += ("required" -> JArr(required.toVector.sorted.map(JStr(_))))
     Json.canonical(JObj(JFields(schemaFields.result(): _*)))
+  }
+
+  /** Suggested draft-04 schema for the corpus (Spark path). */
+  def suggest(df: DataFrame, contentCol: String = "content"): String = {
+    val obs = profile(df, contentCol).collect().map { r =>
+      KeyObs(r.getString(0), r.getLong(1), r.getString(2).split(',').toSeq,
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getInt(7)),
+        if (r.isNullAt(8)) None else Some(r.getInt(8)))
+    }.toSeq
+    assemble(obs, objectDocCount(df, contentCol))
+  }
+
+  /** Driver-side per-document observation fold (the CLI path; also the
+    * spec's differential partner for the Spark profile). Returns the
+    * per-key observations and the object-document count. */
+  def observe(docs: Iterator[String]): (Seq[KeyObs], Long) = {
+    final class Acc {
+      var n = 0L; var types = Set.empty[String]
+      var nNum = 0L; var nInt = 0L
+      var minN = Option.empty[Double]; var maxN = Option.empty[Double]
+      var minL = Option.empty[Int]; var maxL = Option.empty[Int]
+    }
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+    var total = 0L
+    docs.foreach { text =>
+      Json.parseOpt(text) match {
+        case Some(JObj(fields)) =>
+          total += 1
+          fields.foreach { case (k, v) =>
+            val a = acc.getOrElseUpdate(k, new Acc)
+            a.n += 1
+            a.types += v.tpe
+            v match {
+              case num: JNum =>
+                a.nNum += 1
+                if (num.value.isWhole) a.nInt += 1
+                val d = num.value.doubleValue
+                if (a.minN.forall(d < _)) a.minN = Some(d)
+                if (a.maxN.forall(d > _)) a.maxN = Some(d)
+              case JStr(s) =>
+                val l = s.codePointCount(0, s.length)
+                if (a.minL.forall(l < _)) a.minL = Some(l)
+                if (a.maxL.forall(l > _)) a.maxL = Some(l)
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+    }
+    (acc.iterator.map { case (k, a) =>
+      KeyObs(k, a.n, a.types.toSeq.sorted, a.nNum, a.nInt,
+        a.minN, a.maxN, a.minL, a.maxL)
+    }.toSeq, total)
   }
 }

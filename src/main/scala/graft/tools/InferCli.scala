@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.json.{JObj, Json}
+import graft.operators.SchemaInfer
+import graft.schema.SchemaCompiler
+import graft.eval.RowEval
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Driver-free schema inference over local JSON files — the CLI face of
+  * [[graft.operators.SchemaInfer]] (A16). Shares the assembly code with the
+  * Spark path, so both emit the identical schema for the same corpus.
+  *
+  * Usage: runMain graft.tools.InferCli [--jsonl] [--check] <file ...>
+  *   default      one JSON document per file
+  *   --jsonl      one document per line in each file (NDJSON)
+  *   --check      after inferring, validate every document against the
+  *                inferred schema and print the verdict tally (the
+  *                round-trip guarantee, demonstrated: every well-formed
+  *                object document must pass)
+  * Prints the inferred draft-04 schema (canonical JSON) on stdout.
+  * Exit 0; with --check, exit 1 if any observed object document fails.
+  */
+object InferCli {
+  def main(args0: Array[String]): Unit = {
+    var jsonl = false
+    var check = false
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    args0.foreach {
+      case "--jsonl" => jsonl = true
+      case "--check" => check = true
+      case f         => files += f
+    }
+    if (files.isEmpty) {
+      System.err.println("usage: InferCli [--jsonl] [--check] <file ...>")
+      sys.exit(2)
+    }
+    def docs: Iterator[String] = files.iterator.flatMap { f =>
+      if (jsonl) Files.lines(Paths.get(f)).iterator.asScala
+      else Iterator.single(new String(Files.readAllBytes(Paths.get(f)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val (obs, total) = SchemaInfer.observe(docs)
+    val schema = SchemaInfer.assemble(obs, total)
+    println(schema)
+    if (check) {
+      val cs = SchemaCompiler.compile(schema)
+      var objs = 0L
+      var failed = 0L
+      docs.foreach { text =>
+        if (Json.parseOpt(text).exists(_.isInstanceOf[JObj])) {
+          objs += 1
+          if (!RowEval.isValidText(cs, UTF8String.fromString(text))) failed += 1
+        }
+      }
+      System.err.println(s"# check: $objs object docs, $failed failed")
+      if (failed > 0) sys.exit(1)
+    }
+  }
+}

@@ -146,6 +146,15 @@ class SchemaInferSpec extends AnyFunSuite {
     assert(objs > 0)
   }
 
+  test("observe+assemble (the CLI path) emits the identical schema to the Spark path") {
+    import org.apache.spark.sql.functions.col
+    val df = RepoFiles.dataset(spark, 500L).toDF().filter(col("lang") === "json")
+    val viaSpark = SchemaInfer.suggest(df)
+    val texts = df.select("content").collect().map(_.getString(0))
+    val (obs, total) = SchemaInfer.observe(texts.iterator)
+    assert(SchemaInfer.assemble(obs, total) == viaSpark)
+  }
+
   test("suggest on mixed types emits a sorted type union and length bounds") {
     import spark.implicits._
     val docs = Seq("""{"v": 1}""", """{"v": "ab"}""", """{"v": [1]}""",

@@ -495,6 +495,32 @@ object SparkEntry {
         .orderBy(col("repo"), col("path"), col("constraint"))
     }),
 
+    // streaming twin of the salted batch uniqueness check (A8): the
+    // deterministic table drained as a multi-batch file stream through
+    // flatMapGroupsWithState; a key seen C times emits occurrences 2..C
+    // regardless of batch boundaries, so DuckDB recomputes the exact
+    // accumulated set from the exported table with a group-count + range
+    // unnest
+    "q_stream_uniqueness" -> ((s, dir) => {
+      val n = repoRowsFor(dir)
+      val fp = (RepoFiles.row(0, n).sha256.take(8)
+        + RepoFiles.row(n - 1, n).sha256.take(8))
+      val base = s"/tmp/graft_stream_uniq/run_${n}_$fp"
+      val (in, out, ckpt) = (s"$base/input", s"$base/out", s"$base/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$in/_SUCCESS")))
+        RepoFiles.dataset(s, n).toDF()
+          .coalesce(8).write.mode("overwrite").parquet(in)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.StreamValidate.runUniquenessStream(s, schema, in, out, ckpt)
+      s.read.parquet(out)
+        .select(col("repo"), col("path"), col("commit"), col("occurrence"))
+        .orderBy(col("repo"), col("path"), col("commit"), col("occurrence"))
+    }),
+
     // schema-discovery complement of validation: observed top-level key
     // space of the JSON documents per commit snapshot; DuckDB recomputes
     // from the exported table with json_keys
@@ -1113,6 +1139,14 @@ object SparkEntry {
       s"""SELECT repo, count(*) AS n_violations
          |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |GROUP BY repo ORDER BY n_violations DESC, repo LIMIT 10""".stripMargin,
+    "q_stream_uniqueness" ->
+      s"""WITH rf AS (SELECT repo, path, commit
+         |            FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |c AS (SELECT repo, path, commit, count(*) AS cnt
+         |      FROM rf GROUP BY repo, path, commit HAVING count(*) > 1)
+         |SELECT repo, path, commit,
+         |       CAST(unnest(range(2, cnt + 1)) AS BIGINT) AS occurrence
+         |FROM c ORDER BY repo, path, commit, occurrence""".stripMargin,
     "q_key_profile" ->
       s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
          |k AS (SELECT commit, unnest(

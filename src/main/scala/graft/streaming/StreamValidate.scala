@@ -158,6 +158,31 @@ object StreamValidate {
         })
   }
 
+  /** Drain `inputDir` through [[duplicateKeys]] with Trigger.AvailableNow
+    * into a parquet Append sink. `maxFilesPerTrigger` keeps the drain
+    * multi-batch so the cross-batch state path is what actually runs (a
+    * single-batch drain would never consult prior state). The accumulated
+    * output is batch-boundary-independent by construction: a key seen C
+    * times emits occurrences 2..C no matter how the C sightings split
+    * across micro-batches — which is what makes it driver-oracle-able. */
+  def runUniquenessStream(spark: SparkSession,
+                          schema: org.apache.spark.sql.types.StructType,
+                          inputDir: String, outDir: String,
+                          checkpointDir: String,
+                          maxFilesPerTrigger: Int = 2): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inputDir)
+    duplicateKeys(stream)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
   /** Drain `inputDir` through [[windowedRates]] with Trigger.AvailableNow
     * into a parquet Append sink (exactly-once via the file-sink commit log).
     * Append mode emits a window only once the watermark passes its end, so

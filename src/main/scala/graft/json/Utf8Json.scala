@@ -45,16 +45,19 @@ object Utf8Json {
     try parse(u)
     catch { case _: JsonParseException | _: StackOverflowError => null }
 
-  /** Verdict-path parse with top-level member pruning (jvst's CONSUME
-    * analog): member values the [[graft.schema.PruneTable]] marks
-    * skippable are grammar-checked in place — full RFC structure, string
-    * escapes, number REPRESENTABILITY (exactly parseValue's acceptance,
-    * which skipValueStruct deliberately does not enforce) — but never
+  /** Verdict-path parse with RECURSIVE member pruning (jvst's CONSUME
+    * analog — the reference skips unvalidated subtrees at every depth):
+    * member values the [[graft.schema.PruneTable]] marks skippable are
+    * grammar-checked in place — full RFC structure, string escapes, number
+    * REPRESENTABILITY (exactly parseValue's acceptance, which
+    * skipValueStruct deliberately does not enforce) — but never
     * materialized; the member is recorded as [[JSkipped]] so presence and
-    * count constraints still observe it. Non-object roots parse fully.
-    * Verdicts are therefore byte-identical to parseOrNull + full eval
-    * (differentially tested incl. malformed/unrepresentable content inside
-    * skipped values). */
+    * count constraints still observe it. Constrained members whose own
+    * subschema is statically prunable descend with a nested table, so
+    * unconstrained payloads prune at ANY depth. Non-object roots (and
+    * non-object constrained members) parse fully. Verdicts are therefore
+    * byte-identical to parseOrNull + full eval (differentially tested incl.
+    * malformed/unrepresentable content inside skipped values). */
   def parseOrNullPruned(u: UTF8String, table: graft.schema.PruneTable): JValue =
     try {
       val p = new ByteParser(u)
@@ -347,7 +350,13 @@ object Utf8Json {
     def parseRootPruned(table: graft.schema.PruneTable): JValue = {
       skipWs()
       if (i >= n) fail("unexpected end of input")
-      if (at(i) != '{') return parseValue()
+      if (at(i) != '{') parseValue() else parsePrunedObject(table)
+    }
+
+    /** One object under a prune table (recursive CONSUME): each member is
+      * skipped, parsed under its nested table, or parsed exhaustively per
+      * the table's decision. Caller guarantees `at(i) == '{'`. */
+    private def parsePrunedObject(table: graft.schema.PruneTable): JValue = {
       i += 1
       skipWs()
       if (i < n && at(i) == '}') { i += 1; return JObj.empty }
@@ -359,7 +368,9 @@ object Utf8Json {
         if (i >= n || at(i) != '"') fail("expected object key")
         val k = parseString(intern = true)
         skipWs(); expect(':')
-        if (table.skipMemo(k, memo)) { skipValueChecked(); b.add(k, JSkipped) }
+        val d = table.decideMemo(k, memo)
+        if (d.skip) { skipValueChecked(); b.add(k, JSkipped) }
+        else if (d.sub ne null) b.add(k, parseValuePruned(d.sub))
         else b.add(k, parseValue())
         skipWs()
         if (i >= n) fail("unterminated object")
@@ -369,6 +380,15 @@ object Utf8Json {
         else fail("expected ',' or '}'")
       }
       JObj(b.result())
+    }
+
+    /** A constrained member value under a nested prune table: only an
+      * OBJECT value prunes (every keyword a table admits is vacuous or
+      * shallow on objects); any other shape parses exhaustively. */
+    private def parseValuePruned(table: graft.schema.PruneTable): JValue = {
+      skipWs()
+      if (i >= n) fail("unexpected end of input")
+      if (at(i) == '{') parsePrunedObject(table) else parseValue()
     }
 
     /** Skip one value with parseValue's EXACT acceptance, materializing

@@ -93,11 +93,21 @@ object SchemaInfer {
         case Vector(single) => JStr(single)
         case many           => JArr(many.map(JStr(_)))
       }))
+      // A bound is only emitted when its widened value is still finite:
+      // numbers beyond double range (1e999 parses fine — BigDecimal-exact)
+      // profile as ±Infinity, and widening past ±MaxValue lands there too.
+      // BigDecimal.valueOf(Infinity) would throw, and any finite substitute
+      // would break the round-trip guarantee — omitting the bound keeps the
+      // schema valid and the guarantee intact (no bound = no constraint).
       o.minNum.foreach { mn =>
-        fields += ("minimum" ->
-          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenDown(mn)))))
-        fields += ("maximum" ->
-          JNum(BigDecimal(java.math.BigDecimal.valueOf(widenUp(o.maxNum.get)))))
+        val lo = widenDown(mn)
+        val hi = widenUp(o.maxNum.get)
+        if (java.lang.Double.isFinite(lo))
+          fields += ("minimum" ->
+            JNum(BigDecimal(java.math.BigDecimal.valueOf(lo))))
+        if (java.lang.Double.isFinite(hi))
+          fields += ("maximum" ->
+            JNum(BigDecimal(java.math.BigDecimal.valueOf(hi))))
       }
       o.minLen.foreach { ml =>
         fields += ("minLength" -> JNum(BigDecimal(ml)))

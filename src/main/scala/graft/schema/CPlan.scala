@@ -265,72 +265,100 @@ final case class CompiledSchema(root: CPlan, defs: Map[String, CPlan]) {
   @transient lazy val rootPrune: PruneTable = PruneTable.of(root)
 }
 
-/** Decides, for an OBJECT document's top-level members, whether a member's
-  * VALUE can be skipped by the pruned verdict parse: allowed iff no named
-  * property plan, no matching patternProperties plan, and no
-  * additionalProperties plan other than `Valid` would ever inspect it.
+/** Per-member-key prune decision (see [[PruneTable]]):
+  *   - `skip`        — the value is structurally checked, never materialized
+  *   - `sub != null` — the value is parsed, and if it is an OBJECT its own
+  *                     members prune recursively under `sub`
+  *   - else          — exhaustive parse. */
+final class PruneDecision private[schema] (val skip: Boolean,
+                                           val sub: PruneTable)
+object PruneDecision {
+  private[schema] val Skip = new PruneDecision(true, null)
+  private[schema] val Full = new PruneDecision(false, null)
+}
+
+/** Decides, for an OBJECT value's members, whether each member's VALUE can
+  * be skipped by the pruned verdict parse: allowed iff no named property
+  * plan, no matching patternProperties plan, and no additionalProperties
+  * plan other than `Valid` would ever inspect it. Members that ARE
+  * constrained recurse: the conjunction of every plan applying to the
+  * member compiles to its own nested PruneTable when that conjunction is
+  * itself statically prunable (jvst's CONSUME skips unvalidated subtrees at
+  * EVERY depth, not just the root — reference:src/validate_ir.c).
   *
-  * Built by [[PruneTable.of]] only when the ROOT plan is a conjunction of
+  * Built by [[PruneTable.of]] only when the plan is a conjunction of
   * object-shape constraints that never deep-inspect unconstrained member
   * values: presence/count checks (required, dependencies property form,
   * min/maxProperties), type dispatch, and constraints vacuous on objects
-  * (string/number/array keywords). Any root-level enum, not, anyOf/oneOf,
-  * $ref, schema-form dependency, or non-trivial additionalProperties makes
-  * the analysis return null and the parse stays exhaustive. Skipped member
-  * PRESENCE is still recorded (as [[graft.json.JSkipped]]) so required /
-  * dependencies / property counts are unaffected, and skipped values are
-  * still grammar-checked byte-for-byte (malformed content inside a skipped
-  * value fails the document exactly as the full parse does). */
+  * (string/number/array keywords — a table only ever applies to a value
+  * that parsed as an object). Any enum, not, anyOf/oneOf, $ref, schema-form
+  * dependency, or non-trivial additionalProperties at the conjunction root
+  * makes the analysis return null and that value parses exhaustively.
+  * Skipped member PRESENCE is still recorded (as [[graft.json.JSkipped]])
+  * so required / dependencies / property counts are unaffected, and skipped
+  * values are still grammar-checked byte-for-byte (malformed content inside
+  * a skipped value fails the document exactly as the full parse does). */
 final class PruneTable private[schema] (
-    namedNeeded: java.util.HashSet[String],
+    named: java.util.HashMap[String, PruneDecision],
     patterns: Array[(CachedPattern, CPlan)]) {
 
-  private final class Entry(val key: String, val skip: Boolean)
+  private final class Entry(val key: String, val dec: PruneDecision)
   private[this] val memos =
     new graft.util.ThreadSlots[Array[AnyRef]](() => new Array[AnyRef](256))
 
-  /** Per-thread decision memo — fetch once per document, pass to
-    * [[skipMemo]] (fetching per member would pay the ThreadSlots volatile
-    * read 9× per doc; per document it is one). */
+  /** Per-thread decision memo — fetch once per object, pass to
+    * [[decideMemo]] (fetching per member would pay the ThreadSlots volatile
+    * read 9× per doc; per object it is one). */
   def memo(): Array[AnyRef] = memos.get()
 
-  /** [[skip]] memoized on key IDENTITY: verdict keys are interned through
+  /** [[decide]] memoized on key IDENTITY: verdict keys are interned through
     * the parser's per-thread key cache, so after a thread's first document
     * each member's decision is one array read + reference compare instead
-    * of a set probe (+ pattern finds). The memo is per-thread, so plain
+    * of a map probe (+ pattern finds). The memo is per-thread, so plain
     * non-volatile slots are safe; the decision is a pure function of the
     * key's value, so an evicted or recomputed slot can never yield a wrong
     * answer. */
-  def skipMemo(key: String, memo: Array[AnyRef]): Boolean = {
+  def decideMemo(key: String, memo: Array[AnyRef]): PruneDecision = {
     val idx = System.identityHashCode(key) & (memo.length - 1)
     val e = memo(idx).asInstanceOf[Entry]
-    if ((e ne null) && (e.key eq key)) e.skip
+    if ((e ne null) && (e.key eq key)) e.dec
     else {
-      val s = skip(key)
-      memo(idx) = new Entry(key, s)
-      s
+      val d = decide(key)
+      memo(idx) = new Entry(key, d)
+      d
     }
   }
 
-  /** Unmemoized decision: skippable iff no named plan and no matching
-    * pattern plan would inspect the value. */
-  def skip(key: String): Boolean = {
-    if (namedNeeded.contains(key)) return false
-    var i = 0
-    while (i < patterns.length) {
-      if (patterns(i)._1.find(key)) return false
-      i += 1
+  /** Unmemoized decision. Named keys are fully precomputed at table build
+    * (matching patterns folded in); keys matched only dynamically by
+    * patternProperties build their conjunction's nested table on demand. */
+  def decide(key: String): PruneDecision = {
+    val nd = named.get(key)
+    if (nd != null) nd
+    else if (patterns.length == 0) PruneDecision.Skip
+    else {
+      var plans = Vector.empty[CPlan]
+      var i = 0
+      while (i < patterns.length) {
+        if (patterns(i)._1.find(key)) plans :+= patterns(i)._2
+        i += 1
+      }
+      if (plans.isEmpty) PruneDecision.Skip
+      else PruneTable.decisionFor(plans)
     }
-    true
   }
+
+  /** True iff the member's value is skipped outright (test/report surface). */
+  def skip(key: String): Boolean = decide(key).skip
 }
 
 object PruneTable {
   import CPlan._
 
-  /** Null unless every root conjunct is provably shallow on objects. */
+  /** Null unless every conjunct is provably shallow on objects. */
   def of(root: CPlan): PruneTable = {
-    val needed = new java.util.HashSet[String]()
+    val neededPlans =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[CPlan]]
     val pats = Vector.newBuilder[(CachedPattern, CPlan)]
     def walk(p: CPlan): Boolean = p match {
       case Valid           => true
@@ -340,7 +368,8 @@ object PruneTable {
         if (add != null && !(add eq Valid)) false
         else {
           pr.props.foreach { case (k, sub) =>
-            if (!(sub eq Valid)) needed.add(k)
+            if (!(sub eq Valid))
+              neededPlans.update(k, neededPlans.getOrElse(k, Vector.empty) :+ sub)
           }
           pats ++= pr.patternsC.iterator.filter(t => !(t._2 eq Valid))
           true
@@ -348,14 +377,45 @@ object PruneTable {
       // presence/count only — never inspect member values
       case Required(_) | PropCount(_, _) | TypeIs(_) => true
       case Dependencies(_, sd)                       => sd.isEmpty
-      // vacuous on objects (the pruned parse applies only to object roots)
+      // vacuous on objects (a prune table only applies to object values)
       case NumRange(_, _, _, _) | NumMultipleOf(_) | StrLen(_, _) |
            StrPattern(_) | ItemsAll(_) | ItemsTuple(_, _) |
            ItemCount(_, _) | UniqueItems => true
       // anything that can deep-inspect the whole object: no pruning
       case _ => false
     }
-    if (walk(root)) new PruneTable(needed, pats.result().toArray) else null
+    if (!walk(root)) return null
+    val patterns = pats.result().toArray
+    val named =
+      new java.util.HashMap[String, PruneDecision](
+        math.max(4, neededPlans.size * 2))
+    neededPlans.foreach { case (k, plans) =>
+      // fold in statically-matching pattern plans so a named key's decision
+      // is final at build time (the dynamic path only serves unnamed keys)
+      var all = plans
+      var i = 0
+      while (i < patterns.length) {
+        if (patterns(i)._1.find(k)) all :+= patterns(i)._2
+        i += 1
+      }
+      named.put(k, decisionFor(all))
+    }
+    new PruneTable(named, patterns)
+  }
+
+  /** Decision for a member value constrained by `plans` (each non-Valid):
+    * recurse when the conjunction is itself statically prunable. Termination:
+    * the recursion strictly descends the finite plan tree ($ref is never
+    * descended — `walk` rejects it, yielding Full). */
+  private[schema] def decisionFor(plans: Vector[CPlan]): PruneDecision = {
+    val sub =
+      if (plans.size == 1) plans.head
+      else CPlan.simplify(AllOf(plans))
+    if (sub eq Valid) PruneDecision.Skip
+    else {
+      val t = of(sub)
+      if (t eq null) PruneDecision.Full else new PruneDecision(false, t)
+    }
   }
 }
 

@@ -10,30 +10,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * (parse + plan eval, no sha) — cross-JVM host noise cancels because both
   * variants alternate within one process on one core.
   *
-  * Usage: runMain graft.tools.PruneBench [docs] [rounds] [wide]
+  * Usage: runMain graft.tools.PruneBench [docs] [rounds] [wide|nested]
   *
   * `wide` injects an unconstrained ~1 KB member into every JSON stratum —
   * the shape where CONSUME-style pruning pays (telemetry blobs, vendored
   * metadata): the fixture corpus itself is near-worst-case (one ≤255-char
   * skippable member of nine).
+  *
+  * `nested` measures the RECURSIVE prune: the ~1 KB payload sits INSIDE a
+  * constrained object member (depth 2) of a purpose-built schema — the
+  * top-level-only prune of round 3's first cut had to parse it (the member
+  * is named, hence "needed"); the recursive table skips it in place.
   */
 object PruneBench {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
     val rounds = args.lift(1).map(_.toInt).getOrElse(16)
     val wide = args.lift(2).contains("wide")
-    val cs = SparkEntry.fixtureSchema
-    val table = cs.rootPrune
-    require(table != null, "fixture schema must admit pruning")
-    require(table.skip("extra"), "the injected wide member must be skippable")
+    val nested = args.lift(2).contains("nested")
     val total = 4000000L
     val payload = (0 until 64).map(k => s""""k$k":[$k,${k * 7},"v${k}x"]""")
-      .mkString(""","extra":{""", ",", "}")
+      .mkString("{", ",", "}")
+    val cs =
+      if (nested)
+        graft.schema.SchemaCompiler.compile(
+          """{"type":"object","required":["name","env"],
+              "properties":{
+                "name":{"type":"string","minLength":1},
+                "env":{"type":"object","required":["host"],
+                       "properties":{"host":{"type":"string"},
+                                     "port":{"type":"integer"}}}}}""")
+      else SparkEntry.fixtureSchema
+    val table = cs.rootPrune
+    require(table != null, "schema must admit pruning")
+    if (nested) {
+      val env = table.decide("env")
+      require(env.sub != null && env.sub.skip("telemetry"),
+        "env must carry a nested table that skips the payload")
+    } else
+      require(table.skip("extra"), "the injected wide member must be skippable")
     val contents = Array.tabulate(nDocs) { k =>
-      val c = RepoFiles.contentOf(k.toLong * 97L % total, total)
-      val s = if (wide && c.startsWith("{") && c.endsWith("}"))
-        c.dropRight(1) + payload + "}"
-      else c
+      val s =
+        if (nested)
+          s"""{"name":"svc$k","env":{"host":"h$k","port":${k % 65536},""" +
+            s""""telemetry":$payload}}"""
+        else {
+          val c = RepoFiles.contentOf(k.toLong * 97L % total, total)
+          if (wide && c.startsWith("{") && c.endsWith("}"))
+            c.dropRight(1) + s""","extra":$payload}"""
+          else c
+        }
       UTF8String.fromString(s)
     }
 

@@ -151,6 +151,92 @@ class PruneSpec extends AnyFunSuite {
     intercept[Exception](Json.canonical(JObj("a" -> JSkipped)))
   }
 
+  test("recursive CONSUME: constrained members prune their own members") {
+    // meta is constrained (so not skipped) but its subschema is itself
+    // prunable: inside it, only `v` is inspected — `blob` is skipped at
+    // depth 2, and inside blob's sibling `inner`, depth-3 skipping applies.
+    val c = cs("""{"type":"object","required":["meta"],
+                   "properties":{
+                     "meta":{"type":"object","required":["v"],
+                             "minProperties":2,
+                             "properties":{
+                               "v":{"type":"integer"},
+                               "inner":{"type":"object",
+                                        "properties":{"w":{"type":"string"}}}
+                             }}}}""")
+    val t = c.rootPrune
+    assert(t != null)
+    val meta = t.decide("meta")
+    assert(!meta.skip && meta.sub != null, "meta must carry a nested table")
+    assert(meta.sub.skip("blob"))   // unconstrained at depth 2
+    assert(!meta.sub.skip("v"))
+    val inner = meta.sub.decide("inner")
+    assert(!inner.skip && inner.sub != null, "depth-3 table")
+    assert(inner.sub.skip("pad") && !inner.sub.skip("w"))
+    // verdicts + presence/count semantics across depths
+    assert(both(c, """{"meta":{"v":1,"blob":{"deep":[1,{"x":"y"}]}}}"""))
+    assert(!both(c, """{"meta":{"v":"s","blob":1,"z":2}}"""))  // v not int
+    assert(!both(c, """{"meta":{"v":1}}"""))                   // minProperties 2
+    assert(!both(c, """{"meta":{"blob":1,"z":2}}"""))          // required v
+    assert(both(c, """{"meta":{"v":1,"inner":{"w":"s","pad":[[[1]]]},"x":0}}"""))
+    assert(!both(c, """{"meta":{"v":1,"inner":{"w":7},"x":0}}""")) // w not str
+    // non-object constrained member parses fully (type still enforced)
+    assert(!both(c, """{"meta":[1,2]}"""))
+    // malformed content inside a depth-2 skipped value fails the document
+    assert(!both(c, """{"meta":{"v":1,"blob":{"a":}}}"""))
+    assert(!both(c, """{"meta":{"v":1,"blob":1e99999999999}}"""))
+    // duplicate keys at depth 2: last-wins preserved for skipped + kept
+    assert(both(c, """{"meta":{"v":9,"v":1,"blob":0,"blob":"x"}}"""))
+    assert(!both(c, """{"meta":{"v":1,"v":"s","blob":0}}"""))
+  }
+
+  test("recursive CONSUME: deep-inspecting member subschemas stay Full") {
+    val c = cs("""{"properties":{
+                     "e":{"enum":[{"a":1}]},
+                     "r":{"$ref":"#/definitions/d"},
+                     "ap":{"additionalProperties":false},
+                     "ok":{"type":"object"}},
+                   "definitions":{"d":{"type":"object"}}}""")
+    val t = c.rootPrune
+    assert(t != null)
+    assert(t.decide("e").sub == null)   // enum deep-inspects
+    assert(t.decide("r").sub == null)   // $ref never descended
+    assert(t.decide("ap").sub == null)  // additionalProperties:false
+    assert(t.decide("ok").sub != null)  // plain object check recurses
+    assert(t.decide("ok").sub.skip("anything"))
+    assert(both(c, """{"e":{"a":1},"r":{"x":[1]},"ok":{"huge":{"pad":1}}}"""))
+    assert(!both(c, """{"e":{"a":2}}"""))
+    assert(!both(c, """{"ap":{"any":1}}"""))
+  }
+
+  test("recursive CONSUME: patternProperties keys get dynamic nested tables") {
+    val c = cs("""{"patternProperties":{
+                     "^cfg_":{"type":"object","required":["on"]},
+                     "^n_":{"type":"integer"}}}""")
+    val t = c.rootPrune
+    assert(t != null)
+    val cfg = t.decide("cfg_net")
+    assert(!cfg.skip && cfg.sub != null) // pattern-matched, nested table
+    assert(cfg.sub.skip("payload"))
+    assert(t.decide("n_x").sub != null)  // integer check: table skips all members
+    assert(t.decide("other").skip)
+    assert(both(c, """{"cfg_net":{"on":true,"payload":{"p":[1,2]}},"other":0}"""))
+    assert(!both(c, """{"cfg_net":{"payload":1}}"""))   // required on
+    assert(!both(c, """{"n_x":"s"}"""))                 // type enforced
+    // a key matching BOTH patterns conjoins them (cfg_ AND n_ can't both
+    // hold for one value unless it is… nothing: object ∧ integer = fail)
+    val c2 = cs("""{"patternProperties":{
+                      "^a":{"type":"object","required":["k"]},
+                      "b$":{"minProperties":2}}}""")
+    val t2 = c2.rootPrune
+    assert(t2 != null)
+    val ab = t2.decide("ab")
+    assert(!ab.skip && ab.sub != null)
+    assert(both(c2, """{"ab":{"k":1,"j":2}}"""))
+    assert(!both(c2, """{"ab":{"k":1}}"""))  // minProperties 2 from pattern 2
+    assert(!both(c2, """{"ab":{"j":1,"i":2}}""")) // required k from pattern 1
+  }
+
   test("non-object roots parse fully under a prune table") {
     val c = cs("""{"properties":{"a":{}},"minimum":5}""")
     assert(c.rootPrune != null)

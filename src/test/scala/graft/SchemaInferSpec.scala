@@ -155,6 +155,42 @@ class SchemaInferSpec extends AnyFunSuite {
     assert(SchemaInfer.assemble(obs, total) == viaSpark)
   }
 
+  test("bounds beyond double range are omitted, not emitted as Infinity") {
+    import spark.implicits._
+    // 1e999 is BigDecimal-representable (parses fine) but profiles as
+    // +Infinity; -1e999 as -Infinity. BigDecimal.valueOf(Infinity) throws,
+    // so assemble must omit the non-finite side(s) instead of crashing —
+    // and omission keeps the round-trip guarantee (no bound, no constraint).
+    val docs = Seq("""{"big": 1e999, "neg": -1e999, "both": 1}""",
+                   """{"big": 5, "neg": -5, "both": -1e999}""").toDF("content")
+    val schema = SchemaInfer.suggest(docs) // must not throw
+    val props = Json.parse(schema).asInstanceOf[JObj]
+      .get("properties").get.asInstanceOf[JObj]
+    def bounds(k: String) = {
+      val o = props.get(k).get.asInstanceOf[JObj]
+      (o.get("minimum").isDefined, o.get("maximum").isDefined)
+    }
+    assert(bounds("big") == ((true, false)))  // max overflowed => omitted
+    assert(bounds("neg") == ((false, true)))  // min overflowed => omitted
+    assert(bounds("both") == ((false, true))) // min -Inf, max 1 finite
+    // ±Double.MaxValue itself: widening exits double range => omitted too
+    val edge = Seq(s"""{"e": ${Double.MaxValue}}""",
+                   s"""{"e": ${Double.MinValue}}""").toDF("content")
+    val eProps = Json.parse(SchemaInfer.suggest(edge)).asInstanceOf[JObj]
+      .get("properties").get.asInstanceOf[JObj].get("e").get.asInstanceOf[JObj]
+    // widening exits double range on BOTH sides here
+    assert(eProps.get("minimum").isEmpty && eProps.get("maximum").isEmpty)
+    // the CLI/driver path shares assemble: same schema, no crash
+    val texts = docs.collect().map(_.getString(0))
+    val (obs, total) = SchemaInfer.observe(texts.iterator)
+    assert(SchemaInfer.assemble(obs, total) == schema)
+    // round trip still holds with omitted bounds
+    val cs = SchemaCompiler.compile(schema)
+    texts.foreach { t =>
+      assert(RowEval.isValidText(cs, UTF8String.fromString(t)), t)
+    }
+  }
+
   test("suggest on mixed types emits a sorted type union and length bounds") {
     import spark.implicits._
     val docs = Seq("""{"v": 1}""", """{"v": "ab"}""", """{"v": [1]}""",

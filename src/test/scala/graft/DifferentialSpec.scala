@@ -184,6 +184,7 @@ class DifferentialSpec extends AnyFunSuite {
     var seed = Seed(77L)
     var checked = 0
     var prunedSchemas = 0
+    var nestedTables = 0
     for (_ <- 0 until 500) {
       val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
       seed = seed.next
@@ -191,7 +192,16 @@ class DifferentialSpec extends AnyFunSuite {
         try SchemaCompiler.compile(schema)
         catch { case _: graft.schema.SchemaCompileException => null }
       if (compiled != null) {
-        if (compiled.rootPrune != null) prunedSchemas += 1
+        if (compiled.rootPrune != null) {
+          prunedSchemas += 1
+          // recursive CONSUME coverage: count schemas whose table carries at
+          // least one NESTED table (a constrained member that itself prunes)
+          val s = schema.asInstanceOf[JObj]
+          val propKeys = s.get("properties").collect { case JObj(fs) =>
+            fs.keysIterable.toSeq }.getOrElse(Seq.empty)
+          if (propKeys.exists(k => compiled.rootPrune.decide(k).sub != null))
+            nestedTables += 1
+        }
         docs.foreach { d =>
           val text = Json.compact(d)
           val expected = RowEval.isValidText(compiled, text)
@@ -202,8 +212,10 @@ class DifferentialSpec extends AnyFunSuite {
         }
       }
     }
-    info(s"pruned-vs-full pairs checked: $checked ($prunedSchemas schemas admitted pruning)")
+    info(s"pruned-vs-full pairs checked: $checked ($prunedSchemas schemas admitted " +
+      s"pruning, $nestedTables with nested member tables)")
     assert(prunedSchemas > 0, "generator never produced a prunable schema")
+    assert(nestedTables > 0, "generator never exercised the recursive prune path")
   }
 
   test("stream evaluator rejects malformed and trailing-content docs like the row path") {

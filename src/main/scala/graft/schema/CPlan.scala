@@ -329,22 +329,51 @@ final class PruneTable private[schema] (
     }
   }
 
+  /** Decisions for pattern-only keys, keyed by the bitmask of matching
+    * patterns: distinct masks number at most 2^patterns (in practice one
+    * per pattern), so building each conjunction's nested table ONCE here —
+    * instead of per key-identity-memo miss — bounds the dynamic path's
+    * allocation at schema size. Without it, a high-cardinality key space
+    * (the exact shape patternProperties serves) paid a plan walk plus a
+    * ThreadSlots array per evicted key. Shared across threads; capped at
+    * 64 patterns (beyond that masks would overflow — build uncached, a
+    * schema shape that does not occur in practice). */
+  private[this] val maskDecisions =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, PruneDecision]()
+
   /** Unmemoized decision. Named keys are fully precomputed at table build
     * (matching patterns folded in); keys matched only dynamically by
-    * patternProperties build their conjunction's nested table on demand. */
+    * patternProperties share one decision per matching-pattern subset. */
   def decide(key: String): PruneDecision = {
     val nd = named.get(key)
     if (nd != null) nd
     else if (patterns.length == 0) PruneDecision.Skip
     else {
-      var plans = Vector.empty[CPlan]
+      var mask = 0L
       var i = 0
       while (i < patterns.length) {
-        if (patterns(i)._1.find(key)) plans :+= patterns(i)._2
+        if (patterns(i)._1.find(key)) mask |= 1L << (i & 63)
         i += 1
       }
-      if (plans.isEmpty) PruneDecision.Skip
-      else PruneTable.decisionFor(plans)
+      if (mask == 0L) PruneDecision.Skip
+      else if (patterns.length > 64)
+        PruneTable.decisionFor(PruneTable.patternPlansFor(patterns, key))
+      else {
+        val boxed = java.lang.Long.valueOf(mask)
+        val cached = maskDecisions.get(boxed)
+        if (cached != null) cached
+        else {
+          var plans = Vector.empty[CPlan]
+          var j = 0
+          while (j < patterns.length) {
+            if ((mask & (1L << j)) != 0L) plans :+= patterns(j)._2
+            j += 1
+          }
+          val d = PruneTable.decisionFor(plans)
+          val prev = maskDecisions.putIfAbsent(boxed, d)
+          if (prev != null) prev else d
+        }
+      }
     }
   }
 
@@ -392,15 +421,23 @@ object PruneTable {
     neededPlans.foreach { case (k, plans) =>
       // fold in statically-matching pattern plans so a named key's decision
       // is final at build time (the dynamic path only serves unnamed keys)
-      var all = plans
-      var i = 0
-      while (i < patterns.length) {
-        if (patterns(i)._1.find(k)) all :+= patterns(i)._2
-        i += 1
-      }
-      named.put(k, decisionFor(all))
+      named.put(k, decisionFor(plans ++ patternPlansFor(patterns, k)))
     }
     new PruneTable(named, patterns)
+  }
+
+  /** Pattern plans whose regex matches `key` — the ONE match-and-collect
+    * used by both the build-time named fold and the dynamic fallback, so
+    * the two paths cannot diverge. */
+  private[schema] def patternPlansFor(patterns: Array[(CachedPattern, CPlan)],
+                                      key: String): Vector[CPlan] = {
+    var plans = Vector.empty[CPlan]
+    var i = 0
+    while (i < patterns.length) {
+      if (patterns(i)._1.find(key)) plans :+= patterns(i)._2
+      i += 1
+    }
+    plans
   }
 
   /** Decision for a member value constrained by `plans` (each non-Valid):

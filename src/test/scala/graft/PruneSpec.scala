@@ -237,6 +237,30 @@ class PruneSpec extends AnyFunSuite {
     assert(!both(c2, """{"ab":{"j":1,"i":2}}""")) // required k from pattern 1
   }
 
+  test("pattern-only keys share ONE decision per matching-pattern subset") {
+    // high-cardinality key spaces are exactly what patternProperties serves:
+    // the nested table must be built once per pattern SUBSET, not once per
+    // key (identity-memo misses would otherwise allocate a table per key)
+    val c = cs("""{"patternProperties":{
+                     "^cfg_":{"type":"object","required":["on"]},
+                     "net$":{"minProperties":1}}}""")
+    val t = c.rootPrune
+    assert(t != null)
+    val a = t.decide("cfg_alpha")
+    val b = t.decide("cfg_beta")
+    assert(a eq b, "same pattern subset must return the same decision instance")
+    assert(a.sub != null && a.sub.skip("payload"))
+    val both1 = t.decide("cfg_net")   // matches both patterns
+    val both2 = t.decide("cfg_subnet")
+    assert(both1 eq both2)
+    assert(both1 ne a)                // different subset, different conjunction
+    // and the folded conjunction behaves: required + minProperties
+    assert(both(c, """{"cfg_net":{"on":1},"other":0}"""))
+    assert(!both(c, """{"cfg_net":{}}"""))        // minProperties 1 + required
+    assert(!both(c, """{"cfg_x":{"off":1}}"""))   // required on (cfg_ only)
+    assert(both(c, """{"xnet":{"k":1}}""") && !both(c, """{"xnet":{}}"""))
+  }
+
   test("non-object roots parse fully under a prune table") {
     val c = cs("""{"properties":{"a":{}},"minimum":5}""")
     assert(c.rootPrune != null)

@@ -370,7 +370,7 @@ object Utf8Json {
         skipWs(); expect(':')
         val d = table.decideMemo(k, memo)
         if (d.skip) { skipValueChecked(); b.add(k, JSkipped) }
-        else if (d.sub ne null) b.add(k, parseValuePruned(d.sub))
+        else if ((d.sub ne null) || (d.items ne null)) b.add(k, parseValueDecided(d))
         else b.add(k, parseValue())
         skipWs()
         if (i >= n) fail("unterminated object")
@@ -382,13 +382,39 @@ object Utf8Json {
       JObj(b.result())
     }
 
-    /** A constrained member value under a nested prune table: only an
-      * OBJECT value prunes (every keyword a table admits is vacuous or
-      * shallow on objects); any other shape parses exhaustively. */
-    private def parseValuePruned(table: graft.schema.PruneTable): JValue = {
+    /** A constrained value under a prune decision: an OBJECT descends into
+      * the decision's member table, an ARRAY into its per-element decision
+      * (arrays of records prune element-wise); any other shape parses
+      * exhaustively. */
+    private def parseValueDecided(d: graft.schema.PruneDecision): JValue = {
       skipWs()
       if (i >= n) fail("unexpected end of input")
-      if (at(i) == '{') parsePrunedObject(table) else parseValue()
+      val c = at(i)
+      if (c == '{' && (d.sub ne null)) parsePrunedObject(d.sub)
+      else if (c == '[' && (d.items ne null)) parsePrunedArray(d.items)
+      else parseValue()
+    }
+
+    /** One array under a per-element prune decision. Skipped elements are
+      * grammar-checked [[JSkipped]] sentinels — min/maxItems still count
+      * them, nothing may inspect them. Caller guarantees `at(i) == '['`. */
+    private def parsePrunedArray(items: graft.schema.PruneDecision): JArr = {
+      i += 1
+      skipWs()
+      if (i < n && at(i) == ']') { i += 1; return JArr(Vector.empty) }
+      val b = Vector.newBuilder[JValue]
+      var done = false
+      while (!done) {
+        if (items.skip) { skipValueChecked(); b += JSkipped }
+        else b += parseValueDecided(items)
+        skipWs()
+        if (i >= n) fail("unterminated array")
+        val c = at(i)
+        if (c == ',') i += 1
+        else if (c == ']') { i += 1; done = true }
+        else fail("expected ',' or ']'")
+      }
+      JArr(b.result())
     }
 
     /** Skip one value with parseValue's EXACT acceptance, materializing

@@ -266,15 +266,24 @@ final case class CompiledSchema(root: CPlan, defs: Map[String, CPlan]) {
 }
 
 /** Per-member-key prune decision (see [[PruneTable]]):
-  *   - `skip`        — the value is structurally checked, never materialized
-  *   - `sub != null` — the value is parsed, and if it is an OBJECT its own
-  *                     members prune recursively under `sub`
-  *   - else          — exhaustive parse. */
+  *   - `skip`          — the value is structurally checked, never materialized
+  *   - `sub != null`   — an OBJECT value's members prune recursively under
+  *                       `sub`
+  *   - `items != null` — an ARRAY value's ELEMENTS prune under `items`
+  *                       (each element an independent value: objects descend
+  *                       into `items.sub`, arrays into `items.items`,
+  *                       `items.skip` elides whole elements — the
+  *                       array-of-records shape). Null whenever any plan in
+  *                       the member's conjunction deep-inspects elements
+  *                       (`uniqueItems`, tuple `items`) or the conjunction
+  *                       is not statically shallow.
+  *   - both null       — exhaustive parse. */
 final class PruneDecision private[schema] (val skip: Boolean,
-                                           val sub: PruneTable)
+                                           val sub: PruneTable,
+                                           val items: PruneDecision)
 object PruneDecision {
-  private[schema] val Skip = new PruneDecision(true, null)
-  private[schema] val Full = new PruneDecision(false, null)
+  private[schema] val Skip = new PruneDecision(true, null, null)
+  private[schema] val Full = new PruneDecision(false, null, null)
 }
 
 /** Decides, for an OBJECT value's members, whether each member's VALUE can
@@ -441,17 +450,51 @@ object PruneTable {
   }
 
   /** Decision for a member value constrained by `plans` (each non-Valid):
-    * recurse when the conjunction is itself statically prunable. Termination:
-    * the recursion strictly descends the finite plan tree ($ref is never
-    * descended — `walk` rejects it, yielding Full). */
+    * recurse when the conjunction is itself statically prunable — into a
+    * nested table for object values, and into a per-ELEMENT decision for
+    * array values (arrays of records, the dominant machine-data shape).
+    * Termination: the recursion strictly descends the finite plan tree
+    * ($ref is never descended — `walk` rejects it, yielding Full). */
   private[schema] def decisionFor(plans: Vector[CPlan]): PruneDecision = {
-    val sub =
+    val conj =
       if (plans.size == 1) plans.head
       else CPlan.simplify(AllOf(plans))
-    if (sub eq Valid) PruneDecision.Skip
+    if (conj eq Valid) PruneDecision.Skip
     else {
-      val t = of(sub)
-      if (t eq null) PruneDecision.Full else new PruneDecision(false, t)
+      val t = of(conj)
+      if (t eq null) PruneDecision.Full
+      else new PruneDecision(false, t, itemsDecision(conj))
+    }
+  }
+
+  /** Per-element decision for ARRAY values of a member whose conjunction
+    * already passed [[of]]'s shallowness test (so enum/not/combinators/$ref
+    * are absent): the element plans are the `items` (single-schema form)
+    * subs; `uniqueItems` and tuple `items` deep-inspect elements (canonical
+    * equality / positional plans), so their presence disables element
+    * pruning entirely. With NO element-inspecting plan at all the elements
+    * are skipped wholesale — grammar-checked [[graft.json.JSkipped]]
+    * sentinels that min/maxItems still count and `type` never reads. */
+  private def itemsDecision(conj: CPlan): PruneDecision = {
+    val itemPlans = Vector.newBuilder[CPlan]
+    def scan(p: CPlan): Boolean = p match {
+      case UniqueItems        => false
+      case ItemsTuple(_, _)   => false
+      case ItemsAll(s)        => itemPlans += s; true
+      case AllOf(subs)        => subs.forall(scan)
+      // everything else `of` admits is vacuous on arrays or element-blind
+      case _ => true
+    }
+    if (!scan(conj)) null
+    else {
+      val ps = itemPlans.result()
+      if (ps.isEmpty) PruneDecision.Skip
+      else {
+        val d = decisionFor(ps)
+        // a Full element decision prunes nothing — normalize to null so the
+        // parser's array fast path stays a single reference check
+        if ((d.sub eq null) && (d.items eq null) && !d.skip) null else d
+      }
     }
   }
 }

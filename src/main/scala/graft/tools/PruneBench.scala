@@ -21,6 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * constrained object member (depth 2) of a purpose-built schema — the
   * top-level-only prune of round 3's first cut had to parse it (the member
   * is named, hence "needed"); the recursive table skips it in place.
+  *
+  * `array` measures the per-ELEMENT prune on the array-of-records shape
+  * (log batches): each element's envelope is constrained, its payload is
+  * not — payloads skip inside each element.
   */
 object PruneBench {
   def main(args: Array[String]): Unit = {
@@ -28,6 +32,7 @@ object PruneBench {
     val rounds = args.lift(1).map(_.toInt).getOrElse(16)
     val wide = args.lift(2).contains("wide")
     val nested = args.lift(2).contains("nested")
+    val arrayMode = args.lift(2).contains("array")
     val total = 4000000L
     val payload = (0 until 64).map(k => s""""k$k":[$k,${k * 7},"v${k}x"]""")
       .mkString("{", ",", "}")
@@ -40,6 +45,13 @@ object PruneBench {
                 "env":{"type":"object","required":["host"],
                        "properties":{"host":{"type":"string"},
                                      "port":{"type":"integer"}}}}}""")
+      else if (arrayMode)
+        graft.schema.SchemaCompiler.compile(
+          """{"type":"object","required":["logs"],
+              "properties":{
+                "logs":{"type":"array","minItems":1,"maxItems":16,
+                        "items":{"type":"object","required":["ts"],
+                                 "properties":{"ts":{"type":"integer"}}}}}}""")
       else SparkEntry.fixtureSchema
     val table = cs.rootPrune
     require(table != null, "schema must admit pruning")
@@ -47,13 +59,26 @@ object PruneBench {
       val env = table.decide("env")
       require(env.sub != null && env.sub.skip("telemetry"),
         "env must carry a nested table that skips the payload")
+    } else if (arrayMode) {
+      val logs = table.decide("logs")
+      require(logs.items != null && logs.items.sub != null &&
+        logs.items.sub.skip("payload"),
+        "logs elements must prune their payload member")
     } else
       require(table.skip("extra"), "the injected wide member must be skippable")
+    // array mode: 4 records of ~256 B payload each ≈ the same ~1 KB of
+    // skippable bytes per document as the other modes
+    val recPayload = (0 until 16).map(k => s""""k$k":[$k,${k * 7},"v${k}x"]""")
+      .mkString("{", ",", "}")
     val contents = Array.tabulate(nDocs) { k =>
       val s =
         if (nested)
           s"""{"name":"svc$k","env":{"host":"h$k","port":${k % 65536},""" +
             s""""telemetry":$payload}}"""
+        else if (arrayMode)
+          (0 until 4).map(j =>
+            s"""{"ts":${k * 4 + j},"payload":$recPayload}""")
+            .mkString("""{"logs":[""", ",", "]}")
         else {
           val c = RepoFiles.contentOf(k.toLong * 97L % total, total)
           if (wide && c.startsWith("{") && c.endsWith("}"))

@@ -185,6 +185,7 @@ class DifferentialSpec extends AnyFunSuite {
     var checked = 0
     var prunedSchemas = 0
     var nestedTables = 0
+    var itemsDecisions = 0
     for (_ <- 0 until 500) {
       val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
       seed = seed.next
@@ -201,6 +202,8 @@ class DifferentialSpec extends AnyFunSuite {
             fs.keysIterable.toSeq }.getOrElse(Seq.empty)
           if (propKeys.exists(k => compiled.rootPrune.decide(k).sub != null))
             nestedTables += 1
+          if (propKeys.exists(k => compiled.rootPrune.decide(k).items != null))
+            itemsDecisions += 1
         }
         docs.foreach { d =>
           val text = Json.compact(d)
@@ -213,9 +216,11 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
     info(s"pruned-vs-full pairs checked: $checked ($prunedSchemas schemas admitted " +
-      s"pruning, $nestedTables with nested member tables)")
+      s"pruning, $nestedTables with nested member tables, $itemsDecisions with " +
+      s"array-element decisions)")
     assert(prunedSchemas > 0, "generator never produced a prunable schema")
     assert(nestedTables > 0, "generator never exercised the recursive prune path")
+    assert(itemsDecisions > 0, "generator never exercised the array-element prune path")
   }
 
   test("stream evaluator rejects malformed and trailing-content docs like the row path") {

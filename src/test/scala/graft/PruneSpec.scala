@@ -237,6 +237,66 @@ class PruneSpec extends AnyFunSuite {
     assert(!both(c2, """{"ab":{"j":1,"i":2}}""")) // required k from pattern 1
   }
 
+  test("recursive CONSUME on arrays: elements of constrained arrays prune") {
+    // the array-of-records shape: each element's envelope is constrained,
+    // its payload is not — payloads skip at element depth
+    val c = cs("""{"type":"object","required":["logs"],
+                   "properties":{
+                     "logs":{"type":"array","minItems":1,"maxItems":4,
+                             "items":{"type":"object","required":["ts"],
+                                      "properties":{"ts":{"type":"integer"}}}}}}""")
+    val t = c.rootPrune
+    assert(t != null)
+    val logs = t.decide("logs")
+    assert(!logs.skip && logs.items != null, "array member must carry an items decision")
+    assert(logs.items.sub != null && logs.items.sub.skip("payload"))
+    assert(both(c, """{"logs":[{"ts":1,"payload":{"deep":[1,{"x":"y"}]}},{"ts":2}]}"""))
+    assert(!both(c, """{"logs":[{"ts":"s"}]}"""))             // element ts not int
+    assert(!both(c, """{"logs":[{"payload":1}]}"""))          // element required ts
+    assert(!both(c, """{"logs":[]}"""))                       // minItems with pruning
+    assert(!both(c, """{"logs":[{"ts":1},{"ts":2},{"ts":3},{"ts":4},{"ts":5}]}""")) // maxItems
+    assert(both(c, """{"logs":"not an array"}""") == false)   // type enforced
+    // malformed content inside a skipped element payload fails the document
+    assert(!both(c, """{"logs":[{"ts":1,"payload":{"a":}}]}"""))
+    assert(!both(c, """{"logs":[{"ts":1,"payload":1e99999999999}]}"""))
+
+    // elements entirely unconstrained: skipped wholesale, still counted
+    val c2 = cs("""{"properties":{"batch":{"type":"array","minItems":2,"maxItems":3}}}""")
+    val t2 = c2.rootPrune
+    assert(t2 != null)
+    val batch = t2.decide("batch")
+    assert(batch.items != null && batch.items.skip, "unconstrained elements skip wholesale")
+    assert(both(c2, """{"batch":[{"big":[1,2]},"s",5]}"""))
+    assert(!both(c2, """{"batch":[1]}"""))                    // minItems counts skipped
+    assert(!both(c2, """{"batch":[1,2,3,4]}"""))              // maxItems counts skipped
+    assert(!both(c2, """{"batch":[{"bad":}, 2]}"""))          // malformed skipped element
+
+    // uniqueItems deep-inspects elements: element pruning must be disabled
+    val c3 = cs("""{"properties":{"u":{"type":"array","uniqueItems":true,
+                                        "items":{"type":"object"}}}}""")
+    val t3 = c3.rootPrune
+    assert(t3 != null && t3.decide("u").items == null)
+    assert(both(c3, """{"u":[{"a":1},{"a":2}]}"""))
+    assert(!both(c3, """{"u":[{"a":1},{"a":1}]}"""))
+
+    // tuple items are positional: element pruning disabled
+    val c4 = cs("""{"properties":{"tup":{"items":[{"type":"integer"},{"type":"string"}]}}}""")
+    val t4 = c4.rootPrune
+    assert(t4 != null && t4.decide("tup").items == null)
+    assert(both(c4, """{"tup":[1,"s"]}""") && !both(c4, """{"tup":["s",1]}"""))
+
+    // arrays of arrays of records recurse through items.items
+    val c5 = cs("""{"properties":{"m":{"type":"array",
+                     "items":{"type":"array",
+                              "items":{"type":"object","required":["k"]}}}}}""")
+    val t5 = c5.rootPrune
+    assert(t5 != null)
+    val m = t5.decide("m")
+    assert(m.items != null && m.items.items != null && m.items.items.sub != null)
+    assert(both(c5, """{"m":[[{"k":1,"pad":{"z":[1]}}],[{"k":2}]]}"""))
+    assert(!both(c5, """{"m":[[{"nope":1}]]}"""))
+  }
+
   test("pattern-only keys share ONE decision per matching-pattern subset") {
     // high-cardinality key spaces are exactly what patternProperties serves:
     // the nested table must be built once per pattern SUBSET, not once per

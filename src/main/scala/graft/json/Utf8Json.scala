@@ -124,6 +124,25 @@ object Utf8Json {
       ((w - SwarOnes * 0x20) & ~w & SwarHighs)
   }
 
+  /** True iff all 8 bytes of the word are ASCII digits ('0'-'9'): high
+    * nibbles all 0x3 and low nibbles ≤ 9 (the +0x06 carry test). The
+    * standard word-at-a-time digit-run check (simdjson's
+    * is_made_of_eight_digits_fast). */
+  @inline private def isEightDigits(w: Long): Boolean = {
+    val hi = 0xF0F0F0F0F0F0F0F0L
+    ((w & hi) | (((w + 0x0606060606060606L) & hi) >>> 4)) == 0x3333333333333333L
+  }
+
+  /** Parse a known-all-digits little-endian word (first digit in the lowest
+    * byte) to its 8-digit value via three masked multiplies — the standard
+    * SWAR digit-gather (simdjson's parse_eight_digits_unrolled). */
+  @inline private def eightDigitsValue(w: Long): Long = {
+    var v = w - 0x3030303030303030L
+    v = (v * 10) + (v >>> 8)
+    (((v & 0x000000FF000000FFL) * 0x000F424000000064L) +
+      (((v >>> 16) & 0x000000FF000000FFL) * 0x0000271000000001L)) >>> 32
+  }
+
   private final class ByteParser(u: UTF8String) {
     private val base: AnyRef = u.getBaseObject
     private val off: Long = u.getBaseOffset
@@ -253,20 +272,28 @@ object Utf8Json {
       if (i < n && at(i) == '-') i += 1
       if (i >= n) fail("truncated number")
       if (at(i) == '0') i += 1
-      else if (at(i) >= '1' && at(i) <= '9') {
-        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
-      } else fail("invalid number")
+      else if (at(i) >= '1' && at(i) <= '9') skipDigitRun()
+      else fail("invalid number")
       if (i < n && at(i) == '.') {
         i += 1
         if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid fraction")
-        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
+        skipDigitRun()
       }
       if (i < n && (at(i) == 'e' || at(i) == 'E')) {
         i += 1
         if (i < n && (at(i) == '+' || at(i) == '-')) i += 1
         if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid exponent")
-        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
+        skipDigitRun()
       }
+    }
+
+    /** Advance past a run of ASCII digits, 8 bytes per iteration where a
+      * whole word is digits. Caller guarantees at least one digit present. */
+    @inline private def skipDigitRun(): Unit = {
+      if (LittleEndian) {
+        while (i + 8 <= n && isEightDigits(Platform.getLong(base, off + i))) i += 8
+      }
+      while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
     }
 
     /** Skip a quoted string validating escapes and control characters
@@ -472,13 +499,17 @@ object Utf8Json {
       if (i < n && at(i) == '-') i += 1
       if (i >= n) fail("truncated number")
       if (at(i) == '0') i += 1
-      else if (at(i) >= '1' && at(i) <= '9') {
-        while (i < n && { val c = at(i); c >= '0' && c <= '9' }) i += 1
-      } else fail("invalid number")
+      else if (at(i) >= '1' && at(i) <= '9') skipDigitRun()
+      else fail("invalid number")
       var fracDigits = 0
       if (i < n && at(i) == '.') {
         i += 1
         if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid fraction")
+        if (LittleEndian) {
+          while (i + 8 <= n && isEightDigits(Platform.getLong(base, off + i))) {
+            fracDigits += 8; i += 8
+          }
+        }
         while (i < n && { val c = at(i); c >= '0' && c <= '9' }) {
           fracDigits += 1; i += 1
         }
@@ -519,12 +550,18 @@ object Utf8Json {
       JArr(b.result())
     }
 
-    /** Materialize bytes [from, until) as a String (full UTF-8 decode). */
-    private def spanString(from: Int, until: Int): String = {
+    /** Materialize bytes [from, until) as a String. `ascii` = the caller has
+      * PROVEN every byte < 0x80 (parseString tracks it byte-exactly; number
+      * spans are digits/sign/dot/exponent by grammar): Latin-1 decode is then
+      * byte-identical to UTF-8 but skips the decoder's positive-bytes scan —
+      * with compact strings it is a single array copy. */
+    private def spanString(from: Int, until: Int, ascii: Boolean): String = {
       val len = until - from
+      val cs =
+        if (ascii) java.nio.charset.StandardCharsets.ISO_8859_1
+        else java.nio.charset.StandardCharsets.UTF_8
       if (arr != null)
-        return new String(arr, arrOff + from, len,
-          java.nio.charset.StandardCharsets.UTF_8)
+        return new String(arr, arrOff + from, len, cs)
       var buf = ctx.spanBuf
       if (buf.length < len) {
         // saturate: highestOneBit(len)*2 overflows negative for len >= 2^30
@@ -535,7 +572,7 @@ object Utf8Json {
         ctx.spanBuf = buf
       }
       Platform.copyMemory(base, off + from, buf, Platform.BYTE_ARRAY_OFFSET, len)
-      new String(buf, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+      new String(buf, 0, len, cs)
     }
 
     /** Scan a string token. Escape-free ASCII keys are interned per thread;
@@ -586,7 +623,7 @@ object Utf8Json {
       }
       val end = i
       i += 1 // closing quote
-      if (sawEscape) return unescape(spanString(start, end), start)
+      if (sawEscape) return unescape(spanString(start, end, ascii = false), start)
       val len = end - start
       if (intern && ascii && len <= 64) {
         // direct-mapped cache: hash the bytes, verify chars (ASCII ⇒ 1:1)
@@ -605,11 +642,11 @@ object Utf8Json {
           }
           if (same) return cached
         }
-        val s = spanString(start, end)
+        val s = spanString(start, end, ascii = true)
         cache(slot) = s
         return s
       }
-      spanString(start, end)
+      spanString(start, end, ascii)
     }
 
     /** Unescape a raw (quote-free) span; `basePos` only for error offsets. */
@@ -669,9 +706,19 @@ object Utf8Json {
       if (i >= n) fail("truncated number")
       if (at(i) == '0') { acc = 0; digits = 1; i += 1 }
       else if (at(i) >= '1' && at(i) <= '9') {
-        // single byte read per digit (the condition re-reading at(i) doubled
-        // the Unsafe traffic of the hottest numeric loop in the profile)
-        var b = at(i)
+        // word-at-a-time digit runs (8 digits per iteration: one getLong, a
+        // SWAR all-digits test, three multiplies) with a single-byte-read
+        // tail — long digit runs dominate machine-generated numbers (the
+        // fixture's DECIMAL128 divisions render ~34 digits per row). acc
+        // overflows silently past 18 digits exactly like the byte loop did;
+        // both are ignored there (the ≤18 guard below gates every use).
+        if (LittleEndian) {
+          var w = 0L
+          while (i + 8 <= n && { w = Platform.getLong(base, off + i); isEightDigits(w) }) {
+            acc = acc * 100000000L + eightDigitsValue(w); digits += 8; i += 8
+          }
+        }
+        var b = if (i < n) at(i) else 0
         while (b >= '0' && b <= '9') {
           acc = acc * 10 + (b - '0'); digits += 1; i += 1
           b = if (i < n) at(i) else 0
@@ -680,7 +727,14 @@ object Utf8Json {
       if (i < n && at(i) == '.') {
         i += 1
         if (i >= n || at(i) < '0' || at(i) > '9') fail("invalid fraction")
-        var b = at(i)
+        if (LittleEndian) {
+          var w = 0L
+          while (i + 8 <= n && { w = Platform.getLong(base, off + i); isEightDigits(w) }) {
+            acc = acc * 100000000L + eightDigitsValue(w)
+            digits += 8; fracDigits += 8; i += 8
+          }
+        }
+        var b = if (i < n) at(i) else 0
         while (b >= '0' && b <= '9') {
           acc = acc * 10 + (b - '0'); digits += 1; fracDigits += 1; i += 1
           b = if (i < n) at(i) else 0
@@ -748,7 +802,7 @@ object Utf8Json {
         JNum.fromRaw(Dec128(neg && !(high == 0L && low == 0L),
                             high, low, scale.toInt))
       } else {
-        val s = spanString(start, i)
+        val s = spanString(start, i, ascii = true)
         try JNum(BigDecimal(s))
         catch { case _: NumberFormatException => fail("unrepresentable number") }
       }

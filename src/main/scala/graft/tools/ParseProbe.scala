@@ -26,3 +26,18 @@ object ParseProbe {
     bench("canonical    ")(d => Json.canonicalize(d).map(_.length.toLong).getOrElse(0L))
   }
 }
+
+/** One-off corpus shape stats (avg/max content length, stratum mix). */
+object DocStats {
+  def main(args: Array[String]): Unit = {
+    val n = 4000000L
+    var tot = 0L; var k = 0; var i = 0L; var mx = 0
+    while (k < 4000) {
+      val s = RepoFiles.contentOf(i, n)
+      tot += s.length; mx = mx max s.length; k += 1; i += 97L
+    }
+    println(s"avg content len = ${tot / 4000.0}, max = $mx")
+    println(RepoFiles.contentOf(0L, n).take(500))
+    println(RepoFiles.contentOf(5L, n).take(500))
+  }
+}

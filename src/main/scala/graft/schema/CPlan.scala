@@ -19,6 +19,12 @@ sealed trait CPlan
   * flagship samples in `Matcher.<init>`). Reusing one Matcher per thread via
   * `reset` is the standard fix; Matcher is not thread-safe, Pattern is. */
 final class CachedPattern(val pattern: java.util.regex.Pattern) extends Serializable {
+  /** Subset-compiled DFA (jvst compiles schema regexes to libfsm DFAs —
+    * SURVEY.md §2.1 row 3): one table lookup per code point, no Matcher, no
+    * backtracking. Null when the pattern uses constructs outside
+    * [[RegexDfa]]'s exactly-equivalent subset; the Matcher below is then the
+    * only path. Strict val: built once at plan construction / deserialize. */
+  val dfa: RegexDfa = RegexDfa.compile(pattern.pattern())
   // One Matcher cache per compiled pattern: with several patterns live these
   // were the bulk of the JVM's ThreadLocals, and ThreadLocalMap collision
   // probing (getEntryAfterMiss) profiled hot — ThreadSlots is one volatile
@@ -29,6 +35,11 @@ final class CachedPattern(val pattern: java.util.regex.Pattern) extends Serializ
   // thread-correct, and one winner ends up cached.
   @transient private var tl: graft.util.ThreadSlots[java.util.regex.Matcher] = _
   def find(s: CharSequence): Boolean = {
+    val d = dfa
+    // needsFallback: Java lets `$` also match just before a FINAL line
+    // terminator; the DFA only encodes end-of-input, so that input shape
+    // (end-anchored pattern + trailing terminator) takes the Matcher path
+    if ((d ne null) && !d.needsFallback(s)) return d.find(s)
     var slots = tl
     if (slots eq null) {
       slots = new graft.util.ThreadSlots[java.util.regex.Matcher](() => pattern.matcher(""))

@@ -1,0 +1,494 @@
+package graft.schema
+
+/** ASCII-subset regex → DFA compiler for the `pattern` / `patternProperties`
+  * hot path — the engine's analog of jvst compiling schema regexes to
+  * deterministic automata via libfsm (reference:src/validate_constraints.c,
+  * STR_MATCH; SURVEY.md §2.1 row 3). `java.util.regex` re-runs a backtracking
+  * NFA per row (Matcher machinery profiled ~5% of flagship samples even with
+  * per-thread Matcher reuse); a subset-constructed DFA does one table lookup
+  * per code point with no allocation and no backtracking.
+  *
+  * Supported subset (everything else returns null → callers keep the
+  * compiled `java.util.regex.Pattern`): ASCII literal chars, `.`, escapes
+  * `\d \D \w \W \s \S \t \n \r \f \a \e \0 \xHH \uHHHH` (code point < 128)
+  * and escaped metacharacters, character classes `[...]` / `[^...]` with
+  * ranges and the same escapes, quantifiers `* + ? {m} {m,} {m,n}` (greedy
+  * only — boolean `find` is quantifier-greediness-blind), alternation `|`,
+  * grouping `( )` / `(?: )` (captures don't affect a boolean find), `^` as
+  * the first token and `$` as the last. Patterns using anything beyond that
+  * (lookaround, backrefs, \p classes, non-ASCII literals, inline flags,
+  * reluctant/possessive quantifiers, mid-pattern anchors) are rejected at
+  * compile time, not approximated.
+  *
+  * Semantics are pinned to `java.util.regex.Pattern.matcher(s).find()` with
+  * default flags (the dialect the rest of the engine uses — SURVEY.md §2.1):
+  *  - matching is per CODE POINT (an astral pair is one unit for `.` and
+  *    negated classes; an unpaired surrogate is one unit);
+  *  - `.` excludes the five line terminators \n \r \u0085 \u2028 \u2029;
+  *  - `\w \d \s` are ASCII (no UNICODE_CHARACTER_CLASS);
+  *  - `^` matches only at position 0 (no MULTILINE);
+  *  - `$` matches at end of input — Java additionally lets `$` match before
+  *    a FINAL line terminator, so `find` on an end-anchored DFA with such an
+  *    input reports [[RegexDfa#needsFallback]] and the caller must use the
+  *    Matcher (exactness over speed on that rare shape).
+  * Differentially tested against java.util.regex over a generator of
+  * subset patterns × adversarial inputs (RegexDfaSpec), and transitively by
+  * every row⇄column differential suite (the column backend keeps Catalyst's
+  * regexp_like, which is java.util.regex underneath).
+  *
+  * Alphabet: one column per ASCII code point (0..127), column 128 = the
+  * non-ASCII line terminators {U+0085, U+2028, U+2029}, column 129 = every
+  * other non-ASCII code point. The subset's only non-ASCII-distinguishing
+  * predicates are `.` and negated classes, and both are constant on each of
+  * those two groups.
+  */
+final class RegexDfa private[schema] (
+    trans: Array[Short],      // numStates × 130, -1 = dead
+    accept: Array[Boolean],
+    val anchoredEnd: Boolean
+) extends Serializable {
+
+  /** True when `find` would be wrong for this input (end-anchored pattern,
+    * input ends with a line terminator Java would let `$` match before). */
+  def needsFallback(s: CharSequence): Boolean =
+    anchoredEnd && s.length > 0 && {
+      val c = s.charAt(s.length - 1)
+      c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+    }
+
+  /** `Pattern.matcher(s).find()` equivalent (callers must have checked
+    * [[needsFallback]]). One transition per code point; early exit on the
+    * first accepting state unless the pattern is end-anchored. */
+  def find(s: CharSequence): Boolean = {
+    var st = 0
+    if (!anchoredEnd && accept(0)) return true
+    val len = s.length
+    var k = 0
+    while (k < len) {
+      val c = s.charAt(k)
+      var col = 0
+      if (c < 0x80) { col = c; k += 1 }
+      else if (c == '\u0085' || c == '\u2028' || c == '\u2029') { col = 128; k += 1 }
+      else {
+        // astral pair = one matching unit (Java regex matches code points);
+        // an unpaired surrogate is likewise a single non-ASCII unit
+        if (Character.isHighSurrogate(c) && k + 1 < len &&
+            Character.isLowSurrogate(s.charAt(k + 1))) k += 2
+        else k += 1
+        col = 129
+      }
+      st = trans(st * 130 + col)
+      if (st < 0) return false
+      if (!anchoredEnd && accept(st)) return true
+    }
+    accept(st)
+  }
+}
+
+object RegexDfa {
+
+  private final val Cols = 130
+  private final val MaxNfaNodes = 600
+  private final val MaxDfaStates = 250
+
+  /** Compile, or null when the pattern uses anything outside the subset or
+    * the automaton exceeds the size caps. Callers always hold the compiled
+    * `java.util.regex.Pattern` too, so null just means "keep the Matcher". */
+  def compile(pattern: String): RegexDfa =
+    try build(pattern)
+    catch { case _: Unsupported => null }
+
+  private final class Unsupported extends RuntimeException(null, null, false, false)
+  private def unsupported(): Nothing = throw new Unsupported
+
+  // ------------------------------------------------------------------ AST
+  private sealed trait Rx
+  private final case class Cls(bits: Array[Long]) extends Rx // 130-bit set
+  private final case class Sq(items: List[Rx]) extends Rx
+  private final case class Alt(branches: List[Rx]) extends Rx
+  private final case class Rep(item: Rx, min: Int, max: Int) extends Rx // max -1 = ∞
+
+  private def bitsEmpty(): Array[Long] = new Array[Long](3)
+  private def bitSet(b: Array[Long], i: Int): Unit = b(i >> 6) |= 1L << (i & 63)
+  private def bitGet(b: Array[Long], i: Int): Boolean = (b(i >> 6) & (1L << (i & 63))) != 0
+  private def bitNegate(b: Array[Long]): Array[Long] = {
+    val r = bitsEmpty()
+    var i = 0
+    while (i < Cols) { if (!bitGet(b, i)) bitSet(r, i); i += 1 }
+    r
+  }
+  private def bitsOf(cps: Int*): Array[Long] = {
+    val b = bitsEmpty(); cps.foreach(bitSet(b, _)); b
+  }
+  private def bitsRange(lo: Int, hi: Int): Array[Long] = {
+    val b = bitsEmpty()
+    var i = lo
+    while (i <= hi) { bitSet(b, i); i += 1 }
+    b
+  }
+  private def bitsUnion(a: Array[Long], b: Array[Long]): Array[Long] =
+    Array(a(0) | b(0), a(1) | b(1), a(2) | b(2))
+
+  private val DigitBits = bitsRange('0', '9')
+  private val WordBits = bitsUnion(bitsUnion(bitsRange('a', 'z'), bitsRange('A', 'Z')),
+                                   bitsUnion(DigitBits, bitsOf('_')))
+  private val SpaceBits = bitsOf(' ', '\t', '\n', 0x0B, '\f', '\r')
+  /** `.`: everything except \n \r and the non-ASCII line-terminator column. */
+  private val DotBits: Array[Long] = {
+    val b = bitNegate(bitsEmpty())
+    b(0) &= ~((1L << '\n') | (1L << '\r'))
+    val r = Array(b(0), b(1), b(2))
+    r(2) &= ~(1L << (128 - 128)) // clear column 128 (U+0085/U+2028/U+2029)
+    r
+  }
+
+  // -------------------------------------------------------------- parser
+  private final class P(val s: String) {
+    var i = 0
+    def eof: Boolean = i >= s.length
+    def peek: Char = s.charAt(i)
+
+    def parseAlt(): Rx = {
+      val first = parseSeq()
+      if (!eof && peek == '|') {
+        val bs = scala.collection.mutable.ListBuffer(first)
+        while (!eof && peek == '|') { i += 1; bs += parseSeq() }
+        Alt(bs.toList)
+      } else first
+    }
+
+    def parseSeq(): Rx = {
+      val items = scala.collection.mutable.ListBuffer.empty[Rx]
+      while (!eof && peek != '|' && peek != ')') items += parseQuant()
+      Sq(items.toList)
+    }
+
+    private def parseQuant(): Rx = {
+      val atom = parseAtom()
+      if (eof) return atom
+      val q = peek match {
+        case '*' => i += 1; Rep(atom, 0, -1)
+        case '+' => i += 1; Rep(atom, 1, -1)
+        case '?' => i += 1; Rep(atom, 0, 1)
+        case '{' =>
+          // {m} {m,} {m,n} — anything else (e.g. "{a") is a LITERAL brace in
+          // Java only in some positions; reject to stay exact
+          val close = s.indexOf('}', i)
+          if (close < 0) unsupported()
+          val body = s.substring(i + 1, close)
+          val parts = body.split(",", -1)
+          val rx = try {
+            if (parts.length == 1) Rep(atom, parts(0).toInt, parts(0).toInt)
+            else if (parts.length == 2 && parts(1).isEmpty) Rep(atom, parts(0).toInt, -1)
+            else if (parts.length == 2) Rep(atom, parts(0).toInt, parts(1).toInt)
+            else unsupported()
+          } catch { case _: NumberFormatException => unsupported() }
+          if (rx.min < 0 || (rx.max >= 0 && rx.max < rx.min) || rx.min > 200 ||
+              rx.max > 200) unsupported()
+          i = close + 1
+          rx
+        case _ => return atom
+      }
+      // reluctant (?) / possessive (+) modifiers change group captures but
+      // not boolean find semantics for the backtracking-free subset; still
+      // reject to keep the equivalence argument trivial
+      if (!eof && (peek == '?' || peek == '+')) unsupported()
+      // a direct second quantifier ("a**") is a Pattern syntax error anyway
+      if (!eof && peek == '*') unsupported()
+      q
+    }
+
+    private def parseAtom(): Rx = {
+      if (eof) unsupported()
+      peek match {
+        case '(' =>
+          i += 1
+          if (!eof && peek == '?') {
+            // only plain non-capturing (?:...) — flags/lookaround rejected
+            if (i + 1 < s.length && s.charAt(i + 1) == ':') i += 2
+            else unsupported()
+          }
+          val inner = parseAlt()
+          if (eof || peek != ')') unsupported()
+          i += 1
+          inner
+        case '[' => i += 1; parseClass()
+        case '\\' => i += 1; Cls(parseEscape(inClass = false))
+        case '^' | '$' => unsupported() // mid-pattern anchors handled by caller
+        case '*' | '+' | '?' | ')' | '{' => unsupported()
+        case '.' => i += 1; Cls(DotBits)
+        case c if c < 0x80 => i += 1; Cls(bitsOf(c))
+        case _ => unsupported() // non-ASCII literal
+      }
+    }
+
+    /** One escape → class bits (shared by atoms and [...] members). Returns
+      * null from class-only positions that need range handling upstream. */
+    private def parseEscape(inClass: Boolean): Array[Long] = {
+      if (eof) unsupported()
+      val c = peek
+      i += 1
+      c match {
+        case 'd' => DigitBits
+        case 'D' => bitNegate(DigitBits)
+        case 'w' => WordBits
+        case 'W' => bitNegate(WordBits)
+        case 's' => SpaceBits
+        case 'S' => bitNegate(SpaceBits)
+        case 't' => bitsOf('\t')
+        case 'n' => bitsOf('\n')
+        case 'r' => bitsOf('\r')
+        case 'f' => bitsOf('\f')
+        case 'a' => bitsOf(0x07)
+        case 'e' => bitsOf(0x1B)
+        case '0' => bitsOf(0)
+        case 'x' =>
+          if (i + 2 > s.length) unsupported()
+          val v = try Integer.parseInt(s.substring(i, i + 2), 16)
+                  catch { case _: NumberFormatException => unsupported() }
+          i += 2
+          if (v >= 0x80) unsupported()
+          bitsOf(v)
+        case 'u' =>
+          if (i + 4 > s.length) unsupported()
+          val v = try Integer.parseInt(s.substring(i, i + 4), 16)
+                  catch { case _: NumberFormatException => unsupported() }
+          i += 4
+          if (v >= 0x80) unsupported()
+          bitsOf(v)
+        case m if "\\.[]{}()*+?^$|/-".indexOf(m) >= 0 => bitsOf(m)
+        case _ => unsupported() // \b \B \p{..} \Q \k backrefs etc.
+      }
+    }
+
+    /** `[...]` after the opening bracket. A member is either a multi-char
+      * escape class (\d \w \s and complements — never a range endpoint), or
+      * a single code point (literal or single-char escape), optionally the
+      * low end of `lo-hi`. `-` is literal at either end of the class or
+      * after a class escape, matching Java. */
+    private def parseClass(): Rx = {
+      var negate = false
+      if (!eof && peek == '^') { negate = true; i += 1 }
+      var bits = bitsEmpty()
+      var first = true
+      while (!eof && (peek != ']' || first)) {
+        first = false
+        if (peek == '[') unsupported() // nested class / POSIX form
+        if (peek == '&' && i + 1 < s.length && s.charAt(i + 1) == '&')
+          unsupported() // intersection syntax
+        var single = -1
+        if (peek == '\\') {
+          i += 1
+          val b = parseEscape(inClass = true)
+          single = singleBit(b)
+          if (single < 0) {
+            // \d / \w / \s family; a following '-' that isn't closing the
+            // class ("[\d-x]") has murky Java semantics — reject, don't guess
+            if (!eof && peek == '-' && i + 1 < s.length && s.charAt(i + 1) != ']')
+              unsupported()
+            bits = bitsUnion(bits, b)
+          }
+        } else if (peek < 0x80) { single = peek.toInt; i += 1 }
+        else unsupported() // non-ASCII class member
+        if (single >= 0) {
+          if (!eof && peek == '-' && i + 1 < s.length && s.charAt(i + 1) != ']') {
+            i += 1
+            val hi: Int =
+              if (eof) unsupported()
+              else if (peek == '\\') {
+                i += 1
+                val b = parseEscape(inClass = true)
+                val sb = singleBit(b)
+                if (sb < 0) unsupported() // [a-\d] is a Java syntax error
+                sb
+              } else if (peek < 0x80) { val c = peek.toInt; i += 1; c }
+              else unsupported()
+            if (hi < single) unsupported()
+            bits = bitsUnion(bits, bitsRange(single, hi))
+          } else bitSet(bits, single)
+        }
+      }
+      if (eof) unsupported()
+      i += 1 // ']'
+      if (negate) bits = bitNegate(bits)
+      Cls(bits)
+    }
+
+    private def singleBit(b: Array[Long]): Int = {
+      var found = -1
+      var i2 = 0
+      while (i2 < Cols) {
+        if (bitGet(b, i2)) { if (found >= 0) return -1; found = i2 }
+        i2 += 1
+      }
+      found
+    }
+  }
+
+  // ------------------------------------------------- Thompson NFA + subset
+  private final class Nfa {
+    var n = 0
+    val charFrom = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val charBits = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val charTo = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val epsFrom = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val epsTo = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def node(): Int = { n += 1; if (n > MaxNfaNodes) unsupported(); n - 1 }
+    def char(f: Int, b: Array[Long], t: Int): Unit = { charFrom += f; charBits += b; charTo += t }
+    def eps(f: Int, t: Int): Unit = { epsFrom += f; epsTo += t }
+  }
+
+  private def emit(nfa: Nfa, rx: Rx): (Int, Int) = rx match {
+    case Cls(bits) =>
+      val s = nfa.node(); val e = nfa.node(); nfa.char(s, bits, e); (s, e)
+    case Sq(items) =>
+      if (items.isEmpty) { val s = nfa.node(); (s, s) }
+      else items.map(emit(nfa, _)).reduce { (a, b) => nfa.eps(a._2, b._1); (a._1, b._2) }
+    case Alt(bs) =>
+      val s = nfa.node(); val e = nfa.node()
+      bs.foreach { b => val (fs, fe) = emit(nfa, b); nfa.eps(s, fs); nfa.eps(fe, e) }
+      (s, e)
+    case Rep(item, min, max) =>
+      val s = nfa.node()
+      var cur = s
+      var k = 0
+      while (k < min) { val (fs, fe) = emit(nfa, item); nfa.eps(cur, fs); cur = fe; k += 1 }
+      if (max < 0) {
+        // star/plus tail: loop the item on a fresh hub
+        val hub = nfa.node()
+        nfa.eps(cur, hub)
+        val (fs, fe) = emit(nfa, item)
+        nfa.eps(hub, fs); nfa.eps(fe, hub)
+        (s, hub)
+      } else {
+        val e = nfa.node()
+        nfa.eps(cur, e)
+        var j = min
+        var from = cur
+        while (j < max) {
+          val (fs, fe) = emit(nfa, item)
+          nfa.eps(from, fs); nfa.eps(fe, e)
+          from = fe
+          j += 1
+        }
+        (s, e)
+      }
+  }
+
+  private def build(pattern: String): RegexDfa = {
+    var body = pattern
+    var anchoredStart = false
+    var anchoredEnd = false
+    if (body.startsWith("^")) { anchoredStart = true; body = body.substring(1) }
+    // `\$` at the end is a literal dollar — only a bare trailing `$` anchors
+    if (body.endsWith("$") && !endsWithEscapedDollar(body)) {
+      anchoredEnd = true; body = body.substring(0, body.length - 1)
+    }
+    val p = new P(body)
+    val ast = p.parseAlt()
+    if (!p.eof) unsupported() // stray ')' or unconsumed tail
+    // anchors bind tighter than top-level alternation in Java ("a|b$" only
+    // anchors the b branch; "^a|b" only the a branch) — the whole-pattern
+    // strip above would mis-anchor every branch, so reject that combination
+    if ((anchoredStart || anchoredEnd) && ast.isInstanceOf[Alt]) unsupported()
+
+    val nfa = new Nfa
+    val start0 = nfa.node()
+    if (!anchoredStart) {
+      // unanchored find: Σ* self-loop on the start node
+      nfa.char(start0, bitNegate(bitsEmpty()), start0)
+    }
+    val (s, e) = emit(nfa, ast)
+    nfa.eps(start0, s)
+
+    // subset construction over closure bitsets
+    val words = (nfa.n + 63) >> 6
+    val epsAdj = Array.fill(nfa.n)(List.empty[Int])
+    var i = 0
+    while (i < nfa.epsFrom.length) { epsAdj(nfa.epsFrom(i)) ::= nfa.epsTo(i); i += 1 }
+    def closure(set: Array[Long]): Array[Long] = {
+      val stack = new java.util.ArrayDeque[Integer]
+      var w = 0
+      while (w < words) {
+        var bitsW = set(w)
+        while (bitsW != 0) {
+          val b = java.lang.Long.numberOfTrailingZeros(bitsW)
+          stack.push((w << 6) + b)
+          bitsW &= bitsW - 1
+        }
+        w += 1
+      }
+      while (!stack.isEmpty) {
+        val nd = stack.pop().intValue()
+        epsAdj(nd).foreach { t =>
+          if ((set(t >> 6) & (1L << (t & 63))) == 0) {
+            set(t >> 6) |= 1L << (t & 63); stack.push(t)
+          }
+        }
+      }
+      set
+    }
+    def key(set: Array[Long]): String = {
+      val sb = new java.lang.StringBuilder(words * 17)
+      var w = 0
+      while (w < words) { sb.append(set(w)).append(','); w += 1 }
+      sb.toString
+    }
+
+    val startSet = closure({ val z = new Array[Long](words); z(start0 >> 6) |= 1L << (start0 & 63); z })
+    val ids = scala.collection.mutable.HashMap[String, Int](key(startSet) -> 0)
+    val sets = scala.collection.mutable.ArrayBuffer(startSet)
+    val transRows = scala.collection.mutable.ArrayBuffer.empty[Array[Short]]
+    val acceptBuf = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    var next = 0
+    while (next < sets.length) {
+      val cur = sets(next)
+      acceptBuf += ((cur(e >> 6) & (1L << (e & 63))) != 0)
+      val row = new Array[Short](Cols)
+      var col = 0
+      while (col < Cols) {
+        val tgt = new Array[Long](words)
+        var any = false
+        var ei = 0
+        while (ei < nfa.charFrom.length) {
+          val f = nfa.charFrom(ei)
+          if ((cur(f >> 6) & (1L << (f & 63))) != 0 && bitGet(nfa.charBits(ei), col)) {
+            val t = nfa.charTo(ei)
+            tgt(t >> 6) |= 1L << (t & 63)
+            any = true
+          }
+          ei += 1
+        }
+        if (!any) row(col) = -1
+        else {
+          val cl = closure(tgt)
+          val k = key(cl)
+          row(col) = ids.getOrElseUpdate(k, {
+            sets += cl
+            if (sets.length > MaxDfaStates) unsupported()
+            sets.length - 1
+          }).toShort
+        }
+        col += 1
+      }
+      transRows += row
+      next += 1
+    }
+
+    val flat = new Array[Short](transRows.length * Cols)
+    i = 0
+    while (i < transRows.length) {
+      System.arraycopy(transRows(i), 0, flat, i * Cols, Cols); i += 1
+    }
+    new RegexDfa(flat, acceptBuf.toArray, anchoredEnd)
+  }
+
+  /** "...\$" is a literal dollar unless the backslash itself is escaped:
+    * count the backslash run before the final `$`. */
+  private def endsWithEscapedDollar(body: String): Boolean = {
+    var k = body.length - 2
+    var backslashes = 0
+    while (k >= 0 && body.charAt(k) == '\\') { backslashes += 1; k -= 1 }
+    (backslashes & 1) == 1
+  }
+}

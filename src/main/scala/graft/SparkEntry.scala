@@ -451,6 +451,14 @@ object SparkEntry {
         .select(col("repo"), col("path"), col("constraint"))
         .orderBy(col("repo"), col("path"), col("constraint"))),
 
+    // deterministic bounded violation sample: k smallest content hashes per
+    // constraint via the mergeable BoundedTopK aggregate (O(k) agg memory;
+    // the 10^12-row substitute for materializing the violations table).
+    // DuckDB recomputes it as a row_number window over the golden set.
+    "q_violation_sample" -> ((s, dir) =>
+      Validate.violationSample(repoFiles(s, dir), fixtureSchema, k = 7)
+        .orderBy(col("constraint"), col("h"))),
+
     // worst-offender report: violations per repo, top 10 with deterministic
     // tie-break — the engine's only sort/limit-shaped query (presentation
     // layer; at scale this is a partial top-k per partition, not a full sort)
@@ -960,6 +968,17 @@ object SparkEntry {
       s"""SELECT repo, path, "constraint"
          |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,
+    // k-smallest-hash sample per constraint, recomputed exactly: DuckDB's
+    // sha256 emits the same lowercase hex as Spark's sha2, so the hash order
+    // (and therefore the sampled rows) must agree bit-for-bit
+    "q_violation_sample" ->
+      s"""WITH g AS (SELECT repo, path, "constraint",
+         |             sha256(repo || '|' || path || '|' || "constraint") AS h
+         |           FROM read_parquet('${goldenDir(exportRows)}/*.parquet')),
+         |     r AS (SELECT *, row_number() OVER
+         |             (PARTITION BY "constraint" ORDER BY h) AS rn FROM g)
+         |SELECT "constraint", h, repo, path FROM r WHERE rn <= 7
+         |ORDER BY "constraint", h""".stripMargin,
     // streaming drain must reproduce the construction-known violation set
     "q_stream_validate" ->
       s"""SELECT repo, path, "constraint"

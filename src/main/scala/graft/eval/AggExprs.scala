@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
@@ -27,6 +28,21 @@ object AggExprs {
   def boundedCollectList(c: Column, maxSize: Int): Column =
     Bridge.column(
       BoundedCollectList(Bridge.expression(c), maxSize).toAggregateExpression())
+
+  /** Mergeable bounded top-k: keeps the `k` (key, value) pairs with the
+    * SMALLEST keys per group, in O(k) aggregation memory.
+    *
+    * This is the 10^12-row answer to "show me some violations per
+    * constraint": a window `row_number() over (partition by g order by key)`
+    * sorts EVERY group member on the shuffle, while this aggregate does
+    * map-side partial top-k (each task ships ≤ k rows per group) and the
+    * final exchange carries only groups × k rows. With a content-hash key
+    * the result is a deterministic pseudo-random sample, reproducible
+    * across partitionings and cluster sizes. */
+  def boundedTopK(key: Column, value: Column, k: Int): Column =
+    Bridge.column(
+      BoundedTopK(Bridge.expression(key), Bridge.expression(value), k)
+        .toAggregateExpression())
 }
 
 /** Bounded collect_list: accumulates at most `maxSize`+1 non-null child
@@ -89,4 +105,148 @@ case class BoundedCollectList(child: Expression, maxSize: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): BoundedCollectList =
     copy(child = c)
+}
+
+/** Bounded-memory max-heap of the k smallest (key, value) pairs seen.
+  * Mutable aggregation buffer for [[BoundedTopK]]: heap root (index 0) is
+  * the LARGEST kept key, so a new smaller key replaces the root in O(log k).
+  * Values are opaque to the ordering. */
+final class TopKHeap(val k: Int, private val ord: Ordering[Any]) {
+  val keys = new Array[Any](k)
+  val vals = new Array[Any](k)
+  var n: Int = 0
+
+  def insert(key: Any, value: Any): Unit = {
+    if (n < k) {
+      var i = n
+      keys(i) = key; vals(i) = value; n += 1
+      // sift up
+      while (i > 0 && ord.compare(keys((i - 1) / 2), keys(i)) < 0) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (ord.compare(key, keys(0)) < 0) {
+      keys(0) = key; vals(0) = value
+      siftDown(0)
+    }
+  }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val tk = keys(a); keys(a) = keys(b); keys(b) = tk
+    val tv = vals(a); vals(a) = vals(b); vals(b) = tv
+  }
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var continue = true
+    while (continue) {
+      val l = 2 * i + 1; val r = l + 1
+      var m = i
+      if (l < n && ord.compare(keys(l), keys(m)) > 0) m = l
+      if (r < n && ord.compare(keys(r), keys(m)) > 0) m = r
+      if (m == i) continue = false
+      else { swap(i, m); i = m }
+    }
+  }
+
+  /** (key, value) pairs sorted ascending by key. The sort is total as long
+    * as callers make equal keys imply equal values (a hash over the full
+    * output row does), so the emitted array is deterministic regardless of
+    * partitioning or arrival order. */
+  def sortedPairs(): Array[(Any, Any)] = {
+    val out = new Array[(Any, Any)](n)
+    var i = 0
+    while (i < n) { out(i) = (keys(i), vals(i)); i += 1 }
+    scala.util.Sorting.stableSort(out, (a: (Any, Any), b: (Any, Any)) =>
+      ord.compare(a._1, b._1) < 0)
+    out
+  }
+}
+
+/** Keep the `k` pairs with the smallest `key` per group; emits
+  * `array<struct<k: keyType, v: valueType>>` sorted ascending by key.
+  * Aggregation memory is O(k) per group on every path (partial, merge,
+  * final) — see [[AggExprs.boundedTopK]] for why this beats a row_number
+  * window at 100 TB. Null keys are skipped (a hash key is never null). */
+case class BoundedTopK(left: Expression, right: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] with BinaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  private def keyType: DataType = left.dataType
+  private def valueType: DataType = right.dataType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("k", keyType, nullable = false),
+                   StructField("v", valueType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_top_k"
+
+  @transient private lazy val ord: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(keyType).asInstanceOf[Ordering[Any]]
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, ord)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val key = left.eval(input)
+    if (key != null) {
+      val v = right.eval(input)
+      buf.insert(InternalRow.copyValue(key),
+        if (v == null) null else InternalRow.copyValue(v))
+    }
+    buf
+  }
+
+  override def merge(b1: TopKHeap, b2: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < b2.n) { b1.insert(b2.keys(i), b2.vals(i)); i += 1 }
+    b1
+  }
+
+  private def toArrayData(buf: TopKHeap): GenericArrayData = {
+    val pairs = buf.sortedPairs()
+    val rows = new Array[Any](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      rows(i) = new GenericInternalRow(Array[Any](pairs(i)._1, pairs(i)._2))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def eval(buf: TopKHeap): Any = toArrayData(buf)
+
+  // serialize like BoundedCollectList: one UnsafeProjection over the result
+  // array type (per-task instance — not shared across threads)
+  @transient private lazy val proj =
+    UnsafeProjection.create(Array[DataType](dataType))
+
+  override def serialize(buf: TopKHeap): Array[Byte] =
+    proj.apply(InternalRow(toArrayData(buf))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val r = new UnsafeRow(1)
+    r.pointTo(bytes, bytes.length)
+    val arr = r.getArray(0)
+    val out = new TopKHeap(k, ord)
+    val st = dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, 2)
+      val key = InternalRow.copyValue(row.get(0, st(0).dataType))
+      val v = row.get(1, st(1).dataType)
+      out.insert(key, if (v == null) null else InternalRow.copyValue(v))
+      i += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundedTopK =
+    copy(left = l, right = r)
 }

@@ -78,6 +78,37 @@ object Validate {
       .as[Violation]
   }
 
+  /** Deterministic bounded violation sample: the `k` violations with the
+    * smallest content hash per constraint.
+    *
+    * At 10^12 files the full violations Dataset is itself table-sized on a
+    * bad day; what a dashboard or triage ticket needs is a bounded,
+    * REPRODUCIBLE handful per constraint. Ordering by
+    * sha2(repo|path|constraint) makes the sample (a) uniform-ish — the hash
+    * decorrelates the pick from ingestion order — and (b) deterministic
+    * across partitionings, cluster sizes and reruns, so two runs over the
+    * same table produce byte-identical samples (diffable run to run).
+    *
+    * Scale shape: [[graft.eval.AggExprs.boundedTopK]] — map-side partial
+    * top-k, O(k) agg memory per group, the only exchange carries
+    * ≤ constraints × partitions × k rows. A row_number window over the same
+    * data would sort the ENTIRE violation set per constraint.
+    *
+    * Output: (constraint, h, repo, path), ascending by h within constraint.
+    */
+  def violationSample(df: DataFrame, cs: CompiledSchema, k: Int): DataFrame = {
+    import graft.eval.AggExprs
+    violations(df, cs).toDF()
+      .select(col("constraint"),
+        sha2(concat_ws("|", col("repo"), col("path"), col("constraint")), 256).as("h"),
+        col("repo"), col("path"))
+      .groupBy(col("constraint"))
+      .agg(AggExprs.boundedTopK(col("h"), struct(col("repo"), col("path")), k).as("sample"))
+      .select(col("constraint"), explode(col("sample")).as("s"))
+      .select(col("constraint"), col("s.k").as("h"),
+              col("s.v.repo").as("repo"), col("s.v.path").as("path"))
+  }
+
   /** Per-row integrity invariant: recomputed sha2(content,256) must equal the
     * generator-recorded digest (BASELINE.json: "every row's content sha256 is
     * verified against the reference"). */

@@ -1,0 +1,89 @@
+package graft
+
+import graft.eval.AggExprs
+import graft.operators.Validate
+import graft.schema.SchemaCompiler
+import graft.sources.RepoFiles
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BoundedTopK aggregate + the deterministic violation sample built on it. */
+class TopKSampleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  test("boundedTopK == brute-force k-smallest per group (multi-partition, dup keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate keys on purpose: equal key => equal value, the caller contract
+    val rows = (1 to 4000).map { _ =>
+      val g = rnd.nextInt(5)
+      val key = f"${rnd.nextInt(300)}%08x"
+      (s"g$g", key, s"v$key")
+    }
+    val df = rows.toDF("g", "key", "value").repartition(13)
+    val k = 9
+    val got = df.groupBy($"g")
+      .agg(AggExprs.boundedTopK($"key", $"value", k).as("top"))
+      .select($"g", explode($"top").as("s"))
+      .select($"g", $"s.k".as("key"), $"s.v".as("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, members) =>
+      members.map(m => (g, m._2, m._3)).sortBy(_._2).take(k)
+    }.sorted
+    assert(got == expect)
+  }
+
+  test("boundedTopK keeps everything when the group is smaller than k") {
+    import spark.implicits._
+    val df = Seq(("a", "3", "x"), ("a", "1", "y"), ("a", "2", "z")).toDF("g", "key", "v")
+    val got = df.groupBy($"g")
+      .agg(AggExprs.boundedTopK($"key", $"v", 100).as("top"))
+      .select(explode($"top").as("s")).select($"s.k", $"s.v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // emitted ascending by key
+    assert(got == Seq(("1", "y"), ("2", "z"), ("3", "x")))
+  }
+
+  test("boundedTopK skips null keys") {
+    import spark.implicits._
+    val df = Seq((Some("1"), "a"), (None, "b"), (Some("0"), "c"))
+      .toDF("key", "v")
+    val got = df.groupBy(lit(1))
+      .agg(AggExprs.boundedTopK($"key", $"v", 5).as("top"))
+      .select(explode($"top").as("s")).select($"s.v")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("c", "a"))
+  }
+
+  test("violationSample == row_number window over the full violation set") {
+    val df = RepoFiles.dataset(spark, 2000L).toDF()
+    val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+    val k = 7
+    val got = Validate.violationSample(df, cs, k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sorted.toSeq
+    val v = Validate.violations(df, cs).toDF()
+      .select(col("constraint"),
+        sha2(concat_ws("|", col("repo"), col("path"), col("constraint")), 256).as("h"),
+        col("repo"), col("path"))
+    val w = Window.partitionBy(col("constraint")).orderBy(col("h"))
+    val expect = v.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("constraint"), col("h"), col("repo"), col("path"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+    // the cap engaged: every constraint present has exactly k sampled rows
+    // (each fixture violation stratum is far larger than k at N=2000)
+    assert(got.groupBy(_._1).forall(_._2.length == k))
+  }
+
+  test("violationSample plan: one exchange, partial top-k before the shuffle") {
+    val df = RepoFiles.dataset(spark, 200L).toDF()
+    val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+    val plan = Validate.violationSample(df, cs, 7).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.toLowerCase.contains("partial_bounded_top_k"), plan)
+  }
+}

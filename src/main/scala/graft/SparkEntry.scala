@@ -314,6 +314,12 @@ object SparkEntry {
              sum(col("bytes")).as("bytes"),
              sum(col("sha256Failures")).as("sha256_failures"))),
 
+    // per-lang corpus profile (the input table's lang column as a
+    // first-class report dimension); verdict gated behind the scope check
+    // so the parse never runs on out-of-scope rows
+    "q_lang_summary" -> ((s, dir) =>
+      Validate.langSummary(repoFiles(s, dir), fixtureSchema)),
+
     "q_repo_column_stats" -> ((s, dir) =>
       Stats.columnStats(RepoFiles.dataset(s, repoRowsFor(dir))).toDF()
         .withColumn("lengthHist", col("lengthHist").cast("string"))),
@@ -826,6 +832,59 @@ object SparkEntry {
     * being set before this is read. */
   def oracleSql: Map[String, String] = oracleSqlFor(oracleExportRows)
 
+  /** DuckDB first-principles re-validation of the fixture schema: a CTE
+    * chain `jr -> jt -> v(<cols> pass)` over an already-defined `rf`.
+    * `cols` ("" or "lang," style) is carried through so grouped summaries
+    * can aggregate `pass` by table columns. Shared by q_summary_totals and
+    * q_lang_summary — one spelling of the verdict, two aggregations. The
+    * returned text is fully flush-left (stripMargin applied here), so
+    * interpolating it into another stripMargin string is safe. */
+  private def duckdbVerdictCtes(cols: String): String = {
+    val c = if (cols.isEmpty) "" else cols + " "
+    s"""jr AS (SELECT ${c}content::JSON AS j FROM rf WHERE lang = 'json'),
+       |jt AS (SELECT ${c}j, json_keys(j) AS ks,
+       |         CASE WHEN json_type(j, '$$.tags') = 'ARRAY'
+       |              THEN CAST(json_extract(j, '$$.tags') AS JSON[]) END AS tags
+       |       FROM jr),
+       |v AS (SELECT ${c}
+       |  (json_type(j) = 'OBJECT'
+       |   AND list_has_all(ks, ['name','size','tags'])
+       |   AND coalesce(json_type(j, '$$.name') = 'VARCHAR'
+       |     AND regexp_matches(json_extract_string(j, '$$.name'), '^[a-z][a-z0-9_]*$$')
+       |     AND length(json_extract_string(j, '$$.name')) BETWEEN 1 AND 64, FALSE)
+       |   AND coalesce(json_type(j, '$$.size') IN ('UBIGINT','BIGINT')
+       |     AND CAST(json_extract(j, '$$.size') AS BIGINT) BETWEEN 0 AND 1000000, FALSE)
+       |   AND (NOT list_contains(ks, 'kind') OR
+       |        json_extract_string(j, '$$.kind') IN ('blob','tree','doc'))
+       |   AND coalesce(tags IS NOT NULL
+       |     AND len(tags) <= 8
+       |     AND len(list_filter(tags, x -> json_type(x) <> 'VARCHAR')) = 0
+       |     AND len(list_distinct(list_transform(tags, x -> CAST(x AS VARCHAR)))) = len(tags), FALSE)
+       |   AND (NOT list_contains(ks, 'score') OR
+       |        (json_type(j, '$$.score') IN ('UBIGINT','BIGINT','DOUBLE')
+       |         AND CAST(json_extract(j, '$$.score') AS DOUBLE) >= 0
+       |         AND CAST(json_extract(j, '$$.score') AS DOUBLE) < 1))
+       |   AND (NOT list_contains(ks, 'count') OR
+       |        (json_type(j, '$$.count') IN ('UBIGINT','BIGINT')
+       |         AND CAST(json_extract(j, '$$.count') AS BIGINT) % 5 = 0))
+       |   AND (NOT list_contains(ks, 'flag') OR
+       |        json_type(j, '$$.flag') IN ('BOOLEAN','NULL'))
+       |   AND (NOT list_contains(ks, 'meta') OR (
+       |        json_type(j, '$$.meta') = 'OBJECT'
+       |        AND (NOT list_contains(json_keys(j, '$$.meta'), 'depth') OR
+       |             (json_type(j, '$$.meta.depth') IN ('UBIGINT','BIGINT')
+       |              AND CAST(json_extract(j, '$$.meta.depth') AS BIGINT) >= 0))
+       |        AND (NOT list_contains(json_keys(j, '$$.meta'), 'child') OR (
+       |             json_type(j, '$$.meta.child') = 'OBJECT'
+       |             AND (NOT list_contains(json_keys(j, '$$.meta.child'), 'depth') OR
+       |                  (json_type(j, '$$.meta.child.depth') IN ('UBIGINT','BIGINT')
+       |                   AND CAST(json_extract(j, '$$.meta.child.depth') AS BIGINT) >= 0))))))
+       |   AND (NOT list_contains(ks, 'ref') OR
+       |        (json_type(j, '$$.ref') = 'VARCHAR'
+       |         AND regexp_matches(json_extract_string(j, '$$.ref'), '^repo://')))
+       |  ) AS pass FROM jt)""".stripMargin
+  }
+
   def oracleSqlFor(exportRows: Long): Map[String, String] = Map(
     "q_jsonl_validate" ->
       s"""WITH o AS (
@@ -1062,48 +1121,7 @@ object SparkEntry {
     // sha256) without trusting any engine output.
     "q_summary_totals" ->
       s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
-         |jr AS (SELECT content::JSON AS j FROM rf WHERE lang = 'json'),
-         |jt AS (SELECT j, json_keys(j) AS ks,
-         |         CASE WHEN json_type(j, '$$.tags') = 'ARRAY'
-         |              THEN CAST(json_extract(j, '$$.tags') AS JSON[]) END AS tags
-         |       FROM jr),
-         |v AS (SELECT
-         |  (json_type(j) = 'OBJECT'
-         |   AND list_has_all(ks, ['name','size','tags'])
-         |   AND coalesce(json_type(j, '$$.name') = 'VARCHAR'
-         |     AND regexp_matches(json_extract_string(j, '$$.name'), '^[a-z][a-z0-9_]*$$')
-         |     AND length(json_extract_string(j, '$$.name')) BETWEEN 1 AND 64, FALSE)
-         |   AND coalesce(json_type(j, '$$.size') IN ('UBIGINT','BIGINT')
-         |     AND CAST(json_extract(j, '$$.size') AS BIGINT) BETWEEN 0 AND 1000000, FALSE)
-         |   AND (NOT list_contains(ks, 'kind') OR
-         |        json_extract_string(j, '$$.kind') IN ('blob','tree','doc'))
-         |   AND coalesce(tags IS NOT NULL
-         |     AND len(tags) <= 8
-         |     AND len(list_filter(tags, x -> json_type(x) <> 'VARCHAR')) = 0
-         |     AND len(list_distinct(list_transform(tags, x -> CAST(x AS VARCHAR)))) = len(tags), FALSE)
-         |   AND (NOT list_contains(ks, 'score') OR
-         |        (json_type(j, '$$.score') IN ('UBIGINT','BIGINT','DOUBLE')
-         |         AND CAST(json_extract(j, '$$.score') AS DOUBLE) >= 0
-         |         AND CAST(json_extract(j, '$$.score') AS DOUBLE) < 1))
-         |   AND (NOT list_contains(ks, 'count') OR
-         |        (json_type(j, '$$.count') IN ('UBIGINT','BIGINT')
-         |         AND CAST(json_extract(j, '$$.count') AS BIGINT) % 5 = 0))
-         |   AND (NOT list_contains(ks, 'flag') OR
-         |        json_type(j, '$$.flag') IN ('BOOLEAN','NULL'))
-         |   AND (NOT list_contains(ks, 'meta') OR (
-         |        json_type(j, '$$.meta') = 'OBJECT'
-         |        AND (NOT list_contains(json_keys(j, '$$.meta'), 'depth') OR
-         |             (json_type(j, '$$.meta.depth') IN ('UBIGINT','BIGINT')
-         |              AND CAST(json_extract(j, '$$.meta.depth') AS BIGINT) >= 0))
-         |        AND (NOT list_contains(json_keys(j, '$$.meta'), 'child') OR (
-         |             json_type(j, '$$.meta.child') = 'OBJECT'
-         |             AND (NOT list_contains(json_keys(j, '$$.meta.child'), 'depth') OR
-         |                  (json_type(j, '$$.meta.child.depth') IN ('UBIGINT','BIGINT')
-         |                   AND CAST(json_extract(j, '$$.meta.child.depth') AS BIGINT) >= 0))))))
-         |   AND (NOT list_contains(ks, 'ref') OR
-         |        (json_type(j, '$$.ref') = 'VARCHAR'
-         |         AND regexp_matches(json_extract_string(j, '$$.ref'), '^repo://')))
-         |  ) AS pass FROM jt)
+         |${duckdbVerdictCtes("")}
          |SELECT
          |  (SELECT count(*) FROM rf) AS total_rows,
          |  (SELECT count(*) FROM jr) AS validated,
@@ -1111,6 +1129,22 @@ object SparkEntry {
          |  (SELECT CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) FROM v) AS failed,
          |  (SELECT CAST(sum(strlen(content)) AS BIGINT) FROM rf) AS bytes,
          |  (SELECT CAST(sum(CASE WHEN sha256(content) <> sha256 THEN 1 ELSE 0 END) AS BIGINT) FROM rf) AS sha256_failures""".stripMargin,
+    // per-lang corpus profile; DuckDB recomputes the verdict from first
+    // principles (same CTE chain as q_summary_totals) grouped by lang
+    "q_lang_summary" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |${duckdbVerdictCtes("lang,")},
+         |base AS (SELECT lang, CAST(count(*) AS BIGINT) AS files,
+         |           CAST(count(DISTINCT repo) AS BIGINT) AS repos,
+         |           CAST(sum(strlen(content)) AS BIGINT) AS bytes,
+         |           CAST(sum(CASE WHEN lang = 'json' THEN 1 ELSE 0 END) AS BIGINT) AS validated
+         |         FROM rf GROUP BY lang),
+         |p AS (SELECT lang, CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS passed
+         |      FROM v GROUP BY lang)
+         |SELECT base.lang, files, repos, bytes, validated,
+         |  coalesce(passed, CAST(0 AS BIGINT)) AS passed
+         |FROM base LEFT JOIN p ON base.lang = p.lang
+         |ORDER BY base.lang""".stripMargin,
     "q_repo_uniqueness" ->
       s"""SELECT repo, path, "commit", count(*) AS multiplicity
          |FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')

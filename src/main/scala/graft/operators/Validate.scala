@@ -78,6 +78,31 @@ object Validate {
       .as[Violation]
   }
 
+  /** Per-language corpus profile: one row per `lang` — file count, distinct
+    * repos, byte volume, rows in validation scope, and how many of those
+    * pass. The ops view of a mixed-language repo table ("how much of the
+    * corpus does the schema even apply to, and how healthy is it").
+    *
+    * Scale shape: one narrow projection, then a grouped agg over a handful
+    * of language groups; the verdict sits behind `scoped && pass` so the
+    * parse+walk never runs on out-of-scope rows (And short-circuits in
+    * codegen). countDistinct adds the standard two-phase distinct expand —
+    * keyed by (lang, repo), bounded by distinct repos, not table size. */
+  def langSummary(df: DataFrame, cs: CompiledSchema): DataFrame = {
+    val scoped = inScope(df)
+    df.select(col("lang"), col("repo"),
+        octet_length(col("content")).cast("long").as("_bytes"),
+        scoped.as("_scoped"),
+        (scoped && passCol(cs, col("content"))).as("_scopedPass"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("files"),
+           countDistinct(col("repo")).as("repos"),
+           sum(col("_bytes")).as("bytes"),
+           sum(when(col("_scoped"), 1L).otherwise(0L)).as("validated"),
+           sum(when(col("_scopedPass"), 1L).otherwise(0L)).as("passed"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic bounded violation sample: the `k` violations with the
     * smallest content hash per constraint.
     *

@@ -30,6 +30,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(prof.count() > 0)
   }
 
+  test("langSummary: construction-known per-lang totals") {
+    val cs = graft.schema.SchemaCompiler.compile(RepoFiles.schemaJson)
+    val got = Validate.langSummary(df, cs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // recompute every column from the generator definition: strata are
+    // i % 20, violating JSON rows are strata 14-18 (RepoFiles scaladoc)
+    val rows = (0L until N).map(i => (i, RepoFiles.row(i, N)))
+    val expect = rows.groupBy(_._2.lang).map { case (lang, rs) =>
+      val failing = rs.count { case (i, r) =>
+        r.lang == "json" && (i % 20) >= 14 && (i % 20) <= 18 }
+      val validated = if (lang == "json") rs.size.toLong else 0L
+      lang -> ((rs.size.toLong,
+        rs.map(_._2.repo).distinct.size.toLong,
+        rs.map(_._2.content.getBytes("UTF-8").length.toLong).sum,
+        validated, validated - failing))
+    }
+    assert(got == expect)
+    assert(got.contains("json") && got.size >= 3)
+  }
+
   test("keyDrift classifies added/removed/common keys between snapshots") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

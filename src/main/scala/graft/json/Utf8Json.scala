@@ -103,6 +103,13 @@ object Utf8Json {
   private final class ParseCtx {
     var spanBuf: Array[Byte] = new Array[Byte](256)
     val keyCache: Array[String] = new Array[String](KeyCacheSize)
+    // Word-keyed twin of keyCache for keys ≤ 7 bytes (the machine-generated
+    // norm): the masked little-endian word IS the key — genuine key bytes are
+    // never 0 (raw control chars are rejected in strings), so trailing-zero
+    // padding encodes content AND length unambiguously, and one long compare
+    // replaces the hash loop + char-verify loop of the general intern path.
+    val kwWords: Array[Long] = new Array[Long](KeyCacheSize)
+    val kwStrs: Array[String] = new Array[String](KeyCacheSize)
   }
   private val ctxs = new graft.util.ThreadSlots[ParseCtx](() => new ParseCtx)
 
@@ -581,6 +588,36 @@ object Utf8Json {
     private def parseString(intern: Boolean): String = {
       expect('"')
       val start = i
+      // Word-level short-key fast path (profile: key parsing was the bulk of
+      // parseString samples on schema'd corpora — every document re-parses
+      // the same ≤7-byte keys). One getLong covers the whole key + closing
+      // quote: if the FIRST stop byte in the word is the quote and no byte
+      // before it is ≥ 0x80, the masked word uniquely identifies the key and
+      // a direct-mapped (word → String) cache returns the interned instance
+      // with a single long compare. Any other shape (escape, control byte,
+      // non-ASCII, length ≥ 8, or near buffer end) falls through unchanged.
+      if (intern && LittleEndian && start + 8 <= n) {
+        val w = Platform.getLong(base, off + start)
+        val stop = stringStopMask(w)
+        if (stop != 0L) {
+          val k = java.lang.Long.numberOfTrailingZeros(stop) >> 3
+          if (((w >>> (k << 3)) & 0xFFL) == '"'.toLong) {
+            val masked = w & ((1L << (k << 3)) - 1) // k ≤ 7 here, no shift-by-64
+            if ((masked & SwarHighs) == 0L) {
+              i = start + k + 1 // past the closing quote
+              var h = masked * -0x61c8864680b583ebL
+              h ^= (h >>> 47)
+              val slot = (h & (KeyCacheSize - 1)).toInt
+              val cached = ctx.kwStrs(slot)
+              if ((cached ne null) && ctx.kwWords(slot) == masked) return cached
+              val s = spanString(start, start + k, ascii = true)
+              ctx.kwWords(slot) = masked
+              ctx.kwStrs(slot) = s
+              return s
+            }
+          }
+        }
+      }
       var sawEscape = false
       var ascii = true
       var done = false

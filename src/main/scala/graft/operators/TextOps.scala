@@ -78,6 +78,73 @@ object TextOps {
   def fingerprintSha(text: Column): Column =
     sha2(concat_ws(" ", tokens(text)), 256)
 
+  /** Secret/credential detection rules for source-repo content (the input
+    * table IS source code — leaked-credential scanning is the same
+    * whole-table one-pass shape as schema validation). Patterns stay inside
+    * the regex subset both Java regex and RE2 (the DuckDB oracle) agree on:
+    * literals, classes, bounded repeats, `\b`. */
+  val secretRules: Seq[(String, String)] = Seq(
+    "aws_access_key_id" -> "AKIA[0-9A-Z]{16}",
+    "github_pat"        -> "ghp_[A-Za-z0-9]{36}",
+    "hex40_token"       -> "\\b[0-9a-f]{40}\\b",
+    "private_key_block" -> "-----BEGIN [A-Z ]*PRIVATE KEY-----")
+
+  /** Per-(file, rule) non-overlapping match counts over `content`, rows with
+    * hits only. One narrow whole-stage-codegen'd scan (regexp_count per rule
+    * + a literal-array explode — rules are a handful, so the explode is a
+    * constant fan-out, not a shuffle); nothing but (repo, path, rule, count)
+    * leaves the scan, so at 100 TB the output is violation-sized, never
+    * table-sized. */
+  def secretScan(df: DataFrame,
+                 rules: Seq[(String, String)] = secretRules): DataFrame = {
+    val perRule = array(rules.map { case (name, pat) =>
+      struct(lit(name).as("rule"),
+        regexp_count(col("content"), lit(pat)).cast("long").as("n_hits"))
+    }: _*)
+    df.select(col("repo"), col("path"), explode(perRule).as("h"))
+      .select(col("repo"), col("path"), col("h.rule").as("rule"),
+              col("h.n_hits").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** Assign documents to contiguous fixed-token-budget shards — the
+    * training-data packing step ("split the corpus into ~N-token files").
+    * `shard = floor(tokens_before_this_doc / budget)` over ascending
+    * `orderCol`, so shard boundaries are a pure function of the data: the
+    * same input yields byte-identical shard assignment at any parallelism.
+    *
+    * Scale shape — a distributed prefix sum, NO global sort and NO
+    * single-partition pass over the data:
+    *  1. block = orderCol / blockSize; a within-block cumulative sum runs as
+    *     a window partitioned BY BLOCK (shuffle keyed on block, sort bounded
+    *     by blockSize rows);
+    *  2. per-block totals (= max of the within-block cumsum) roll up to
+    *     block offsets via a window over the BLOCK SUMMARY ONLY — n/blockSize
+    *     rows, the one deliberately tiny single-partition step (100M docs at
+    *     blockSize 2^20 → ~100 summary rows);
+    *  3. offsets broadcast-join back on block.
+    * The source is scanned twice (once per window lineage) — both passes are
+    * narrow and deterministic, so no persist is needed for correctness. */
+  def shardByTokenBudget(docs: DataFrame, orderCol: Column, tokensCol: Column,
+                         budget: Long, blockSize: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .withColumn("_tok", tokensCol.cast("long"))
+      .withColumn("_blk", floor(orderCol / blockSize).cast("long"))
+    val withCum = d.withColumn("_cum",
+      sum(col("_tok")).over(Window.partitionBy(col("_blk")).orderBy(orderCol)))
+    val offsets = withCum.groupBy(col("_blk"))
+      .agg(max(col("_cum")).as("_blkTot"))
+      .withColumn("_off", coalesce(
+        sum(col("_blkTot")).over(Window.orderBy(col("_blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_blk"), col("_off"))
+    withCum.join(broadcast(offsets), "_blk")
+      .withColumn("shard",
+        floor((col("_off") + col("_cum") - col("_tok")) / budget).cast("long"))
+      .drop("_blk", "_cum", "_off", "_tok")
+  }
+
   /** Feature-extraction pass over `documents`. */
   def documentFeatures(docs: DataFrame): DataFrame =
     docs.select(

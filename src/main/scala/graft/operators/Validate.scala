@@ -134,6 +134,25 @@ object Validate {
               col("s.v.repo").as("repo"), col("s.v.path").as("path"))
   }
 
+  /** One-pass quarantine split: write the table partitioned by verdict —
+    * `verdict=pass` (in scope, valid), `verdict=fail` (in scope, invalid),
+    * `verdict=skip` (out of validation scope) — so downstream consumers read
+    * the clean partition by directory pruning without ever re-validating.
+    *
+    * Scale shape: ONE scan, no shuffle — the verdict is a projected column
+    * and the dynamic-partition writer routes each row as it streams through
+    * (3 verdict values × tasks output files; at 10^12 rows add a
+    * `repartition` on a stable key first only if small-file pressure
+    * matters more than the extra exchange). The same seam TableIO documents
+    * applies: swap `.parquet` for the Iceberg writer when the runtime jar is
+    * present. */
+  def splitByVerdict(df: DataFrame, cs: CompiledSchema, outDir: String): Unit =
+    df.withColumn("verdict",
+        when(!inScope(df), "skip")
+          .when(passCol(cs, df("content")), "pass")
+          .otherwise("fail"))
+      .write.mode("overwrite").partitionBy("verdict").parquet(outDir)
+
   /** Per-row integrity invariant: recomputed sha2(content,256) must equal the
     * generator-recorded digest (BASELINE.json: "every row's content sha256 is
     * verified against the reference"). */

@@ -148,4 +148,26 @@ class PlanSpec extends AnyFunSuite {
       Validate.passColNative(cs, col("content")).as("native"))
     assert(both.filter(col("rowEval") =!= col("native")).count() == 0)
   }
+
+  test("secret scan: one narrow shuffle-free pass, codegen'd") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(TextOps.secretScan(df))
+    assert(exchanges(p) == 0, s"secret scan must not shuffle:\n$p")
+    assert(p.contains("Generate explode") || p.contains("Generate"), p)
+    assert(p.contains("Batched: true"), p)
+  }
+
+  test("token shards: offsets broadcast back, data side never single-partition") {
+    val df = TableIO.readRepoFiles(spark, dir)
+      .select(col("path").as("doc_id"), length(col("content")).cast("long").as("tok"))
+      .withColumn("doc_id", abs(hash(col("doc_id"))).cast("long"))
+    val p = plan(TextOps.shardByTokenBudget(df, col("doc_id"), col("tok"),
+      budget = 10000L, blockSize = 64L))
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+    // the only SinglePartition exchange is the block-summary rollup (rows
+    // bounded by n/blockSize), never the full data side
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, s"at most the block-summary rollup may be global:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

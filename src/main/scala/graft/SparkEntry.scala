@@ -1226,7 +1226,8 @@ object SparkEntry {
          |  SELECT CASE WHEN pass THEN 'pass' ELSE 'fail' END AS verdict,
          |         repo, strlen(content) AS b FROM v
          |  UNION ALL
-         |  SELECT 'skip', repo, strlen(content) FROM rf WHERE lang <> 'json')
+         |  SELECT 'skip', repo, strlen(content) FROM rf
+         |  WHERE lang IS DISTINCT FROM 'json')
          |SELECT verdict, CAST(count(*) AS BIGINT) AS files,
          |  CAST(sum(b) AS BIGINT) AS bytes,
          |  CAST(count(DISTINCT repo) AS BIGINT) AS repos

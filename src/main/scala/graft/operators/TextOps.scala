@@ -109,9 +109,15 @@ object TextOps {
 
   /** Assign documents to contiguous fixed-token-budget shards — the
     * training-data packing step ("split the corpus into ~N-token files").
-    * `shard = floor(tokens_before_this_doc / budget)` over ascending
-    * `orderCol`, so shard boundaries are a pure function of the data: the
-    * same input yields byte-identical shard assignment at any parallelism.
+    * `shard = tokens_before_this_doc div budget` over ascending `orderCol`,
+    * so shard boundaries are a pure function of the data: the same input
+    * yields byte-identical shard assignment at any parallelism.
+    *
+    * Preconditions (caller contract): `orderCol` is UNIQUE and non-negative.
+    * Uniqueness is what makes "tokens before this doc" well-defined at all —
+    * the windows use explicit ROWS frames, so tied keys would get an
+    * arbitrary (partitioning-dependent) relative order. Non-negativity keeps
+    * `div` (truncating) equal to floor division.
     *
     * Scale shape — a distributed prefix sum, NO global sort and NO
     * single-partition pass over the data:
@@ -128,11 +134,16 @@ object TextOps {
   def shardByTokenBudget(docs: DataFrame, orderCol: Column, tokensCol: Column,
                          budget: Long, blockSize: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // integral `div` throughout, never floor-of-double-division: a running
+    // token total past 2^53 would otherwise round shard boundaries away from
+    // the oracle's exact integer arithmetic
     val d = docs
       .withColumn("_tok", tokensCol.cast("long"))
-      .withColumn("_blk", floor(orderCol / blockSize).cast("long"))
+      .withColumn("_ord", orderCol.cast("long"))
+      .withColumn("_blk", expr(s"_ord div ${blockSize}L"))
     val withCum = d.withColumn("_cum",
-      sum(col("_tok")).over(Window.partitionBy(col("_blk")).orderBy(orderCol)))
+      sum(col("_tok")).over(Window.partitionBy(col("_blk")).orderBy(col("_ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val offsets = withCum.groupBy(col("_blk"))
       .agg(max(col("_cum")).as("_blkTot"))
       .withColumn("_off", coalesce(
@@ -140,9 +151,9 @@ object TextOps {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_blk"), col("_off"))
     withCum.join(broadcast(offsets), "_blk")
-      .withColumn("shard",
-        floor((col("_off") + col("_cum") - col("_tok")) / budget).cast("long"))
-      .drop("_blk", "_cum", "_off", "_tok")
+      .withColumn("_before", col("_off") + col("_cum") - col("_tok"))
+      .withColumn("shard", expr(s"_before div ${budget}L"))
+      .drop("_blk", "_cum", "_off", "_tok", "_ord", "_before")
   }
 
   /** Feature-extraction pass over `documents`. */

@@ -146,11 +146,18 @@ object Validate {
     * matters more than the extra exchange). The same seam TableIO documents
     * applies: swap `.parquet` for the Iceberg writer when the runtime jar is
     * present. */
-  def splitByVerdict(df: DataFrame, cs: CompiledSchema, outDir: String): Unit =
+  /** Input + the routing `verdict` column [[splitByVerdict]] writes by —
+    * exposed so the plan shape (one scan, no exchange) is assertable.
+    * Scope is tested null-safely: a NULL lang is OUT of scope (`skip`), not
+    * a row to advertise as validated-clean in the pass partition. */
+  def labeledByVerdict(df: DataFrame, cs: CompiledSchema): DataFrame =
     df.withColumn("verdict",
-        when(!inScope(df), "skip")
-          .when(passCol(cs, df("content")), "pass")
-          .otherwise("fail"))
+      when(inScope(df) <=> lit(true),
+        when(passCol(cs, df("content")), "pass").otherwise("fail"))
+      .otherwise("skip"))
+
+  def splitByVerdict(df: DataFrame, cs: CompiledSchema, outDir: String): Unit =
+    labeledByVerdict(df, cs)
       .write.mode("overwrite").partitionBy("verdict").parquet(outDir)
 
   /** Per-row integrity invariant: recomputed sha2(content,256) must equal the

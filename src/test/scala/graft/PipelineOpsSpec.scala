@@ -357,5 +357,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // all three partitions materialized (fixture has all strata)
     assert(back.select("verdict").distinct().collect().map(_.getString(0)).toSet
       == Set("pass", "fail", "skip"))
+    // NULL lang is out of scope → routed to skip, never advertised as pass
+    val out2 = java.nio.file.Files.createTempDirectory("graft-split-null").toString
+    val withNull = rf.withColumn("lang",
+      when(col("path").endsWith(".json"), lit(null: String)).otherwise(col("lang")))
+    Validate.splitByVerdict(withNull, SparkEntry.fixtureSchema, out2)
+    val back2 = spark.read.parquet(out2)
+    assert(back2.filter(col("lang").isNull && col("verdict") =!= "skip").count() == 0)
+    assert(back2.filter(col("lang").isNull).count() ==
+      withNull.filter(col("lang").isNull).count())
   }
 }

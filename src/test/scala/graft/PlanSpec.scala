@@ -157,10 +157,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Batched: true"), p)
   }
 
+  test("quarantine split projection: one scan, no exchange before the writer") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(Validate.labeledByVerdict(df, cs))
+    assert(exchanges(p) == 0, s"quarantine routing must not shuffle:\n$p")
+    assert(p.contains("Batched: true"), p)
+  }
+
   test("token shards: offsets broadcast back, data side never single-partition") {
     val df = TableIO.readRepoFiles(spark, dir)
-      .select(col("path").as("doc_id"), length(col("content")).cast("long").as("tok"))
-      .withColumn("doc_id", abs(hash(col("doc_id"))).cast("long"))
+      .select(length(col("content")).cast("long").as("tok"))
+      .withColumn("doc_id", monotonically_increasing_id()) // unique order key
     val p = plan(TextOps.shardByTokenBudget(df, col("doc_id"), col("tok"),
       budget = 10000L, blockSize = 64L))
     assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")

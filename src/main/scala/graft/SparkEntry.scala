@@ -377,6 +377,19 @@ object SparkEntry {
              sum(col("n_hits")).as("total_hits"))
         .orderBy(col("rule"))),
 
+    // deterministic per-lang eval-set sample: k smallest sha2(doc_id) per
+    // group via the mergeable BoundedTopK; DuckDB recomputes the identical
+    // hash order with a row_number window
+    "q_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), 5)
+        .orderBy(col("grp"), col("h"))),
+
+    // corpus vocabulary: global top-k term frequency (wordcount shape);
+    // DuckDB recomputes via unnest(string_split_regex)
+    "q_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(t(s, dir, "documents"), 50)),
+
     // fixed-token-budget shard assignment (training-data packing): the
     // distributed prefix sum's shard ids are a pure function of the data,
     // so DuckDB's single-window recompute must agree exactly
@@ -1258,6 +1271,20 @@ object SparkEntry {
          |       CAST(count(DISTINCT repo) AS BIGINT) AS repos_hit,
          |       CAST(sum(n) AS BIGINT) AS total_hits
          |FROM h WHERE n > 0 GROUP BY rule ORDER BY rule""".stripMargin,
+    // stratified sample: identical sha256 hash order, window-recomputed
+    "q_stratified_sample" ->
+      """WITH d AS (SELECT lang AS grp, sha256(CAST(doc_id AS VARCHAR)) AS h,
+        |             doc_id AS id FROM documents),
+        |r AS (SELECT grp, h, id,
+        |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d)
+        |SELECT grp, h, id FROM r WHERE rn <= 5 ORDER BY grp, h""".stripMargin,
+    // top terms: same lowercase/whitespace/ascii-alnum tokenization
+    "q_top_terms" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |           FROM documents)
+        |SELECT term, count(*) AS n FROM t
+        |WHERE regexp_matches(term, '^[a-z0-9]+$')
+        |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
     // token shards: one window recomputes the whole distributed prefix sum
     "q_token_shards" ->
       """WITH d AS (SELECT doc_id,

@@ -156,6 +156,37 @@ object TextOps {
       .drop("_blk", "_cum", "_off", "_tok", "_ord", "_before")
   }
 
+  /** Deterministic per-group sample: the k rows with the smallest
+    * sha2-derived order hash per group — the reproducible eval-set /
+    * debug-set cut. Hash order decorrelates the pick from ingestion order
+    * AND makes it independent of partitioning, cluster size and reruns
+    * (the same property [[Validate.violationSample]] relies on; same
+    * mergeable O(k)-memory BoundedTopK aggregate, so the only exchange
+    * carries ≤ groups × partitions × k rows — never the table).
+    * `idCol` must be unique per row. Output: (grp, h, id). */
+  def stratifiedSample(df: DataFrame, groupCol: Column, idCol: Column,
+                       k: Int): DataFrame =
+    df.select(groupCol.as("grp"),
+        sha2(idCol.cast("string"), 256).as("h"), idCol.as("id"))
+      .groupBy(col("grp"))
+      .agg(graft.eval.AggExprs.boundedTopK(col("h"), struct(col("id")), k)
+        .as("sample"))
+      .select(col("grp"), explode(col("sample")).as("s"))
+      .select(col("grp"), col("s.k").as("h"), col("s.v.id").as("id"))
+
+  /** Global term-frequency top-k over lowercased whitespace tokens — the
+    * corpus-vocabulary report. Classic wordcount shape: the explode is
+    * scan-local, partial aggregation reduces map-side to distinct terms per
+    * partition, ONE exchange keyed on term, and TakeOrderedAndProject
+    * returns only k rows to the driver. The ASCII-alnum term filter keeps
+    * tokenization exactly reproducible across engines (and drops
+    * punctuation noise). Ties break on the term for total order. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term").rlike("^[a-z0-9]+$"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+
   /** Feature-extraction pass over `documents`. */
   def documentFeatures(docs: DataFrame): DataFrame =
     docs.select(

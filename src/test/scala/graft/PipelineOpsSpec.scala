@@ -340,6 +340,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.toSet == (0L to got.values.max).toSet)
   }
 
+  test("stratified sample: k smallest hashes per group, partitioning-independent") {
+    val k = 7
+    val got = TextOps.stratifiedSample(docs, col("lang"), col("doc_id"), k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // local recompute: per lang, the k lexicographically-smallest sha2 hex
+    val local = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.toSeq.map { case (_, id) =>
+          (lang, sources.RepoFiles.sha256Hex(id.toString), id)
+        }.sortBy(_._2).take(k)
+      }.toSet
+    assert(got.toSet == local)
+    // independent of partitioning
+    val again = TextOps.stratifiedSample(docs.repartition(13), col("lang"),
+        col("doc_id"), k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == local)
+  }
+
+  test("top terms: matches a local recount, ordered by (n desc, term)") {
+    val k = 30
+    val got = TextOps.topTerms(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val local = docs.select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+"))
+      .filter(_.matches("^[a-z0-9]+$"))
+      .groupBy(identity).map { case (t, o) => (t, o.length.toLong) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(k)
+    assert(got.toSeq == local)
+  }
+
   test("splitByVerdict: one-pass partitioned write routes every row correctly") {
     val out = java.nio.file.Files.createTempDirectory("graft-split").toString
     val rf = sources.RepoFiles.dataset(spark, 400L).toDF()

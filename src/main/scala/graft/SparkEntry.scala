@@ -1272,15 +1272,19 @@ object SparkEntry {
          |       CAST(sum(n) AS BIGINT) AS total_hits
          |FROM h WHERE n > 0 GROUP BY rule ORDER BY rule""".stripMargin,
     // stratified sample: identical sha256 hash order, window-recomputed
+    // (NULL ids excluded on both sides — the operator's documented contract)
     "q_stratified_sample" ->
       """WITH d AS (SELECT lang AS grp, sha256(CAST(doc_id AS VARCHAR)) AS h,
-        |             doc_id AS id FROM documents),
+        |             doc_id AS id FROM documents WHERE doc_id IS NOT NULL),
         |r AS (SELECT grp, h, id,
         |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d)
         |SELECT grp, h, id FROM r WHERE rn <= 5 ORDER BY grp, h""".stripMargin,
-    // top terms: same lowercase/whitespace/ascii-alnum tokenization
+    // top terms: engine-exact tokenization by construction — explicit
+    // whitespace class (Java/RE2 \s disagree on \x0B) and end-of-text
+    // anchoring on both sides
     "q_top_terms" ->
-      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+      """WITH t AS (SELECT unnest(
+        |             string_split_regex(lower(text), '[ \t\n\f\r]+')) AS term
         |           FROM documents)
         |SELECT term, count(*) AS n FROM t
         |WHERE regexp_matches(term, '^[a-z0-9]+$')

@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens. Cross-engine caveat, shared by every oracle that
+    * mirrors this with RE2 `'\s+'`: Java `\s` is `[ \t\n\x0B\f\r]` while
+    * RE2's omits `\x0B`, and neither splits on Unicode line separators — the
+    * two spellings agree on any corpus whose whitespace is limited to
+    * space/tab/newline/CR/FF (the driver corpora are space-only; asserted
+    * before each oracle claim). Operators that CLAIM engine-exact
+    * tokenization ([[topTerms]]) use an explicit character class instead. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Whitespace token count (empty string → 0). */
@@ -163,10 +169,14 @@ object TextOps {
     * (the same property [[Validate.violationSample]] relies on; same
     * mergeable O(k)-memory BoundedTopK aggregate, so the only exchange
     * carries ≤ groups × partitions × k rows — never the table).
-    * `idCol` must be unique per row. Output: (grp, h, id). */
+    * `idCol` must be unique per row; rows with a NULL id are EXCLUDED
+    * (filtered here explicitly — sha2(NULL) is NULL and the aggregate
+    * skips null keys, so without the filter they would vanish silently).
+    * Output: (grp, h, id). */
   def stratifiedSample(df: DataFrame, groupCol: Column, idCol: Column,
                        k: Int): DataFrame =
-    df.select(groupCol.as("grp"),
+    df.filter(idCol.isNotNull)
+      .select(groupCol.as("grp"),
         sha2(idCol.cast("string"), 256).as("h"), idCol.as("id"))
       .groupBy(col("grp"))
       .agg(graft.eval.AggExprs.boundedTopK(col("h"), struct(col("id")), k)
@@ -178,12 +188,15 @@ object TextOps {
     * corpus-vocabulary report. Classic wordcount shape: the explode is
     * scan-local, partial aggregation reduces map-side to distinct terms per
     * partition, ONE exchange keyed on term, and TakeOrderedAndProject
-    * returns only k rows to the driver. The ASCII-alnum term filter keeps
-    * tokenization exactly reproducible across engines (and drops
-    * punctuation noise). Ties break on the term for total order. */
+    * returns only k rows to the driver. Engine-exact BY CONSTRUCTION, not
+    * by corpus luck: the split uses an explicit character class (Java `\s`
+    * and RE2 `\s` disagree on `\x0B`) and the term filter anchors with
+    * `\A`/`\z` (Java's `$` under find() matches before a trailing line
+    * terminator such as `U+0085`; RE2's and the oracle's `$` do not). Ties
+    * break on the term for total order. */
   def topTerms(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(tokens(lower(col("text")))).as("term"))
-      .filter(col("term").rlike("^[a-z0-9]+$"))
+    docs.select(explode(split(lower(col("text")), "[ \\t\\n\\f\\r]+")).as("term"))
+      .filter(col("term").rlike("\\A[a-z0-9]+\\z"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 

@@ -365,11 +365,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = TextOps.topTerms(docs, k).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val local = docs.select("text").collect()
-      .flatMap(_.getString(0).toLowerCase.split("\\s+"))
-      .filter(_.matches("^[a-z0-9]+$"))
+      .flatMap(_.getString(0).toLowerCase.split("[ \t\n\f\r]+"))
+      .filter(_.matches("[a-z0-9]+"))
       .groupBy(identity).map { case (t, o) => (t, o.length.toLong) }.toSeq
       .sortBy { case (t, n) => (-n, t) }.take(k)
     assert(got.toSeq == local)
+  }
+
+  test("top terms: adversarial whitespace — engine-exact class, strict anchors") {
+    import spark.implicits._
+    // \x0B (Java \s but not RE2 \s) must NOT split; a trailing U+0085 line
+    // terminator must NOT slip past the anchors; \t and \f split either way
+    val adv = Seq(
+      "aa\u000Bbb cc",      // -> tokens: "aa\u000Bbb" (rejected by filter), "cc"
+      "dd\u0085 ee",        // -> "dd\u0085" (rejected by \z), "ee"
+      "ff\tgg\fhh",         // -> ff, gg, hh
+      "ii ii ii").toDF("text")
+    val got = TextOps.topTerms(adv, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ii", 3L), ("cc", 1L), ("ee", 1L), ("ff", 1L),
+                      ("gg", 1L), ("hh", 1L)))
   }
 
   test("splitByVerdict: one-pass partitioned write routes every row correctly") {

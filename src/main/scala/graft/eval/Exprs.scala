@@ -125,9 +125,17 @@ object Sha256MatchesExpr {
     if (expectedHex.numBytes != 64) return false
     val ctx = ctxs.get()
     val md = ctx.md
-    md.reset()
-    md.update(content.getByteBuffer)
-    md.digest(ctx.out, 0, 32)
+    // No per-row reset(): digest() leaves the instance reset on every
+    // normal exit, and engineReset's buffer/state fill was a measured
+    // ~2-3% of the flagship row path (JFR: Arrays.fill under
+    // DigestBase.engineReset). The ONLY way state survives dirty is an
+    // abnormal exit between update and digest (async exception killing
+    // the task) — reset then, so a later task reusing this thread's
+    // digest can never compare against poisoned state.
+    try {
+      md.update(content.getByteBuffer)
+      md.digest(ctx.out, 0, 32)
+    } catch { case t: Throwable => md.reset(); throw t }
     val d = ctx.out // 32 bytes
     var i = 0
     while (i < 32) {

@@ -130,6 +130,35 @@ object SparkEntry {
       .otherwise(lit(""))))
   }
 
+  /** repo_files with DETERMINISTIC planted PII, same replay contract as
+    * [[secretScanInput]] (pure SQL functions of the row's sha256 so DuckDB
+    * re-derives the decoration over the exported table). Plant digits come
+    * from the sha prefix with hex letters stripped, '0'-padded so every
+    * plant has enough digits. Nibbles a–d are true positives — an email, an
+    * IPv4, an E.164 phone, and a DOUBLE email (counting, not just
+    * detection) — and nibble e is an engineered near-miss line (3-octet
+    * "IP", 2-digit "+12", @-less host) that must redact to itself. */
+  def piiScanInput(s: SparkSession, dir: String): DataFrame = {
+    val f = repoFiles(s, dir)
+    val nib = substring(col("sha256"), 1, 1)
+    val digits = concat(
+      regexp_replace(substring(col("sha256"), 1, 16), "[a-f]", ""),
+      lit("000000000"))
+    f.withColumn("content", concat(col("content"),
+      when(nib === "a",
+        concat(lit("\n// contact: user_"), substring(col("sha256"), 2, 8),
+               lit("@example.com")))
+      .when(nib === "b",
+        concat(lit("\nhost = 10.0.0."), substring(digits, 1, 2), lit(" up")))
+      .when(nib === "c",
+        concat(lit("\ntel: +"), substring(digits, 1, 9), lit(" ")))
+      .when(nib === "d",
+        concat(lit("\ncc: a.b@x.io and "), substring(col("sha256"), 2, 6),
+               lit("@mail.example.org")))
+      .when(nib === "e", lit("\nping 999.999 tel +12 at example.com"))
+      .otherwise(lit(""))))
+  }
+
   /** Where q_quarantine_split writes its verdict-partitioned copy (engine
     * output, re-read by the same query — not a DuckDB-side export). */
   def quarantineDir(n: Long): String = s"/tmp/graft_quarantine_$n"
@@ -389,6 +418,34 @@ object SparkEntry {
     // DuckDB recomputes via unnest(string_split_regex)
     "q_top_terms" -> ((s, dir) =>
       TextOps.topTerms(t(s, dir, "documents"), 50)),
+
+    // Gopher-style repetition filter: distinct-token fraction + the text
+    // fraction covered by the top bigram/trigram, all scan-local (sort+fold
+    // inside the row, no explode shuffle); DuckDB recomputes every metric
+    // from first principles with list lambdas + an unnest/groupBy max
+    "q_repetition_profile" -> ((s, dir) =>
+      TextOps.repetitionProfile(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // eval-set decontamination: corpus docs sharing distinct 5-grams with a
+    // broadcast eval set (docs with doc_id % 13 == 0 stand in for the eval
+    // corpus); DuckDB recomputes shingles, the semi-join and the hit counts
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.contamination(docs, docs.filter(col("doc_id") % 13 === 0), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction over source-repo content (planted fixture — see
+    // piiScanInput): per-rule mask counts plus the redacted text verified
+    // byte-for-byte via sha256; DuckDB replays the decoration and the
+    // ordered RE2 rewrite
+    "q_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(piiScanInput(s, dir))
+        .select(col("repo"), col("path"), col("n_email"), col("n_ipv4"),
+                col("n_phone"), sha2(col("redacted"), 256).as("red_sha"))
+        .filter(col("n_email") + col("n_ipv4") + col("n_phone") > 0)
+        .orderBy(col("repo"), col("path"), col("red_sha"))),
 
     // fixed-token-budget shard assignment (training-data packing): the
     // distributed prefix sum's shard ids are a pure function of the data,
@@ -1289,6 +1346,105 @@ object SparkEntry {
         |SELECT term, count(*) AS n FROM t
         |WHERE regexp_matches(term, '^[a-z0-9]+$')
         |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    // repetition profile: tokenize with the same explicit whitespace class,
+    // rebuild the (non-distinct) 2-/3-gram lists with list lambdas, and
+    // recompute the top multiplicity via unnest + groupBy max — an
+    // independent spelling of the engine's sort+longest-run fold
+    "q_repetition_profile" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |                x -> len(x) > 0) AS ts FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |    CASE WHEN len(ts) >= 2 THEN list_transform(
+        |      generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS bg,
+        |    CASE WHEN len(ts) >= 3 THEN list_transform(
+        |      generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END AS tg
+        |  FROM base),
+        |t2 AS (SELECT doc_id, max(c) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bg) AS g FROM m) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |t3 AS (SELECT doc_id, max(c) AS top3 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(tg) AS g FROM m) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |j AS (SELECT m.doc_id, n_toks,
+        |    CASE WHEN n_toks > 0 THEN n_distinct::DOUBLE / n_toks
+        |         ELSE 1.0 END AS df,
+        |    CASE WHEN n_toks > 1 THEN COALESCE(top2, 0)::DOUBLE / (n_toks - 1)
+        |         ELSE 0.0 END AS b2,
+        |    CASE WHEN n_toks > 2 THEN COALESCE(top3, 0)::DOUBLE / (n_toks - 2)
+        |         ELSE 0.0 END AS b3
+        |  FROM m LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id))
+        |SELECT doc_id, n_toks, round(df, 6) AS distinct_tok_frac,
+        |  round(b2, 6) AS top_bigram_frac, round(b3, 6) AS top_trigram_frac,
+        |  CAST(CASE WHEN df < 0.3 OR b2 > 0.2 OR b3 > 0.18
+        |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // contamination: rebuild the distinct 5-gram shingle sets (whole-text
+    // fallback for <5-token docs — Dedup.shingles' contract), take the eval
+    // side's distinct grams, and re-count per-doc hits with a semi-join
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(text, '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ts) < 5 THEN [text]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ts) - 4),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |           ts[i+3] || ' ' || ts[i+4])) END AS s FROM d),
+        |eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 13 = 0),
+        |hits AS (SELECT doc_id, n_grams, g FROM (
+        |    SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams, unnest(s) AS g
+        |    FROM sh) WHERE g IN (SELECT g FROM eg)),
+        |agg AS (SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM hits GROUP BY doc_id, n_grams)
+        |SELECT doc_id, n_grams, n_hit,
+        |  round(n_hit::DOUBLE / n_grams, 6) AS hit_frac
+        |FROM agg WHERE n_hit >= 1 ORDER BY doc_id""".stripMargin,
+    // PII redaction: replay the deterministic plant decoration, then apply
+    // the same three ordered RE2 rewrites and hash the redacted text —
+    // byte-for-byte verification of the scrub, not just the counts
+    "q_pii_redact" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |d AS (SELECT repo, path, content ||
+         |  CASE substr(sha256, 1, 1)
+         |    WHEN 'a' THEN chr(10) || '// contact: user_' || substr(sha256, 2, 8)
+         |                 || '@example.com'
+         |    WHEN 'b' THEN chr(10) || 'host = 10.0.0.' || substr(
+         |      regexp_replace(substr(sha256, 1, 16), '[a-f]', '', 'g')
+         |      || '000000000', 1, 2) || ' up'
+         |    WHEN 'c' THEN chr(10) || 'tel: +' || substr(
+         |      regexp_replace(substr(sha256, 1, 16), '[a-f]', '', 'g')
+         |      || '000000000', 1, 9) || ' '
+         |    WHEN 'd' THEN chr(10) || 'cc: a.b@x.io and ' || substr(sha256, 2, 6)
+         |                 || '@mail.example.org'
+         |    WHEN 'e' THEN chr(10) || 'ping 999.999 tel +12 at example.com'
+         |    ELSE '' END AS content FROM rf),
+         |r1 AS (SELECT repo, path,
+         |  CAST(len(regexp_extract_all(content,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         |    AS n_email,
+         |  regexp_replace(content,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         |    AS t1 FROM d),
+         |r2 AS (SELECT repo, path, n_email,
+         |  CAST(len(regexp_extract_all(t1,
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+         |    AS BIGINT) AS n_ipv4,
+         |  regexp_replace(t1,
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+         |    '<IPV4>', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT repo, path, n_email, n_ipv4,
+         |  CAST(len(regexp_extract_all(t2, '\\+[0-9]{7,15}\\b')) AS BIGINT)
+         |    AS n_phone,
+         |  regexp_replace(t2, '\\+[0-9]{7,15}\\b', '<PHONE>', 'g') AS red
+         |  FROM r2)
+         |SELECT repo, path, n_email, n_ipv4, n_phone, sha256(red) AS red_sha
+         |FROM r3 WHERE n_email + n_ipv4 + n_phone > 0
+         |ORDER BY repo, path, red_sha""".stripMargin,
     // token shards: one window recomputes the whole distributed prefix sum
     "q_token_shards" ->
       """WITH d AS (SELECT doc_id,

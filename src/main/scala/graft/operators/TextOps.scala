@@ -200,6 +200,147 @@ object TextOps {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 
+  // ------------------------------------------------------- repetition filter
+
+  /** Non-distinct sliding token n-grams (space-joined), empty-token-filtered.
+    * Multiplicity is the point here (unlike [[Dedup.shingles]], which
+    * dedups): the repetition metrics below need how often the MOST FREQUENT
+    * n-gram occurs. `toks` must be a lambda-bound variable (see
+    * [[Dedup.bindOnce]]) so the tokenization runs once per row. */
+  private def gramArr(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Highest multiplicity of any element of a string array: sort, then the
+    * longest run of equal adjacent elements, as one `aggregate` fold with a
+    * (prev, run, best) accumulator — scan-local, no explode/groupBy per
+    * document. NULL `prev` seed keeps the first element's run at 1 even for
+    * the empty-string element (`x === NULL` is NULL, `when` falls through). */
+  private def topMultiplicity(arr: Column): Column =
+    bindOnce(sort_array(arr), sorted =>
+      aggregate(sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+               lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+                 greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")))
+
+  /** Gopher-style repetition profile per document — the standard
+    * training-data quality filters that catch boilerplate and degenerate
+    * generation loops: distinct-token fraction and the corpus-text fraction
+    * covered by the single most frequent 2-gram / 3-gram. Entirely
+    * scan-local (sort + fold inside the row, NO explode/groupBy shuffle), so
+    * at 100 TB this is one narrow pass like the rest of the feature family.
+    * Output: (doc_id, n_toks, n_distinct, top2, top3) counts — fractions and
+    * flags are derived by the caller so the rounding policy stays theirs.
+    * Tokenization matches [[topTerms]]'s engine-exact contract: explicit
+    * whitespace class, empties filtered. */
+  def repetitionCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      bindOnce(filter(split(col("text"), "[ \\t\\n\\f\\r]+"),
+                      t => length(t) > 0), toks =>
+        struct(size(toks).cast("long").as("n_toks"),
+               size(array_distinct(toks)).cast("long").as("n_distinct"),
+               topMultiplicity(gramArr(toks, 2)).as("top2"),
+               topMultiplicity(gramArr(toks, 3)).as("top3"))).as("m"))
+
+  /** Repetition metrics + the keep/drop flag. Fractions:
+    * `distinct_tok_frac` = distinct/total tokens (1.0 for an empty doc —
+    * nothing repeats), `top_bigram_frac` / `top_trigram_frac` = occurrences
+    * of the most frequent n-gram over the n-gram count (0.0 when the doc is
+    * too short to have one). `repetitive` (0/1) uses Gopher-flavored
+    * thresholds on the UNROUNDED fractions. */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val m = repetitionCounts(docs)
+    val nToks = col("m.n_toks")
+    val distFrac = when(nToks > 0,
+      col("m.n_distinct").cast("double") / nToks).otherwise(1.0)
+    val top2Frac = when(nToks > 1,
+      col("m.top2").cast("double") / (nToks - 1)).otherwise(0.0)
+    val top3Frac = when(nToks > 2,
+      col("m.top3").cast("double") / (nToks - 2)).otherwise(0.0)
+    m.select(col("doc_id"), nToks.as("n_toks"),
+      round(distFrac, 6).as("distinct_tok_frac"),
+      round(top2Frac, 6).as("top_bigram_frac"),
+      round(top3Frac, 6).as("top_trigram_frac"),
+      when(distFrac < 0.3 || top2Frac > 0.2 || top3Frac > 0.18, 1L)
+        .otherwise(0L).as("repetitive"))
+  }
+
+  // --------------------------------------------------------- decontamination
+
+  /** Eval-set decontamination: which corpus documents share ≥ `minHits`
+    * distinct word `n`-grams with an evaluation set — the standard
+    * train/test-overlap scrub (the GPT-3/Pile 13-gram check, here with a
+    * corpus-appropriate `n`). N-grams come from [[Dedup.shingles]] (one
+    * scalar-expression pass, already-distinct per doc, `<n`-token docs
+    * collapse to the whole text), so "hits" counts DISTINCT contaminated
+    * n-grams.
+    *
+    * Scale shape: the eval side (small by definition — eval sets are
+    * thousands of docs, not billions) distincts and BROADCASTS its n-gram
+    * set; the corpus explode is scan-local and the broadcast semi-join
+    * filters it in place, so the one exchange (groupBy doc_id) carries only
+    * MATCHED n-gram rows — contamination-sized, never corpus-sized. Clean
+    * documents never leave their input split.
+    * Output: (doc_id, n_grams, n_hit, hit_frac) for contaminated docs only. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+                    minHits: Long = 1L): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.shingles(col("text"), n)).as("g")).distinct()
+    val corp = docs.select(col("doc_id"), Dedup.shingles(col("text"), n).as("gs"))
+    corp.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= minHits)
+      .withColumn("hit_frac",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+  }
+
+  // ----------------------------------------------------------- PII redaction
+
+  /** PII redaction rules, applied IN THIS ORDER (order is part of the
+    * contract: an address redacted by an earlier rule can no longer match a
+    * later one). Patterns stay inside the Java-regex ∩ RE2 subset —
+    * classes, bounded repeats, `\b` — so the DuckDB oracle replays them
+    * verbatim. */
+  val piiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+     "<IPV4>"),
+    ("phone", "\\+[0-9]{7,15}\\b", "<PHONE>"))
+
+  /** One-pass PII scrub of a text column: sequentially masks each
+    * [[piiRules]] pattern and counts the matches each step actually
+    * replaced (each count runs against the PREVIOUS step's output, so
+    * `n_<rule>` is exactly the number of masks that rule inserted — an
+    * email's host never double-counts as an IPv4). Pure scan-local
+    * projection, zero shuffles; the rewrite ships with its counts so a
+    * 100 TB scrub is one read → one write.
+    * Output: input columns + `n_email`, `n_ipv4`, `n_phone`, `redacted`. */
+  def redactPii(df: DataFrame, textCol: String = "content"): DataFrame = {
+    val Seq((_, emailP, emailM), (_, ipP, ipM), (_, phoneP, phoneM)) = piiRules
+    df.withColumn("n_email", regexp_count(col(textCol), lit(emailP)).cast("long"))
+      .withColumn("_r1", regexp_replace(col(textCol), emailP, emailM))
+      .withColumn("n_ipv4", regexp_count(col("_r1"), lit(ipP)).cast("long"))
+      .withColumn("_r2", regexp_replace(col("_r1"), ipP, ipM))
+      .withColumn("n_phone", regexp_count(col("_r2"), lit(phoneP)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("_r2"), phoneP, phoneM))
+      .drop("_r1", "_r2")
+  }
+
+  /** Evaluate `in` once (lambda binding) — see [[Dedup.bindOnce]]. */
+  private def bindOnce(in: Column, f: Column => Column): Column =
+    Dedup.bindOnce(in, f)
+
   /** Feature-extraction pass over `documents`. */
   def documentFeatures(docs: DataFrame): DataFrame =
     docs.select(

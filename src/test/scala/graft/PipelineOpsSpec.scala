@@ -414,4 +414,114 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(back2.filter(col("lang").isNull).count() ==
       withNull.filter(col("lang").isNull).count())
   }
+
+  test("repetition profile: metrics match a Scala recompute, flag fires") {
+    import spark.implicits._
+    val fix = Seq(
+      // healthy prose, long enough that 1-of-k n-gram fractions sit under
+      // the thresholds (a 6-token doc has top3 = 1/4 > 0.18 by construction)
+      (0L, "the quick brown fox jumps over the lazy dog while the sun " +
+           "sets over distant hills and birds sing softly"),
+      (1L, "go go go go go go go go go go"),      // 1 distinct token → drop
+      (2L, "a b a b a b a b a b a b"),            // top bigram dominates
+      (3L, "one two three four five six seven eight nine ten"), // keep
+      (4L, "solo"),                               // 1 token: no n-grams
+      (5L, ""),                                   // empty: distinct frac 1.0
+      (6L, "  padded   with \t mixed\nwhitespace ")) // empties filtered
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionProfile(fix).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    def recompute(text: String): (Long, Double, Double, Double) = {
+      val ts = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      def top(n: Int): Long =
+        if (ts.length < n) 0L
+        else ts.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size.toLong).max
+      val df = if (ts.isEmpty) 1.0 else ts.distinct.length.toDouble / ts.length
+      val b2 = if (ts.length > 1) top(2).toDouble / (ts.length - 1) else 0.0
+      val b3 = if (ts.length > 2) top(3).toDouble / (ts.length - 2) else 0.0
+      (ts.length.toLong, df, b2, b3)
+    }
+    fix.collect().foreach { r =>
+      val (n, df, b2, b3) = recompute(r.getString(1))
+      val g = got(r.getLong(0))
+      assert(g.getLong(1) == n, s"n_toks doc ${r.getLong(0)}")
+      assert(math.abs(g.getDouble(2) - df) < 1e-6, s"df doc ${r.getLong(0)}")
+      assert(math.abs(g.getDouble(3) - b2) < 1e-6, s"b2 doc ${r.getLong(0)}")
+      assert(math.abs(g.getDouble(4) - b3) < 1e-6, s"b3 doc ${r.getLong(0)}")
+    }
+    // the degenerate docs are flagged, healthy prose is not
+    assert(got(1L).getLong(5) == 1L && got(2L).getLong(5) == 1L)
+    assert(got(0L).getLong(5) == 0L && got(3L).getLong(5) == 0L)
+    // the real corpus runs clean through the same plan
+    assert(TextOps.repetitionProfile(docs).count() == docs.count())
+  }
+
+  test("contamination: distinct n-gram hits vs a broadcast eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // shares 5-grams w/ eval
+      (1L, "alpha beta gamma delta epsilon"),        // exactly one 5-gram, hit
+      (2L, "totally different words here now folks"),// clean
+      (3L, "short doc"),                             // <5 tokens: whole-text gram
+      (4L, "alpha beta gamma delta epsilon zeta eta")) // 3 grams, 2 hit
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+                   (101L, "short doc")).toDF("doc_id", "text")
+    val got = TextOps.contamination(corpus, eval, n = 5).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 0 == eval 100: both its 5-grams hit
+    assert(got(0L) == ((2L, 2L, 1.0)))
+    // doc 1 has ONE 5-gram (alpha..epsilon) which is eval 100's first gram
+    assert(got(1L) == ((1L, 1L, 1.0)))
+    // doc 3's whole-text fallback gram equals eval 101's whole text
+    assert(got(3L) == ((1L, 1L, 1.0)))
+    // doc 4: grams 1 and 2 hit, gram 3 (..zeta eta) does not
+    assert(got(4L) == ((3L, 2L, 0.666667)))
+    // clean doc never appears
+    assert(!got.contains(2L))
+    // the broadcast side is the eval set: no corpus-sized shuffle of misses
+    val plan = TextOps.contamination(corpus, eval, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+  }
+
+  test("pii redaction: ordered masking, exact counts, near-misses survive") {
+    import spark.implicits._
+    val df = Seq(
+      ("r1", "a.txt", "mail bob.smith+x@corp.example.com now"),
+      ("r1", "b.txt", "srv at 192.168.1.254 and 10.0.0.1"),
+      ("r2", "c.txt", "call +14155550123 or +3312345678901"),
+      // the email's host must NOT double-count as anything else,
+      // and a version string is not an IPv4
+      ("r2", "d.txt", "x@a1.2.3.4.io v1.2.3 release"),
+      // near misses: 3-octet ip, short phone, @-less host
+      ("r3", "e.txt", "ping 999.999.999 tel +12 at example.com"),
+      ("r3", "f.txt", "clean file, nothing to redact"))
+      .toDF("repo", "path", "content")
+    val got = TextOps.redactPii(df).collect()
+      .map(r => r.getString(1) -> r).toMap
+    def counts(p: String) =
+      (got(p).getLong(3), got(p).getLong(4), got(p).getLong(5))
+    assert(counts("a.txt") == ((1L, 0L, 0L)))
+    assert(got("a.txt").getString(6) == "mail <EMAIL> now")
+    assert(counts("b.txt") == ((0L, 2L, 0L)))
+    assert(got("b.txt").getString(6) == "srv at <IPV4> and <IPV4>")
+    assert(counts("c.txt") == ((0L, 0L, 2L)))
+    assert(got("c.txt").getString(6) == "call <PHONE> or <PHONE>")
+    // email wins "x@a1.2.3.4.io" whole (ordered rules), then "1.2.3" has
+    // only three octets → no IPv4, no phone
+    assert(counts("d.txt") == ((1L, 0L, 0L)))
+    assert(got("d.txt").getString(6) == "<EMAIL> v1.2.3 release")
+    assert(counts("e.txt") == ((0L, 0L, 0L)))
+    assert(got("e.txt").getString(6) ==
+      "ping 999.999.999 tel +12 at example.com")
+    assert(counts("f.txt") == ((0L, 0L, 0L)))
+    // scan-local: no exchange anywhere in the redaction plan
+    val plan = TextOps.redactPii(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }

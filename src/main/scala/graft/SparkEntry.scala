@@ -447,6 +447,26 @@ object SparkEntry {
         .filter(col("n_email") + col("n_ipv4") + col("n_phone") > 0)
         .orderBy(col("repo"), col("path"), col("red_sha"))),
 
+    // full curation verdict: quality + repetition + exact-dup + eval-set
+    // contamination under a fixed reason precedence. Duplicates are planted
+    // (every 7th doc re-keyed) and two degenerate docs are appended so every
+    // drop reason fires; DuckDB recomputes all four metric families and the
+    // same CASE chain from first principles
+    "q_curate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 60000000)
+      val degenerate = Seq(
+        (70000001L, "tiny doc"),
+        (70000002L, ("lorem " * 40).trim),
+        (70000003L, "!! ?? ;; .. !! ?? ;; .. !! ??"))
+        .toDF("doc_id", "text")
+      val all = docs.unionByName(planted).unionByName(degenerate)
+      TextOps.curate(all, docs.filter(col("doc_id") % 13 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // fixed-token-budget shard assignment (training-data packing): the
     // distributed prefix sum's shard ids are a pure function of the data,
     // so DuckDB's single-window recompute must agree exactly
@@ -1445,6 +1465,92 @@ object SparkEntry {
          |SELECT repo, path, n_email, n_ipv4, n_phone, sha256(red) AS red_sha
          |FROM r3 WHERE n_email + n_ipv4 + n_phone > 0
          |ORDER BY repo, path, red_sha""".stripMargin,
+    // curation verdict: rebuild the planted input, recompute quality,
+    // repetition, dup keepers (window over text) and contamination hits,
+    // then apply the identical reason-precedence CASE chain
+    "q_curate" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 60000000, text FROM documents
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (70000001, 'tiny doc'),
+        |    (70000002, trim(repeat('lorem ', 40))),
+        |    (70000003, '!! ?? ;; .. !! ?? ;; .. !! ??')) AS v(doc_id, text)),
+        |q AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |    (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)
+        |    * (CASE WHEN toks > 0 AND (len - toks + 1)/toks BETWEEN 2.0 AND 12.0
+        |       THEN 1.0 ELSE 0.5 END)
+        |    * (1.0 - (CASE WHEN len > 0 THEN least(punct/len*4.0, 1.0)
+        |              ELSE 0.0 END) * 0.5))), 6) AS quality
+        |  FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE)
+        |      AS toks FROM u)),
+        |rep AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |    CASE WHEN len(ts) >= 2 THEN list_transform(
+        |      generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS bg,
+        |    CASE WHEN len(ts) >= 3 THEN list_transform(
+        |      generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END AS tg
+        |  FROM (SELECT doc_id, list_filter(
+        |    string_split_regex(text, '[ \t\n\f\r]+'), x -> len(x) > 0) AS ts
+        |    FROM u)),
+        |t2 AS (SELECT doc_id, max(c) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bg) AS g FROM rep) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |t3 AS (SELECT doc_id, max(c) AS top3 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(tg) AS g FROM rep) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |dup AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
+        |    count(*) OVER (PARTITION BY text) AS grp_n FROM u),
+        |sh AS (SELECT doc_id, CASE WHEN len(ts) < 5 THEN [text]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ts) - 4),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |           ts[i+3] || ' ' || ts[i+4])) END AS s
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS ts
+        |        FROM u)),
+        |eg AS (SELECT DISTINCT unnest(s) AS g FROM (
+        |    SELECT doc_id, CASE WHEN len(ts) < 5 THEN [text]
+        |      ELSE list_distinct(list_transform(generate_series(1, len(ts)-4),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |             ts[i+3] || ' ' || ts[i+4])) END AS s
+        |    FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS ts
+        |          FROM documents WHERE doc_id % 13 = 0))),
+        |contam AS (SELECT doc_id FROM (
+        |    SELECT doc_id, round(CAST(count(*) AS BIGINT)::DOUBLE
+        |      / any_value(n_grams), 6) AS hit_frac
+        |    FROM (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams,
+        |          unnest(s) AS g FROM sh)
+        |    WHERE g IN (SELECT g FROM eg) GROUP BY doc_id)
+        |  WHERE hit_frac >= 0.5),
+        |m AS (SELECT rep.doc_id, n_toks, quality,
+        |    CASE WHEN n_toks > 0 THEN n_distinct::DOUBLE / n_toks
+        |         ELSE 1.0 END AS df,
+        |    CASE WHEN n_toks > 1 THEN COALESCE(top2, 0)::DOUBLE / (n_toks - 1)
+        |         ELSE 0.0 END AS b2,
+        |    CASE WHEN n_toks > 2 THEN COALESCE(top3, 0)::DOUBLE / (n_toks - 2)
+        |         ELSE 0.0 END AS b3,
+        |    keeper, grp_n,
+        |    rep.doc_id IN (SELECT doc_id FROM contam) AS hit
+        |  FROM rep LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |       JOIN q USING (doc_id) JOIN dup USING (doc_id)),
+        |r AS (SELECT doc_id, quality, n_toks,
+        |    CASE WHEN n_toks < 5 THEN 'too_short'
+        |         WHEN quality < 0.2 THEN 'low_quality'
+        |         WHEN df < 0.3 OR b2 > 0.2 OR b3 > 0.18 THEN 'repetitive'
+        |         WHEN grp_n > 1 AND keeper <> doc_id THEN 'exact_dup'
+        |         WHEN hit THEN 'contaminated'
+        |         ELSE 'keep' END AS reason FROM m)
+        |SELECT doc_id, quality, n_toks, reason, reason = 'keep' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // token shards: one window recomputes the whole distributed prefix sum
     "q_token_shards" ->
       """WITH d AS (SELECT doc_id,

@@ -242,13 +242,17 @@ object TextOps {
     * Tokenization matches [[topTerms]]'s engine-exact contract: explicit
     * whitespace class, empties filtered. */
   def repetitionCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      bindOnce(filter(split(col("text"), "[ \\t\\n\\f\\r]+"),
-                      t => length(t) > 0), toks =>
-        struct(size(toks).cast("long").as("n_toks"),
-               size(array_distinct(toks)).cast("long").as("n_distinct"),
-               topMultiplicity(gramArr(toks, 2)).as("top2"),
-               topMultiplicity(gramArr(toks, 3)).as("top3"))).as("m"))
+    docs.select(col("doc_id"), repetitionStruct(col("text")).as("m"))
+
+  /** The scan-local (n_toks, n_distinct, top2, top3) counter struct over a
+    * text column — shared by [[repetitionCounts]] and [[curate]]. */
+  private def repetitionStruct(text: Column): Column =
+    bindOnce(filter(split(text, "[ \\t\\n\\f\\r]+"),
+                    t => length(t) > 0), toks =>
+      struct(size(toks).cast("long").as("n_toks"),
+             size(array_distinct(toks)).cast("long").as("n_distinct"),
+             topMultiplicity(gramArr(toks, 2)).as("top2"),
+             topMultiplicity(gramArr(toks, 3)).as("top3")))
 
   /** Repetition metrics + the keep/drop flag. Fractions:
     * `distinct_tok_frac` = distinct/total tokens (1.0 for an empty doc —
@@ -303,6 +307,64 @@ object TextOps {
       .filter(col("n_hit") >= minHits)
       .withColumn("hit_frac",
         round(col("n_hit").cast("double") / col("n_grams"), 6))
+  }
+
+  // --------------------------------------------------------------- curation
+
+  /** One-pass corpus curation verdict — the keep/drop decision a
+    * training-data pipeline actually ships, composing the quality score,
+    * repetition profile, exact-duplicate grouping and eval-set
+    * decontamination under a FIXED reason precedence (first match wins):
+    *
+    *   too_short → low_quality → repetitive → exact_dup → contaminated → keep
+    *
+    * Exact dup keeps the smallest doc_id per byte-identical text
+    * (sha2-grouped); later copies are dropped. Contaminated = rounded
+    * distinct-`contamN`-gram hit fraction ≥ `contamFrac` against `evalDocs`.
+    * Thresholds compare the same values the profile operators emit (rounded
+    * quality, unrounded repetition fractions), so the verdict is a pure
+    * function of the metrics a user sees.
+    *
+    * Scale shape: ONE pass computes digest + quality + repetition counters
+    * (all scan-local); the digest groupBy keeps only (tsha, keeper) for
+    * groups of ≥2 — duplicate-sized; the join back carries ~100-byte metric
+    * rows, never text; the contamination side joins contamination-sized
+    * doc_id rows ([[contamination]]'s broadcast-semi-join shape). The source
+    * is read twice (metrics pass + shingle explode) — cheaper than carrying
+    * exploded gram arrays through the digest shuffle.
+    * Output: (doc_id, quality, n_toks, reason, keep) for EVERY input doc. */
+  def curate(docs: DataFrame, evalDocs: DataFrame, minTokens: Long = 5L,
+             minQuality: Double = 0.2, contamN: Int = 5,
+             contamFrac: Double = 0.5): DataFrame = {
+    val scanned = docs.select(col("doc_id"),
+      sha2(col("text"), 256).as("tsha"),
+      qualityScore(col("text")).as("quality"),
+      repetitionStruct(col("text")).as("m"))
+    val dupGroups = scanned.groupBy(col("tsha"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("grp_n"))
+      .filter(col("grp_n") > 1)
+      .select(col("tsha"), col("keeper"))
+    val contam = contamination(docs, evalDocs, contamN)
+      .filter(col("hit_frac") >= contamFrac)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val nToks = col("m.n_toks")
+    val distFrac = when(nToks > 0,
+      col("m.n_distinct").cast("double") / nToks).otherwise(1.0)
+    val top2Frac = when(nToks > 1,
+      col("m.top2").cast("double") / (nToks - 1)).otherwise(0.0)
+    val top3Frac = when(nToks > 2,
+      col("m.top3").cast("double") / (nToks - 2)).otherwise(0.0)
+    val reason = when(nToks < minTokens, "too_short")
+      .when(col("quality") < minQuality, "low_quality")
+      .when(distFrac < 0.3 || top2Frac > 0.2 || top3Frac > 0.18, "repetitive")
+      .when(col("keeper").isNotNull && col("keeper") =!= col("doc_id"),
+            "exact_dup")
+      .when(col("contam"), "contaminated")
+      .otherwise("keep")
+    scanned.join(dupGroups, Seq("tsha"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"), nToks.as("n_toks"),
+              reason.as("reason"), (reason === lit("keep")).as("keep"))
   }
 
   // ----------------------------------------------------------- PII redaction

@@ -489,6 +489,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("curate: reason precedence, dup keeper survives, eval docs flagged") {
+    import spark.implicits._
+    val healthy = "the quick brown fox jumps over the lazy dog while the " +
+      "sun sets over distant hills and birds sing softly tonight"
+    val corpus = Seq(
+      (0L, healthy),                                  // keep
+      (1L, healthy),                                  // byte-dup of 0 → drop
+      (2L, "tiny doc"),                               // too_short
+      (3L, ("spam " * 30).trim),                      // repetitive
+      (4L, "!! ?? ;; .. !! ?? ;; .. !! ??"),          // low_quality
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (6L, "unrelated clean words about weather patterns in the north"))
+      .toDF("doc_id", "text")
+    // eval set shares doc 5's text → doc 5 contaminated (hit_frac 1.0)
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.curate(corpus, eval).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getBoolean(4))).toMap
+    assert(got(0L) == (("keep", true)))       // the dup KEEPER stays
+    assert(got(1L) == (("exact_dup", false))) // later copy dropped
+    assert(got(2L) == (("too_short", false)))
+    assert(got(3L) == (("repetitive", false)))
+    assert(got(4L) == (("low_quality", false)))
+    assert(got(5L) == (("contaminated", false)))
+    assert(got(6L) == (("keep", true)))
+    // every input doc gets exactly one verdict row
+    assert(got.size == 7)
+    // precedence: a doc that is BOTH a dup and contaminated reports the
+    // earlier reason (exact_dup)
+    val both = corpus.unionByName(
+      Seq((7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"))
+    val got2 = TextOps.curate(both, eval).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got2(5L) == "contaminated") // keeper of its dup group
+    assert(got2(7L) == "exact_dup")    // dup precedence beats contaminated
+  }
+
   test("pii redaction: ordered masking, exact counts, near-misses survive") {
     import spark.implicits._
     val df = Seq(

@@ -141,10 +141,78 @@ case class KeyStatsExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused PII scrub (the [[graft.operators.TextOps.redactPii]] hot path):
+  * for each (name, pattern, mask) rule IN ORDER, ONE Matcher pass over the
+  * previous rule's output both counts the matches and rewrites them.
+  * Bit-identical to the regexp_count + regexp_replace chain it replaces —
+  * both iterate `Matcher.find`, and the masks contain no `$`/`\` so literal
+  * `appendReplacement` equals Spark's group-ref-aware replacement — at half
+  * the regex work (count and replace share the pass), with no
+  * re-evaluation of intermediate rewrites between chained projections.
+  * Rows a rule does not hit pay one find() miss and zero allocation.
+  * Output struct: one `n_<rule>` long per rule + `redacted` string. */
+case class RedactPiiExpr(child: Expression,
+                         rules: Seq[(String, String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(
+    rules.map { case (name, _, _) =>
+      StructField(s"n_$name", LongType, nullable = false) } :+
+    StructField("redacted", StringType, nullable = false))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "redact_pii"
+
+  // Pattern is Serializable; strict vals so executors get compiled patterns
+  private val patterns: Array[java.util.regex.Pattern] =
+    rules.map(r => java.util.regex.Pattern.compile(r._2)).toArray
+  private val masks: Array[String] = rules.map(_._3).toArray
+
+  // per-thread Matcher reuse, same benign-race publication as Pat.find
+  @transient private var tl: graft.util.ThreadSlots[Array[java.util.regex.Matcher]] = _
+
+  override def nullSafeEval(input: Any): Any = {
+    var slots = tl
+    if (slots eq null) {
+      slots = new graft.util.ThreadSlots[Array[java.util.regex.Matcher]](
+        () => patterns.map(_.matcher("")))
+      tl = slots
+    }
+    val ms = slots.get()
+    var s = input.asInstanceOf[UTF8String].toString
+    val out = new Array[Any](ms.length + 1)
+    var i = 0
+    while (i < ms.length) {
+      val m = ms(i).reset(s)
+      var c = 0L
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(s.length)
+        do {
+          c += 1
+          m.appendReplacement(sb, masks(i))
+        } while (m.find())
+        m.appendTail(sb)
+        s = sb.toString
+      }
+      m.reset("") // drop the row's string so the slot does not retain it
+      out(i) = c
+      i += 1
+    }
+    out(ms.length) = UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   /** SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  /** Fused ordered count+replace PII scrub (struct of per-rule counts +
+    * redacted text). */
+  def redactPii(text: Column, rules: Seq[(String, String, String)]): Column =
+    Bridge.column(RedactPiiExpr(Bridge.expression(text), rules))
 
   /** Per-member type/shape stats of a top-level JSON object (input to
     * schema inference). */

@@ -562,5 +562,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     // scan-local: no exchange anywhere in the redaction plan
     val plan = TextOps.redactPii(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
+    // the fused expression is evaluated ONCE per row, not once per extracted
+    // field (4 references to the struct must not re-inline the scrub);
+    // asserted on a parquet-backed plan — a LocalRelation input would be
+    // constant-folded away entirely
+    val realPlan = TextOps.redactPii(docs.select(col("text").as("content")))
+      .queryExecution.optimizedPlan.toString
+    assert("redact_pii".r.findAllIn(realPlan).size == 1, realPlan.take(2000))
+    // differential: the fused Matcher pass is bit-identical to the composed
+    // regexp_count/regexp_replace chain, including adversarial shapes
+    // (adjacent matches, match at start/end, $ in content, empty string,
+    // all three rules interacting in one line)
+    val adv = Seq(
+      ("r", "g.txt", "a@b.co c@d.io"),
+      ("r", "h.txt", "1.2.3.4"),
+      ("r", "i.txt", "+1234567"),
+      ("r", "j.txt", "x $1 a@b.co $0 y"),
+      ("r", "k.txt", ""),
+      ("r", "l.txt", "a@b.co 1.2.3.4 +1234567 a@b.co"),
+      ("r", "m.txt", "edge@case.io9.9.9.9+7654321"))
+      .toDF("repo", "path", "content")
+    val fused = TextOps.redactPii(adv)
+      .select("path", "n_email", "n_ipv4", "n_phone", "redacted")
+    val legacy = TextOps.redactPiiLegacy(adv)
+      .select("path", "n_email", "n_ipv4", "n_phone", "redacted")
+    assert(fused.exceptAll(legacy).count() == 0)
+    assert(legacy.exceptAll(fused).count() == 0)
   }
 }

@@ -159,6 +159,28 @@ object SparkEntry {
       .otherwise(lit(""))))
   }
 
+  /** repo_files with DETERMINISTIC planted line decorations for the
+    * boilerplate family, same replay contract as [[piiScanInput]] (pure SQL
+    * functions of the row's sha256). Every row gains a universal codegen
+    * banner; nibbles a–d add a shared license line (~25% of rows — well
+    * above the rows/8 threshold); nibbles 0–1 add a row-UNIQUE trace line
+    * that must never be flagged; nibble e adds a trailing blank line (blank
+    * lines are kept by contract, never flagged). Base content lines are
+    * row-unique by construction (every generated row embeds its own index),
+    * so the planted lines are exactly the boilerplate set. */
+  def boilerplateInput(s: SparkSession, dir: String): DataFrame = {
+    val f = repoFiles(s, dir)
+    val nib = substring(col("sha256"), 1, 1)
+    f.withColumn("content", concat(col("content"),
+      lit("\n// Code generated by graftgen. DO NOT EDIT."),
+      when(nib.isin("a", "b", "c", "d"),
+        lit("\n# SPDX-License-Identifier: Apache-2.0"))
+      .when(nib.isin("0", "1"),
+        concat(lit("\n// trace-id: "), substring(col("sha256"), 3, 12)))
+      .when(nib === "e", lit("\n"))
+      .otherwise(lit(""))))
+  }
+
   /** Where q_quarantine_split writes its verdict-partitioned copy (engine
     * output, re-read by the same query — not a DuckDB-side export). */
   def quarantineDir(n: Long): String = s"/tmp/graft_quarantine_$n"
@@ -446,6 +468,29 @@ object SparkEntry {
                 col("n_phone"), sha2(col("redacted"), 256).as("red_sha"))
         .filter(col("n_email") + col("n_ipv4") + col("n_phone") > 0)
         .orderBy(col("repo"), col("path"), col("red_sha"))),
+
+    // fixed-token-window chunking (context-window packing): every doc cut
+    // into ≤32-token windows sliding by 24, scan-local end to end; chunk
+    // text travels as its sha256. DuckDB regenerates the window starts and
+    // re-slices with list_slice
+    "q_doc_chunks" -> ((s, dir) =>
+      TextOps.chunkByTokens(t(s, dir, "documents"), win = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // cross-doc boilerplate line detection over source-repo content
+    // (planted fixture — see boilerplateInput): non-blank lines occurring in
+    // ≥ rows/8 files; DuckDB replays the decoration and recounts
+    "q_boilerplate_lines" -> ((s, dir) =>
+      TextOps.boilerplateLines(boilerplateInput(s, dir), repoRowsFor(dir) / 8)
+        .orderBy(col("line"))),
+
+    // boilerplate strip: the broadcast-set rewrite verified byte-for-byte
+    // via sha256(cleaned), plus per-row line/removal counts for the audit
+    "q_boilerplate_strip" -> ((s, dir) =>
+      TextOps.stripBoilerplate(boilerplateInput(s, dir), repoRowsFor(dir) / 8)
+        .select(col("repo"), col("path"), col("commit"), col("n_lines"),
+                col("n_removed"), sha2(col("cleaned"), 256).as("clean_sha"))
+        .orderBy(col("repo"), col("path"), col("commit"), col("clean_sha"))),
 
     // full curation verdict: quality + repetition + exact-dup + eval-set
     // contamination under a fixed reason precedence. Duplicates are planted
@@ -1465,6 +1510,71 @@ object SparkEntry {
          |SELECT repo, path, n_email, n_ipv4, n_phone, sha256(red) AS red_sha
          |FROM r3 WHERE n_email + n_ipv4 + n_phone > 0
          |ORDER BY repo, path, red_sha""".stripMargin,
+    // token-window chunking: DuckDB regenerates the window starts with
+    // range() + integer ceil-division, re-slices with list_slice (both
+    // engines clamp at the array end) and hashes the space-rejoined window
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |                t -> len(t) > 0) AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |g AS (SELECT doc_id, toks,
+        |        unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS i
+        |      FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, i*24 + 1, i*24 + 32)) AS BIGINT)
+        |    AS n_chunk_toks,
+        |  sha256(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' '))
+        |    AS chunk_sha
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+    // boilerplate detection: replay the planted decoration, split to lines,
+    // per-doc distinct, recount — the trace lines (unique) and blank lines
+    // (excluded by contract) must not appear
+    "q_boilerplate_lines" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |d AS (SELECT repo, path, commit, content || chr(10) ||
+         |  '// Code generated by graftgen. DO NOT EDIT.' ||
+         |  CASE WHEN substr(sha256, 1, 1) IN ('a','b','c','d')
+         |         THEN chr(10) || '# SPDX-License-Identifier: Apache-2.0'
+         |       WHEN substr(sha256, 1, 1) IN ('0','1')
+         |         THEN chr(10) || '// trace-id: ' || substr(sha256, 3, 12)
+         |       WHEN substr(sha256, 1, 1) = 'e' THEN chr(10)
+         |       ELSE '' END AS content FROM rf),
+         |pl AS (SELECT unnest(list_distinct(list_filter(
+         |         string_split(content, chr(10)), x -> trim(x) <> ''))) AS line
+         |       FROM d)
+         |SELECT line, CAST(count(*) AS BIGINT) AS n_docs FROM pl
+         |GROUP BY line HAVING count(*) >= ${exportRows / 8}
+         |ORDER BY line""".stripMargin,
+    // boilerplate strip: rebuild the flagged set, drop exactly those lines
+    // from every doc (blanks and uniques kept) and hash the rejoined text —
+    // byte-for-byte verification of the rewrite
+    "q_boilerplate_strip" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |d AS (SELECT repo, path, commit, content || chr(10) ||
+         |  '// Code generated by graftgen. DO NOT EDIT.' ||
+         |  CASE WHEN substr(sha256, 1, 1) IN ('a','b','c','d')
+         |         THEN chr(10) || '# SPDX-License-Identifier: Apache-2.0'
+         |       WHEN substr(sha256, 1, 1) IN ('0','1')
+         |         THEN chr(10) || '// trace-id: ' || substr(sha256, 3, 12)
+         |       WHEN substr(sha256, 1, 1) = 'e' THEN chr(10)
+         |       ELSE '' END AS content FROM rf),
+         |pl AS (SELECT unnest(list_distinct(list_filter(
+         |         string_split(content, chr(10)), x -> trim(x) <> ''))) AS line
+         |       FROM d),
+         |bl AS (SELECT line FROM pl
+         |       GROUP BY line HAVING count(*) >= ${exportRows / 8}),
+         |bset AS (SELECT coalesce(list(line), []::VARCHAR[]) AS bls FROM bl),
+         |o AS (SELECT repo, path, commit,
+         |        string_split(content, chr(10)) AS ls,
+         |        list_filter(string_split(content, chr(10)),
+         |                    x -> NOT list_contains(bls, x)) AS kept
+         |      FROM d, bset)
+         |SELECT repo, path, commit,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+         |  sha256(array_to_string(kept, chr(10))) AS clean_sha
+         |FROM o ORDER BY repo, path, commit, clean_sha""".stripMargin,
     // curation verdict: rebuild the planted input, recompute quality,
     // repetition, dup keepers (window over text) and contamination hits,
     // then apply the identical reason-precedence CASE chain

@@ -417,6 +417,113 @@ object TextOps {
       .drop("_r1", "_r2")
   }
 
+  // ----------------------------------------------------- token-window chunking
+
+  /** Split every document into fixed-size token windows — the context-window
+    * packing step of a training pipeline ("cut each doc into ≤`win`-token
+    * training samples, sliding by `stride`"). Window starts are
+    * 0, stride, 2·stride, …; the LAST window is the first one whose end
+    * reaches the document's end (so with stride < win the tail overlaps, and
+    * nothing past the covering window is emitted — the standard LM chunking
+    * contract, not a sliding window over every offset). A document with
+    * n > 0 tokens yields exactly `1 + ceil(max(n-win,0)/stride)` chunks; an
+    * empty document yields none.
+    *
+    * Scale shape: entirely scan-local — tokenization, window enumeration
+    * (`sequence` + `transform` + `slice`) and hashing run inside the row and
+    * the `posexplode` is row-local fan-out, so at 100 TB this is one narrow
+    * pass with ZERO shuffles (spec-asserted), like the rest of the feature
+    * family. Tokenization matches [[topTerms]]'s engine-exact contract
+    * (explicit whitespace class, empties filtered).
+    *
+    * Output: (idCol, chunk_id, n_chunk_toks, chunk_sha) — chunk text travels
+    * as its sha256 over the space-rejoined window, so downstream packing /
+    * dedup / oracle checks never ship the text twice; callers that need the
+    * text itself re-slice at write time. */
+  def chunkByTokens(docs: DataFrame, win: Int, stride: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(win > 0, "win must be positive")
+    require(stride > 0 && stride <= win, "stride must be in [1, win]")
+    val chunks = bindOnce(
+      filter(split(col(textCol), "[ \\t\\n\\f\\r]+"), t => length(t) > 0),
+      toks => {
+        val n = size(toks)
+        // 1 + ceil(max(n-win,0)/stride); floor over a double division is
+        // exact here (operands are ints < 2^31 « 2^53)
+        val nChunks = (lit(1) + floor((greatest(n - win, lit(0))
+          + lit(stride - 1)).cast("double") / lit(stride))).cast("int")
+        when(n === 0, array().cast("array<array<string>>"))
+          .otherwise(transform(sequence(lit(0), nChunks - 1),
+            i => slice(toks, i * stride + 1, lit(win))))
+      })
+    docs.select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_chunk_toks"),
+        sha2(concat_ws(" ", col("col")), 256).as("chunk_sha"))
+  }
+
+  // --------------------------------------------------- boilerplate line removal
+
+  /** Lines that occur in at least `minDocs` distinct input rows — license
+    * headers, codegen banners, shared scaffolding (the input table IS source
+    * code, where cross-file repeated lines are the classic near-dup noise a
+    * file-level dedup can't see). A line is counted once per row (per-row
+    * `array_distinct` before the explode) and blank-after-trim lines are
+    * never candidates (structural blank lines are formatting, not
+    * boilerplate).
+    *
+    * Scale shape: the per-row distinct + explode is scan-local; the ONE
+    * exchange is the wordcount-shaped groupBy(line) with map-side partial
+    * aggregation (per-partition distinct lines cross the wire once — the
+    * same shape as [[topTerms]] / exact dedup's digest shuffle, the
+    * unavoidable cost of exact frequency counting); output is
+    * boilerplate-sized (lines repeated ≥ minDocs times), never table-sized.
+    * Output: (line, n_docs). */
+  def boilerplateLines(df: DataFrame, minDocs: Long,
+                       contentCol: String = "content"): DataFrame =
+    df.select(explode(array_distinct(
+        filter(split(col(contentCol), "\n", -1), l => length(trim(l)) > 0)))
+        .as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Rewrite every document with its boilerplate lines removed (the
+    * cross-doc companion of [[redactPii]]'s in-doc scrub): drops exactly the
+    * lines [[boilerplateLines]] flags, keeps everything else — including
+    * blank lines — byte-for-byte, and ships per-row removal counts for the
+    * audit trail.
+    *
+    * Scale shape: detection is [[boilerplateLines]]'s one wordcount exchange;
+    * the flagged set (small by the definition of boilerplate — bounded
+    * defensively by `maxSetSize`, kept by descending frequency) collapses to
+    * ONE array row and BROADCASTS, so the rewrite side is a pure scan-local
+    * projection: the data path never shuffles and a 100 TB scrub is one
+    * read → one write, exactly like the PII scrub. The source is scanned
+    * twice (detection + rewrite) — both passes narrow and deterministic, so
+    * no persist is needed for correctness. Membership is `array_contains`
+    * per line (O(|set|)); at the contract's set sizes that is cheaper than
+    * any join that would put the table through an exchange.
+    * Output: input columns + (n_lines, n_removed, cleaned). */
+  def stripBoilerplate(df: DataFrame, minDocs: Long,
+                       contentCol: String = "content",
+                       maxSetSize: Int = 100000): DataFrame = {
+    val blSet = boilerplateLines(df, minDocs, contentCol)
+      .orderBy(col("n_docs").desc, col("line")).limit(maxSetSize)
+      .agg(collect_set(col("line")).as("_bl"))
+    val others = df.columns.map(col)
+    val rewritten = bindOnce(split(col(contentCol), "\n", -1), lines =>
+      bindOnce(filter(lines, l => not(array_contains(col("_bl"), l))), kept =>
+        struct(size(lines).cast("long").as("n_lines"),
+               (size(lines) - size(kept)).cast("long").as("n_removed"),
+               concat_ws("\n", kept).as("cleaned"))))
+    df.crossJoin(broadcast(blSet))
+      .select((others :+ rewritten.as("_s")): _*)
+      .select((others :+ col("_s.n_lines").as("n_lines") :+
+        col("_s.n_removed").as("n_removed") :+
+        col("_s.cleaned").as("cleaned")): _*)
+  }
+
   /** Evaluate `in` once (lambda binding) — see [[Dedup.bindOnce]]. */
   private def bindOnce(in: Column, f: Column => Column): Column =
     Dedup.bindOnce(in, f)

@@ -589,4 +589,93 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fused.exceptAll(legacy).count() == 0)
     assert(legacy.exceptAll(fused).count() == 0)
   }
+
+  test("chunkByTokens: window count, tail overlap, shapes, scan-local plan") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, ""),                             // empty → no chunks
+      (1L, "  a  "),                        // 1 token → 1 chunk of 1
+      (2L, "a b c"),                        // n == win → exactly 1 chunk
+      (3L, "a b c d"),                      // n = win+1 → 2 chunks
+      (4L, "a b c d e f g"),                // n=7 win=3 st=2 → 3 chunks
+      (5L, "a\tb\nc d\re f\fg h"))          // adversarial whitespace, n=8
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkByTokens(df, win = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def sha(s: String) = graft.sources.RepoFiles.sha256Hex(s)
+    val expected = Seq(
+      (1L, 0L, 1L, sha("a")),
+      (2L, 0L, 3L, sha("a b c")),
+      (3L, 0L, 3L, sha("a b c")), (3L, 1L, 2L, sha("c d")),
+      (4L, 0L, 3L, sha("a b c")), (4L, 1L, 3L, sha("c d e")),
+      (4L, 2L, 3L, sha("e f g")),
+      (5L, 0L, 3L, sha("a b c")), (5L, 1L, 3L, sha("c d e")),
+      (5L, 2L, 3L, sha("e f g")), (5L, 3L, 2L, sha("g h")))
+    assert(got.toSeq == expected)
+    // disjoint chunking (stride == win) partitions the tokens exactly:
+    // per-doc chunk token counts sum to the doc's token count
+    val disjoint = TextOps.chunkByTokens(docs, win = 16, stride = 16)
+      .groupBy("doc_id").agg(sum("n_chunk_toks").as("covered"))
+    val toks = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n"))
+    assert(disjoint.join(toks, "doc_id")
+      .filter(col("covered") =!= col("n")).count() == 0)
+    // overlapping chunking on the real corpus: every doc present, every
+    // chunk ≤ win tokens, non-final chunks exactly win
+    val over = TextOps.chunkByTokens(docs, win = 32, stride = 24).cache()
+    assert(over.select("doc_id").distinct().count() == docs.count())
+    assert(over.filter(col("n_chunk_toks") > 32).count() == 0)
+    val lastIds = over.groupBy("doc_id").agg(max("chunk_id").as("last"))
+    assert(over.join(lastIds, "doc_id")
+      .filter(col("chunk_id") < col("last") && col("n_chunk_toks") =!= 32)
+      .count() == 0)
+    // scan-local: zero exchanges (the posexplode is row-local fan-out)
+    val p = TextOps.chunkByTokens(df, 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    over.unpersist()
+  }
+
+  test("boilerplate lines: detection threshold, blank/unique exclusion, strip rebuild") {
+    import spark.implicits._
+    val banner = "// GENERATED by tool. DO NOT EDIT."
+    val lic = "# License: Apache-2.0"
+    val rows = (0 until 40).map { i =>
+      val unique = s"def fn_$i(x) = x * $i"
+      val parts = Seq(banner) ++
+        (if (i % 2 == 0) Seq(lic) else Seq.empty) ++
+        Seq(unique, "", s"// end $i") // blank line always present
+      (s"r${i % 4}", s"f$i.txt", parts.mkString("\n"))
+    }
+    val df = rows.toDF("repo", "path", "content")
+    // threshold 15: banner (40 docs) and lic (20) flagged; uniques (1) and
+    // blanks (never candidates) are not
+    val bl = TextOps.boilerplateLines(df, minDocs = 15L)
+      .orderBy("line").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bl.toSeq == Seq((lic, 20L), (banner, 40L)))
+    val out = TextOps.stripBoilerplate(df, minDocs = 15L)
+      .select("path", "n_lines", "n_removed", "cleaned").collect()
+      .map(r => r.getString(0) -> r).toMap
+    (0 until 40).foreach { i =>
+      val r = out(s"f$i.txt")
+      val hadLic = i % 2 == 0
+      assert(r.getLong(1) == (if (hadLic) 5L else 4L))
+      assert(r.getLong(2) == (if (hadLic) 2L else 1L))
+      // byte-exact rebuild: unique line, blank line and trailer survive
+      assert(r.getString(3) == s"def fn_$i(x) = x * $i\n\n// end $i")
+    }
+    // a doc made ONLY of boilerplate cleans to the empty string
+    val allBp = Seq(("r", "g.txt", s"$banner\n$lic")).toDF("repo", "path", "content")
+    val cleaned = TextOps.stripBoilerplate(df.unionByName(allBp), minDocs = 15L)
+      .filter(col("path") === "g.txt").select("n_removed", "cleaned").head()
+    assert(cleaned.getLong(0) == 2L && cleaned.getString(1) == "")
+    // plan: flagged set broadcasts (single-row cross join), the rewrite side
+    // is scan-local — the only exchanges sit under the boilerplate-sized
+    // detection agg, never on the rewrite data path
+    val p = TextOps.stripBoilerplate(df, 15L).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+  }
 }

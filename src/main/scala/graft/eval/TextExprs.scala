@@ -150,6 +150,16 @@ case class KeyStatsExpr(child: Expression) extends UnaryExpression
   * the regex work (count and replace share the pass), with no
   * re-evaluation of intermediate rewrites between chained projections.
   * Rows a rule does not hit pay one find() miss and zero allocation.
+  *
+  * Required-literal fast path: a rule whose pattern contains a mandatory
+  * top-level literal (every match of `X+@Y` contains '@') skips its Matcher
+  * entirely when `indexOf` misses — exactness-preserving by construction,
+  * and it sidesteps `find()`'s quadratic restart-per-position backtracking
+  * over long alphanumeric runs on the (overwhelmingly common) rows with no
+  * candidate at all. The literal is derived here, conservatively, from the
+  * pattern text: a bare metacharacter-free char at nesting depth 0 outside
+  * classes with no `|` anywhere and not followed by `?`/`*`/`{0`; rules
+  * where none exists run unconditionally as before.
   * Output struct: one `n_<rule>` long per rule + `redacted` string. */
 case class RedactPiiExpr(child: Expression,
                          rules: Seq[(String, String, String)])
@@ -165,6 +175,8 @@ case class RedactPiiExpr(child: Expression,
   private val patterns: Array[java.util.regex.Pattern] =
     rules.map(r => java.util.regex.Pattern.compile(r._2)).toArray
   private val masks: Array[String] = rules.map(_._3).toArray
+  private val required: Array[Int] =
+    rules.map(r => RedactPiiExpr.requiredLiteral(r._2)).toArray
 
   // per-thread Matcher reuse, same benign-race publication as Pat.find
   @transient private var tl: graft.util.ThreadSlots[Array[java.util.regex.Matcher]] = _
@@ -181,19 +193,23 @@ case class RedactPiiExpr(child: Expression,
     val out = new Array[Any](ms.length + 1)
     var i = 0
     while (i < ms.length) {
-      val m = ms(i).reset(s)
-      var c = 0L
-      if (m.find()) {
-        val sb = new java.lang.StringBuilder(s.length)
-        do {
-          c += 1
-          m.appendReplacement(sb, masks(i))
-        } while (m.find())
-        m.appendTail(sb)
-        s = sb.toString
+      if (required(i) >= 0 && s.indexOf(required(i)) < 0) {
+        out(i) = 0L // mandatory literal absent → no match, Matcher skipped
+      } else {
+        val m = ms(i).reset(s)
+        var c = 0L
+        if (m.find()) {
+          val sb = new java.lang.StringBuilder(s.length)
+          do {
+            c += 1
+            m.appendReplacement(sb, masks(i))
+          } while (m.find())
+          m.appendTail(sb)
+          s = sb.toString
+        }
+        m.reset("") // drop the row's string so the slot does not retain it
+        out(i) = c
       }
-      m.reset("") // drop the row's string so the slot does not retain it
-      out(i) = c
       i += 1
     }
     out(ms.length) = UTF8String.fromString(s)
@@ -202,6 +218,79 @@ case class RedactPiiExpr(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RedactPiiExpr {
+  /** A character that provably occurs in EVERY match of `pat`, or -1.
+    * Conservative by construction — a wrong -1 only loses the fast path,
+    * never correctness; returning a char is only allowed when the scan can
+    * see it is a mandatory top-level literal:
+    *  - any alternation outside a character class defeats the claim → -1;
+    *  - character classes `[...]` and quantifier braces `{m,n}` are skipped
+    *    whole (their contents are not literals);
+    *  - escapes: `\.`/`\+`/… (non-alphanumeric escapee) are literals,
+    *    `\b`/`\d`/`\1`/… are not;
+    *  - a literal counts only at group depth 0 (a group may be optional or a
+    *    lookaround) and only when not followed by `?`, `*`, or `{0`. */
+  private[eval] def requiredLiteral(pat: String): Int = {
+    val n = pat.length
+    // pass 1: bail on any top-level alternation
+    var topAlt = false
+    var j = 0; var d = 0; var inCls = false
+    while (j < n && !topAlt) {
+      val c = pat.charAt(j)
+      if (c == '\\') j += 1
+      else if (inCls) { if (c == ']') inCls = false }
+      else c match {
+        case '[' => inCls = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case '|' => if (d == 0) topAlt = true
+        case _ =>
+      }
+      j += 1
+    }
+    if (topAlt) return -1
+    def optionalAt(j: Int): Boolean =
+      j < n && (pat.charAt(j) == '?' || pat.charAt(j) == '*' ||
+        (pat.charAt(j) == '{' && j + 1 < n && pat.charAt(j + 1) == '0'))
+    var i = 0; var depth = 0
+    while (i < n) {
+      pat.charAt(i) match {
+        case '\\' =>
+          if (i + 1 < n) {
+            val e = pat.charAt(i + 1)
+            if (!e.isLetterOrDigit && depth == 0 && !optionalAt(i + 2))
+              return e.toInt
+            i += 2
+          } else i += 1
+        case '[' =>
+          i += 1
+          if (i < n && pat.charAt(i) == '^') i += 1
+          if (i < n && pat.charAt(i) == ']') i += 1 // leading ] is literal
+          while (i < n && pat.charAt(i) != ']') {
+            if (pat.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        case '{' => // quantifier braces: digits/comma, never literals
+          while (i < n && pat.charAt(i) != '}') i += 1
+          i += 1
+        case '(' =>
+          depth += 1; i += 1
+          if (i < n && pat.charAt(i) == '?') { // group-type prefix ?: ?= ?<! …
+            i += 1
+            while (i < n && "<=!:".indexOf(pat.charAt(i).toInt) >= 0) i += 1
+          }
+        case ')' => depth -= 1; i += 1
+        case '?' | '*' | '+' | '.' | '^' | '$' | '|' => i += 1
+        case ch =>
+          if (depth == 0 && !optionalAt(i + 1)) return ch.toInt
+          i += 1
+      }
+    }
+    -1
+  }
 }
 
 object TextExprs {

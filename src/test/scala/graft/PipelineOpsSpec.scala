@@ -590,6 +590,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(fused).count() == 0)
   }
 
+  test("pii required-literal fast path: tricky patterns match the built-in chain") {
+    import spark.implicits._
+    import graft.eval.TextExprs
+    // shapes that must defeat or exercise the prefilter derivation:
+    // alternation (no mandatory literal), optional literals (?, *, {0,n}),
+    // a literal inside a group-with-alternation (still mandatory at depth 0),
+    // and an escaped-literal rule
+    val rules = Seq(
+      ("alt", "cat|dog", "<A>"),
+      ("opt", "ab?c*d{0,2}e", "<B>"),
+      ("grp", "(x|y)@z", "<C>"),
+      ("esc", "q\\+r", "<D>"))
+    val df = Seq("cat z dog", "ae abcde abde", "x@z y@z z@z", "q+r qr",
+      "nothing here", "").toDF("content")
+    val fast = df.select(col("content"),
+        TextExprs.redactPii(col("content"), rules).as("p"))
+      .select(col("content"), col("p.*"))
+    val legacy = rules.foldLeft(
+      df.select(col("content"), col("content").as("redacted"))) {
+      case (d, (nm, pat, msk)) =>
+        d.withColumn(s"n_$nm", regexp_count(col("redacted"), lit(pat)).cast("long"))
+         .withColumn("redacted", regexp_replace(col("redacted"), pat, msk))
+    }.select((Seq(col("content")) ++
+      rules.map { case (nm, _, _) => col(s"n_$nm") } :+ col("redacted")): _*)
+    assert(fast.exceptAll(legacy).count() == 0)
+    assert(legacy.exceptAll(fast).count() == 0)
+    // and the count landed where expected: "ae" hits opt (b,c,d all optional)
+    val byContent = fast.collect().map(r => r.getString(0) -> r).toMap
+    assert(byContent("ae abcde abde").getLong(2) == 3L)
+    assert(byContent("x@z y@z z@z").getLong(3) == 2L)
+    assert(byContent("q+r qr").getLong(4) == 1L)
+  }
+
   test("chunkByTokens: window count, tail overlap, shapes, scan-local plan") {
     import spark.implicits._
     val df = Seq(

@@ -1562,8 +1562,10 @@ object SparkEntry {
          |pl AS (SELECT unnest(list_distinct(list_filter(
          |         string_split(content, chr(10)), x -> trim(x) <> ''))) AS line
          |       FROM d),
-         |bl AS (SELECT line FROM pl
-         |       GROUP BY line HAVING count(*) >= ${exportRows / 8}),
+         |bl AS (SELECT line FROM (
+         |         SELECT line, count(*) AS n_docs FROM pl
+         |         GROUP BY line HAVING count(*) >= ${exportRows / 8}
+         |         ORDER BY n_docs DESC, line LIMIT 100000)),
          |bset AS (SELECT coalesce(list(line), []::VARCHAR[]) AS bls FROM bl),
          |o AS (SELECT repo, path, commit,
          |        string_split(content, chr(10)) AS ls,

@@ -234,23 +234,34 @@ object RedactPiiExpr {
     *    lookaround) and only when not followed by `?`, `*`, or `{0`. */
   private[eval] def requiredLiteral(pat: String): Int = {
     val n = pat.length
-    // pass 1: bail on any top-level alternation
-    var topAlt = false
+    // pass 1: bail outright on constructs the scanner does not model —
+    // top-level alternation, \Q…\E quoting (chars inside would be misread
+    // as pattern syntax), and inline flags `(?i…` etc. (anything after `(?`
+    // other than a plain lookaround/non-capturing prefix may change match
+    // semantics, e.g. case-insensitivity invalidates an indexOf literal)
+    var bail = false
     var j = 0; var d = 0; var inCls = false
-    while (j < n && !topAlt) {
+    while (j < n && !bail) {
       val c = pat.charAt(j)
-      if (c == '\\') j += 1
+      if (c == '\\') {
+        if (j + 1 < n && pat.charAt(j + 1) == 'Q') bail = true
+        j += 1
+      }
       else if (inCls) { if (c == ']') inCls = false }
       else c match {
         case '[' => inCls = true
-        case '(' => d += 1
+        case '(' =>
+          d += 1
+          if (j + 1 < n && pat.charAt(j + 1) == '?' &&
+              (j + 2 >= n || "<=!:".indexOf(pat.charAt(j + 2).toInt) < 0))
+            bail = true
         case ')' => d -= 1
-        case '|' => if (d == 0) topAlt = true
+        case '|' => if (d == 0) bail = true
         case _ =>
       }
       j += 1
     }
-    if (topAlt) return -1
+    if (bail) return -1
     def optionalAt(j: Int): Boolean =
       j < n && (pat.charAt(j) == '?' || pat.charAt(j) == '*' ||
         (pat.charAt(j) == '{' && j + 1 < n && pat.charAt(j + 1) == '0'))
@@ -265,14 +276,22 @@ object RedactPiiExpr {
             i += 2
           } else i += 1
         case '[' =>
+          // skip the whole class, including Java's nested-class forms
+          // ([a-z&&[^b]]) — a plain scan-to-first-] would leave the outer ]
+          // to be claimed as a depth-0 literal
+          var cls = 1
           i += 1
           if (i < n && pat.charAt(i) == '^') i += 1
           if (i < n && pat.charAt(i) == ']') i += 1 // leading ] is literal
-          while (i < n && pat.charAt(i) != ']') {
-            if (pat.charAt(i) == '\\') i += 1
+          while (i < n && cls > 0) {
+            pat.charAt(i) match {
+              case '\\' => i += 1
+              case '[' => cls += 1
+              case ']' => cls -= 1
+              case _ =>
+            }
             i += 1
           }
-          i += 1
         case '{' => // quantifier braces: digits/comma, never literals
           while (i < n && pat.charAt(i) != '}') i += 1
           i += 1

@@ -453,7 +453,10 @@ object TextOps {
         // exact here (operands are ints < 2^31 « 2^53)
         val nChunks = (lit(1) + floor((greatest(n - win, lit(0))
           + lit(stride - 1)).cast("double") / lit(stride))).cast("int")
-        when(n === 0, array().cast("array<array<string>>"))
+        // NULL text must yield no chunks like an empty one: with a bare
+        // `n === 0` the NULL falls through to otherwise (greatest() skips
+        // the NULL operand) and a bogus single empty chunk is emitted
+        when(toks.isNull || n === 0, array().cast("array<array<string>>"))
           .otherwise(transform(sequence(lit(0), nChunks - 1),
             i => slice(toks, i * stride + 1, lit(win))))
       })

@@ -1,31 +1,76 @@
 package graft.tools
 
-import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Time one named SparkEntry query in isolation: `runMain
-  * graft.tools.QueryProbe <q_name> [sfDir] [runs]`. The dev loop for
-  * per-query optimization — Bench sweeps all queries and takes minutes;
-  * this answers "did THAT query get faster" in seconds. */
+/** Dev harness: time one SparkEntry query (median of k after warm-up), or
+  * print its formatted physical plan.
+  *
+  * Usage:  QueryProbe time q_minhash_near_dup [sfDir] [runs]
+  *         QueryProbe plan q_minhash_near_dup [sfDir]
+  *         QueryProbe q_minhash_near_dup [sfDir] [runs]   (= time)
+  */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse {
-      System.err.println("usage: QueryProbe <q_name> [sfDir] [runs]")
-      sys.exit(2)
-    }
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val runs = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val q = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-    (1 to runs).foreach { k =>
-      val t0 = System.nanoTime()
-      val rows = q(spark, sfDir).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"# $name run $k: $secs%.3f s ($rows rows)")
+    // bare query name = "time" shorthand
+    val a = if (args.headOption.exists(_.startsWith("q_"))) "time" +: args
+            else args
+    val mode = a(0)
+    val name = a(1)
+    val sfDir = a.lift(2).getOrElse("/root/testdata/sf0.1")
+    val runs = a.lift(3).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def q = graft.SparkEntry.queries(name)
+    mode match {
+      case "plan" =>
+        println(q(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      case "minhash-parts" =>
+        import org.apache.spark.sql.functions._
+        val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        val copies = docs0.filter(col("doc_id") % 37 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000)
+          .withColumn("text", concat(col("text"), lit(" graftdup")))
+        val docs = docs0.unionByName(copies)
+        def t(label: String)(f: => Long): Unit = {
+          f // warm
+          val t0 = System.nanoTime(); val n = f
+          println(f"  $label%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s ($n)")
+        }
+        t("shingles") { docs.select(explode(
+          graft.operators.Dedup.shingles(col("text")))).count() }
+        t("signature") { docs.select(explode(graft.operators.Dedup
+          .minhashSignature(graft.operators.Dedup.shingles(col("text"))))).count() }
+        t("candidates") { graft.operators.Dedup.minhashCandidatePairs(docs).count() }
+        t("full") { graft.operators.Dedup.nearDuplicates(docs, 0.5).count() }
+      case "plantime" =>
+        // split driver-side planning cost from execution cost
+        q(spark, sfDir).count() // warm
+        (1 to runs).foreach { _ =>
+          val t0 = System.nanoTime()
+          val df = q(spark, sfDir)
+          val plan = df.queryExecution.executedPlan // forces analyze+optimize
+          val t1 = System.nanoTime()
+          df.count()
+          val t2 = System.nanoTime()
+          println(f"  plan ${(t1 - t0) / 1e9}%.3f s   exec ${(t2 - t1) / 1e9}%.3f s")
+          if (plan == null) println("") // keep plan alive
+        }
+      case "time" =>
+        q(spark, sfDir).count() // warm-up
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val n = q(spark, sfDir).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"  run: $s%.3f s ($n rows)")
+          s
+        }
+        println(f"median: ${times.sorted.apply(runs / 2)}%.3f s")
     }
     spark.stop()
   }

@@ -601,8 +601,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("alt", "cat|dog", "<A>"),
       ("opt", "ab?c*d{0,2}e", "<B>"),
       ("grp", "(x|y)@z", "<C>"),
-      ("esc", "q\\+r", "<D>"))
+      ("esc", "q\\+r", "<D>"),
+      // constructs the literal derivation must BAIL on, not mis-claim:
+      // inline flags (an indexOf('s') prefilter would skip "SSN"),
+      // \Q…\E quoting (the '*' is OUTSIDE the quote, so 'a' is optional…
+      // no — 'a*' is the literal; the point is quote chars read as syntax),
+      // and a nested character class (a first-]-scan would claim the outer
+      // ']' as a mandatory literal)
+      ("flag", "(?i)ssn", "<E>"),
+      ("quot", "\\Qv+\\E", "<F>"),
+      ("ncls", "[a-z&&[^b]]y", "<G>"))
     val df = Seq("cat z dog", "ae abcde abde", "x@z y@z z@z", "q+r qr",
+      "SSN 123 ssn", "v+w", "ay by cy ]y",
       "nothing here", "").toDF("content")
     val fast = df.select(col("content"),
         TextExprs.redactPii(col("content"), rules).as("p"))
@@ -621,6 +631,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byContent("ae abcde abde").getLong(2) == 3L)
     assert(byContent("x@z y@z z@z").getLong(3) == 2L)
     assert(byContent("q+r qr").getLong(4) == 1L)
+    // the bail cases actually match (no silent fast-path skip): (?i) hits
+    // both cases, \Q..\E hits the literal 'v+', the nested class hits
+    // a/c/] + y but not "by"
+    assert(byContent("SSN 123 ssn").getLong(5) == 2L)
+    assert(byContent("v+w").getLong(6) == 1L)
+    assert(byContent("ay by cy ]y").getLong(7) == 2L)
   }
 
   test("chunkByTokens: window count, tail overlap, shapes, scan-local plan") {
@@ -631,7 +647,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, "a b c"),                        // n == win → exactly 1 chunk
       (3L, "a b c d"),                      // n = win+1 → 2 chunks
       (4L, "a b c d e f g"),                // n=7 win=3 st=2 → 3 chunks
-      (5L, "a\tb\nc d\re f\fg h"))          // adversarial whitespace, n=8
+      (5L, "a\tb\nc d\re f\fg h"),          // adversarial whitespace, n=8
+      (6L, null.asInstanceOf[String]))      // NULL text → no chunks
       .toDF("doc_id", "text")
     val got = TextOps.chunkByTokens(df, win = 3, stride = 2)
       .orderBy("doc_id", "chunk_id").collect()

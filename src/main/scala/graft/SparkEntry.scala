@@ -159,6 +159,25 @@ object SparkEntry {
       .otherwise(lit(""))))
   }
 
+  /** Old/new snapshot pair for the file-diff query, derived
+    * deterministically from the c000 snapshot through pure SQL functions of
+    * existing columns (the [[piiScanInput]] replay contract): nibble-a rows
+    * are REMOVED in the new snapshot, nibble-b/c rows are content-MODIFIED
+    * (digest re-derived as sha256(old_digest ∥ 'x')), nibble-d rows gain an
+    * ADDED twin at path∥'.new'; everything else is unchanged and must not
+    * appear in the diff. */
+  def snapshotDiffInput(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = repoFiles(s, dir).filter(col("commit") === "c000")
+      .select(col("repo"), col("path"), col("sha256"))
+    val nib = substring(col("sha256"), 1, 1)
+    val kept = o.filter(nib =!= "a")
+      .withColumn("sha256", when(nib.isin("b", "c"),
+        sha2(concat(col("sha256"), lit("x")), 256)).otherwise(col("sha256")))
+    val added = o.filter(nib === "d")
+      .withColumn("path", concat(col("path"), lit(".new")))
+    (o, kept.unionByName(added))
+  }
+
   /** repo_files with DETERMINISTIC planted line decorations for the
     * boilerplate family, same replay contract as [[piiScanInput]] (pure SQL
     * functions of the row's sha256). Every row gains a universal codegen
@@ -483,6 +502,15 @@ object SparkEntry {
     "q_boilerplate_lines" -> ((s, dir) =>
       TextOps.boilerplateLines(boilerplateInput(s, dir), repoRowsFor(dir) / 8)
         .orderBy(col("line"))),
+
+    // file-level snapshot diff (content drift, third rung beside KL and key
+    // drift): added/removed/modified keys between c000 and a derived new
+    // snapshot (see snapshotDiffInput); DuckDB replays the derivation and
+    // the full-outer min-digest diff
+    "q_file_diff" -> ((s, dir) => {
+      val (o, nw) = snapshotDiffInput(s, dir)
+      Drift.fileDiff(o, nw).orderBy(col("repo"), col("path"), col("status"))
+    }),
 
     // boilerplate strip: the broadcast-set rewrite verified byte-for-byte
     // via sha256(cleaned), plus per-row line/removal counts for the audit
@@ -1546,6 +1574,32 @@ object SparkEntry {
          |SELECT line, CAST(count(*) AS BIGINT) AS n_docs FROM pl
          |GROUP BY line HAVING count(*) >= ${exportRows / 8}
          |ORDER BY line""".stripMargin,
+    // file-level snapshot diff: replay the derived new snapshot, collapse
+    // both sides to per-key min-digest representatives, full-outer join and
+    // classify — unchanged keys must vanish
+    "q_file_diff" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |o0 AS (SELECT repo, path, sha256 FROM rf WHERE commit = 'c000'),
+         |n0 AS (SELECT repo, path,
+         |         CASE WHEN substr(sha256, 1, 1) IN ('b','c')
+         |              THEN sha256(sha256 || 'x') ELSE sha256 END AS sha256
+         |       FROM o0 WHERE substr(sha256, 1, 1) <> 'a'
+         |       UNION ALL
+         |       SELECT repo, path || '.new' AS path, sha256 FROM o0
+         |       WHERE substr(sha256, 1, 1) = 'd'),
+         |o AS (SELECT repo, path, min(sha256) AS d FROM o0 GROUP BY repo, path),
+         |n AS (SELECT repo, path, min(sha256) AS d FROM n0 GROUP BY repo, path),
+         |j AS (SELECT coalesce(o.repo, n.repo) AS repo,
+         |             coalesce(o.path, n.path) AS path,
+         |             CASE WHEN o.d IS NULL THEN 'added'
+         |                  WHEN n.d IS NULL THEN 'removed'
+         |                  WHEN o.d <> n.d THEN 'modified'
+         |                  ELSE 'unchanged' END AS status
+         |      FROM o FULL OUTER JOIN n
+         |        ON o.repo = n.repo AND o.path = n.path)
+         |SELECT repo, path, status FROM j WHERE status <> 'unchanged'
+         |ORDER BY repo, path, status""".stripMargin,
+
     // boilerplate strip: rebuild the flagged set, drop exactly those lines
     // from every doc (blanks and uniques kept) and hash the rejoined text —
     // byte-for-byte verification of the rewrite

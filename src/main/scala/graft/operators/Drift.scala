@@ -47,4 +47,36 @@ object Drift {
     val kl = p.indices.map(i => p(i) * math.log(p(i) / q(i))).sum
     spark.createDataset(Seq(Drift(metricName, commitA, commitB, kl, Buckets)))
   }
+
+  /** File-level content diff between two snapshots — the third rung of the
+    * drift family (A10 KL = distribution-level, keyDrift = schema-level,
+    * this = file-level): which (repo, path) keys were added, removed, or
+    * content-modified from `oldDf` to `newDf`, judged by a digest column.
+    * Unchanged files are dropped BEFORE anything leaves the join, so at
+    * 10^12 files the output is churn-sized, never table-sized.
+    *
+    * Inputs may carry duplicate (repo, path) keys (the generator's dup
+    * stratum does); the diff is defined on the per-key MIN-digest
+    * representative, so it is total and deterministic on dirty inputs.
+    *
+    * Scale shape: two map-side-combined groupBy(repo, path) aggregations
+    * (the exchange carries one (key, digest) row per distinct key) feeding a
+    * full-outer sort-merge join on the SAME key — co-partitioned, so the
+    * join reuses the aggregation exchanges rather than adding its own.
+    * Output: (repo, path, status ∈ added|removed|modified). */
+  def fileDiff(oldDf: DataFrame, newDf: DataFrame,
+               digestCol: String = "sha256"): DataFrame = {
+    def keyed(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("repo"), col("path"))
+        .agg(min(col(digestCol)).as(as))
+    keyed(oldDf, "_od").join(keyed(newDf, "_nd"),
+        Seq("repo", "path"), "full_outer")
+      .withColumn("status",
+        when(col("_od").isNull, "added")
+        .when(col("_nd").isNull, "removed")
+        .when(col("_od") =!= col("_nd"), "modified")
+        .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("repo"), col("path"), col("status"))
+  }
 }

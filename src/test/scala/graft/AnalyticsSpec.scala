@@ -164,4 +164,26 @@ class AnalyticsSpec extends AnyFunSuite {
     val self = Drift.klBetween(df, "c000", "c000").head()
     assert(math.abs(self.kl) < 1e-12)
   }
+
+  test("fileDiff: added/removed/modified on min-digest representatives, unchanged dropped") {
+    import spark.implicits._
+    val old = Seq(
+      ("r1", "a", "d1"), ("r1", "b", "d2"), ("r1", "c", "d3"),
+      // duplicate key: representative digest is min(d4, d9) = d4
+      ("r2", "x", "d9"), ("r2", "x", "d4"))
+      .toDF("repo", "path", "sha256")
+    val nw = Seq(
+      ("r1", "a", "d1"),            // unchanged → dropped
+      ("r1", "b", "dX"),            // modified
+      /* r1/c removed */
+      ("r1", "d", "d5"),            // added
+      ("r2", "x", "d4"))            // dup key collapsed to same min → unchanged
+      .toDF("repo", "path", "sha256")
+    val got = Drift.fileDiff(old, nw).orderBy("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("r1", "b", "modified"), ("r1", "c", "removed"), ("r1", "d", "added")))
+    // self-diff is empty
+    assert(Drift.fileDiff(old, old).count() == 0)
+  }
 }

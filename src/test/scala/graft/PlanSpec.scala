@@ -177,4 +177,13 @@ class PlanSpec extends AnyFunSuite {
     assert(single <= 1, s"at most the block-summary rollup may be global:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("fileDiff: co-partitioned full-outer join reuses the two agg exchanges") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(Drift.fileDiff(df.filter(col("commit") === "c000"), df))
+    // one exchange per side's groupBy(repo, path); the join keys match the
+    // agg keys, so the SortMergeJoin adds NO third exchange
+    assert(exchanges(p) == 2, s"diff must be exactly two agg exchanges:\n$p")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+  }
 }

@@ -19,6 +19,13 @@ class DifferentialSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
   import spark.implicits._
 
+  /** Extended-fuzz knobs for one-off divergence hunts: GRAFT_FUZZ_MULT
+    * multiplies every test's batch count, GRAFT_FUZZ_SEED offsets the
+    * fixed seeds (so CI stays deterministic at 1/0 while a hunt can sweep
+    * fresh regions of the grammar). */
+  private val fuzzMult = sys.env.getOrElse("GRAFT_FUZZ_MULT", "1").toInt
+  private val fuzzSeedOff = sys.env.getOrElse("GRAFT_FUZZ_SEED", "0").toLong
+
   // ---- document generator (bounded depth; numbers bounded scale: the
   // native decimal path is exact to scale 18 — divergence beyond is a
   // documented deviation, see ColumnBackend scaladoc)
@@ -138,9 +145,9 @@ class DifferentialSpec extends AnyFunSuite {
 
   test("column backend == row backend on random (schema, doc) pairs") {
     val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
-    var seed = Seed(42L)
+    var seed = Seed(42L + fuzzSeedOff)
     val batch = Vector.newBuilder[(JValue, JValue)]
-    for (_ <- 0 until 120) {
+    for (_ <- 0 until 120 * fuzzMult) {
       val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
       seed = seed.next
       docs.foreach(d => batch += (schema -> d))
@@ -151,9 +158,9 @@ class DifferentialSpec extends AnyFunSuite {
   test("stream evaluator == row evaluator on random (schema, doc) pairs") {
     // pure driver-side — no Spark — so this runs many more pairs
     val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
-    var seed = Seed(4242L)
+    var seed = Seed(4242L + fuzzSeedOff)
     var checked = 0
-    for (_ <- 0 until 500) {
+    for (_ <- 0 until 500 * fuzzMult) {
       val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
       seed = seed.next
       val compiled: CompiledSchema =
@@ -181,12 +188,12 @@ class DifferentialSpec extends AnyFunSuite {
     // null-table path; pairs where it doesn't exercise real pruning)
     import org.apache.spark.unsafe.types.UTF8String
     val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
-    var seed = Seed(77L)
+    var seed = Seed(77L + fuzzSeedOff)
     var checked = 0
     var prunedSchemas = 0
     var nestedTables = 0
     var itemsDecisions = 0
-    for (_ <- 0 until 500) {
+    for (_ <- 0 until 500 * fuzzMult) {
       val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
       seed = seed.next
       val compiled: CompiledSchema =

@@ -21,10 +21,12 @@ class DifferentialSpec extends AnyFunSuite {
 
   /** Extended-fuzz knobs for one-off divergence hunts: GRAFT_FUZZ_MULT
     * multiplies every test's batch count, GRAFT_FUZZ_SEED offsets the
-    * fixed seeds (so CI stays deterministic at 1/0 while a hunt can sweep
-    * fresh regions of the grammar). */
+    * fixed seeds, GRAFT_FUZZ_DEPTH deepens both generators (stressing
+    * recursion/pruning on nesting CI never reaches) — CI stays
+    * deterministic at 1/0/0 while a hunt sweeps fresh grammar regions. */
   private val fuzzMult = sys.env.getOrElse("GRAFT_FUZZ_MULT", "1").toInt
   private val fuzzSeedOff = sys.env.getOrElse("GRAFT_FUZZ_SEED", "0").toLong
+  private val fuzzDepthOff = sys.env.getOrElse("GRAFT_FUZZ_DEPTH", "0").toInt
 
   // ---- document generator (bounded depth; numbers bounded scale: the
   // native decimal path is exact to scale 18 — divergence beyond is a
@@ -144,7 +146,7 @@ class DifferentialSpec extends AnyFunSuite {
   }
 
   test("column backend == row backend on random (schema, doc) pairs") {
-    val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
+    val gen = Gen.zip(genRootSchema(2 + fuzzDepthOff), Gen.listOfN(8, genDoc(3 + fuzzDepthOff)))
     var seed = Seed(42L + fuzzSeedOff)
     val batch = Vector.newBuilder[(JValue, JValue)]
     for (_ <- 0 until 120 * fuzzMult) {
@@ -157,7 +159,7 @@ class DifferentialSpec extends AnyFunSuite {
 
   test("stream evaluator == row evaluator on random (schema, doc) pairs") {
     // pure driver-side — no Spark — so this runs many more pairs
-    val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
+    val gen = Gen.zip(genRootSchema(2 + fuzzDepthOff), Gen.listOfN(8, genDoc(3 + fuzzDepthOff)))
     var seed = Seed(4242L + fuzzSeedOff)
     var checked = 0
     for (_ <- 0 until 500 * fuzzMult) {
@@ -187,7 +189,7 @@ class DifferentialSpec extends AnyFunSuite {
     // on every verdict (pairs where the analysis bails exercise the
     // null-table path; pairs where it doesn't exercise real pruning)
     import org.apache.spark.unsafe.types.UTF8String
-    val gen = Gen.zip(genRootSchema(2), Gen.listOfN(8, genDoc(3)))
+    val gen = Gen.zip(genRootSchema(2 + fuzzDepthOff), Gen.listOfN(8, genDoc(3 + fuzzDepthOff)))
     var seed = Seed(77L + fuzzSeedOff)
     var checked = 0
     var prunedSchemas = 0

@@ -732,7 +732,14 @@ object SchemaCompiler {
       }
 
       obj.get("pattern").foreach {
-        case JStr(p) => conjuncts += StrPattern(p)
+        case JStr(p) => conjuncts +=
+          (try StrPattern(p) catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              // a typo'd regex must refuse at compile time, not crash an
+              // executor when the constraint first evaluates
+              throw new SchemaCompileException(
+                s"$where/pattern: invalid regex: ${e.getMessage}")
+          })
         case _       => throw new SchemaCompileException(s"$where/pattern malformed")
       }
 
@@ -768,6 +775,11 @@ object SchemaCompiler {
 
       val patProps = obj.get("patternProperties").map {
         case JObj(fs) => fs.map { case (r, s) =>
+          try java.util.regex.Pattern.compile(r) catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              throw new SchemaCompileException(
+                s"$where/patternProperties: invalid regex '$r': ${e.getMessage}")
+          }
           r -> compileSchema(s, s"$where/patternProperties/$r", base) }.toVector
         case _ => throw new SchemaCompileException(s"$where/patternProperties malformed")
       }.getOrElse(Vector.empty)

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json.Json
+import graft.schema.{SchemaCompiler, SchemaCompileException}
+import graft.eval.{RowEval, StreamEval}
+
+/** Malformed-schema robustness contract: every bad schema either compiles
+  * (and then evaluates without throwing — some draft-04 degeneracies are
+  * deliberately tolerated) or fails with a controlled
+  * [[SchemaCompileException]]. Never a MatchError, NPE, ClassCast, or —
+  * for the cyclic-$ref cases — a StackOverflowError. A user feeding a
+  * 10^12-row job a typo'd schema must get one clear error at compile
+  * time, not an executor crash mid-scan. */
+class CompileErrorSpec extends AnyFunSuite {
+
+  private val cases: Seq[(String, String)] = Seq(
+    ("non-object root", "3"),
+    ("ref non-string", """{"$ref": 3}"""),
+    ("unresolvable ref", """{"$ref": "#/nope"}"""),
+    ("direct self cycle", """{"definitions":{"d":{"$ref":"#/definitions/d"}},"$ref":"#/definitions/d"}"""),
+    ("mutual ref cycle", """{"definitions":{"a":{"$ref":"#/definitions/b"},"b":{"$ref":"#/definitions/a"}},"$ref":"#/definitions/a"}"""),
+    ("bad pattern", """{"pattern": "["}"""),
+    ("type number", """{"type": 3}"""),
+    ("type unknown name", """{"type": "float"}"""),
+    ("enum non-array", """{"enum": 3}"""),
+    ("enum empty", """{"enum": []}"""),
+    ("multipleOf zero", """{"multipleOf": 0}"""),
+    ("multipleOf negative", """{"multipleOf": -2}"""),
+    ("multipleOf string", """{"multipleOf": "x"}"""),
+    ("minLength negative", """{"minLength": -1}"""),
+    ("minLength string", """{"minLength": "x"}"""),
+    ("required non-array", """{"required": 3}"""),
+    ("required non-string member", """{"required": [3]}"""),
+    ("properties non-object", """{"properties": 3}"""),
+    ("items number", """{"items": 3}"""),
+    ("dependencies number", """{"dependencies": 3}"""),
+    ("patternProperties bad regex", """{"patternProperties": {"[": {}}}"""),
+    ("minimum string", """{"minimum": "x"}"""),
+    ("uniqueItems string", """{"uniqueItems": "yes"}"""),
+    ("not non-schema", """{"not": 3}"""),
+    ("allOf empty", """{"allOf": []}"""),
+    ("allOf non-array", """{"allOf": 3}"""),
+    ("oneOf non-schema member", """{"oneOf": [3]}"""),
+    ("deep bad keyword under properties", """{"properties":{"a":{"properties":{"b":{"type": 3}}}}}"""))
+
+  for ((name, text) <- cases) {
+    test(s"malformed schema is controlled: $name") {
+      val parsed = Json.parse(text)
+      val outcome =
+        try Right(SchemaCompiler.compile(parsed))
+        catch {
+          case e: SchemaCompileException => Left(e)
+          case e: Throwable =>
+            fail(s"UNCONTROLLED ${e.getClass.getName}: ${e.getMessage}")
+        }
+      outcome match {
+        case Left(e) =>
+          // controlled refusal: the message must locate the problem
+          assert(e.getMessage != null && e.getMessage.nonEmpty)
+        case Right(cs) =>
+          // tolerated degeneracy: evaluation must still be total, on both
+          // evaluators, for object/array/scalar probes
+          for (doc <- Seq("""{"a":1,"v":"x"}""", """[1,"x"]""", "3")) {
+            val r = RowEval.isValidText(cs, doc)
+            assert(StreamEval.isValidText(cs, doc) == r,
+              s"evaluators disagree on tolerated schema $name for $doc")
+          }
+      }
+    }
+  }
+
+  test("recursive $ref through properties compiles (bounded) and evaluates") {
+    // legal draft-04 recursion — must neither loop at compile time nor
+    // overflow at eval time on a deeply nested document
+    val cs = SchemaCompiler.compile(Json.parse(
+      """{"properties":{"v":{"type":"integer"},"kid":{"$ref":"#"}}}"""))
+    val deep = (1 to 200).foldLeft("""{"v":1}""") {
+      case (acc, _) => s"""{"v":1,"kid":$acc}"""
+    }
+    val r = RowEval.isValidText(cs, deep)
+    assert(StreamEval.isValidText(cs, deep) == r)
+  }
+}

@@ -69,6 +69,14 @@ object StreamEval {
   // ======================================================== the scan state
 
   private final class Cursor(val s: String, val cs: CompiledSchema) {
+    /** Container nesting depth — capped at [[graft.json.Json.MaxNestingDepth]]
+      * (same cap as both tree parsers) so the verdict on adversarially-nested
+      * input is stack-size-independent and identical across evaluators. */
+    private var nest = 0
+    @inline private def enterContainer(): Unit = {
+      nest += 1
+      if (nest > graft.json.Json.MaxNestingDepth) die()
+    }
     var pos = 0
     private var sb: java.lang.StringBuilder = null // lazy escape-decode scratch
 
@@ -107,9 +115,9 @@ object StreamEval {
     }
 
     private def skipObject(): Unit = {
-      pos += 1; skipWs()
+      pos += 1; enterContainer(); skipWs()
       if (atEnd) die()
-      if (cur == '}') { pos += 1; return }
+      if (cur == '}') { pos += 1; nest -= 1; return }
       var done = false
       while (!done) {
         skipWs()
@@ -127,12 +135,13 @@ object StreamEval {
           case _   => die()
         }
       }
+      nest -= 1
     }
 
     private def skipArray(): Unit = {
-      pos += 1; skipWs()
+      pos += 1; enterContainer(); skipWs()
       if (atEnd) die()
-      if (cur == ']') { pos += 1; return }
+      if (cur == ']') { pos += 1; nest -= 1; return }
       var done = false
       while (!done) {
         skipValue()
@@ -144,6 +153,7 @@ object StreamEval {
           case _   => die()
         }
       }
+      nest -= 1
     }
 
     /** Skip a string INCLUDING quotes; returns true iff it had escapes. */
@@ -315,9 +325,9 @@ object StreamEval {
       * -1 if aborted; cursor is after the object iff not aborted. Caller
       * guarantees cur == '{'. */
     private def walkObject(field: (Int, Int, Boolean) => Boolean): Int = {
-      pos += 1; skipWs()
+      pos += 1; enterContainer(); skipWs()
       if (atEnd) die()
-      if (cur == '}') { pos += 1; return 0 }
+      if (cur == '}') { pos += 1; nest -= 1; return 0 }
       // key spans seen so far, packed (escBit|start,end); objects are small
       var seen = new Array[Long](8)
       var n = 0
@@ -373,6 +383,7 @@ object StreamEval {
           case _   => die()
         }
       }
+      nest -= 1
       if (aborted) -1 else n
     }
 
@@ -635,9 +646,9 @@ object StreamEval {
       * guarantees cur == '['. Returns overall ok; cursor after the array
       * iff ok. */
     private def evalArray(elem: Int => Boolean): Boolean = {
-      pos += 1; skipWs()
+      pos += 1; enterContainer(); skipWs()
       if (atEnd) die()
-      if (cur == ']') { pos += 1; return true }
+      if (cur == ']') { pos += 1; nest -= 1; return true }
       var idx = 0
       var ok = true
       var done = false
@@ -655,6 +666,7 @@ object StreamEval {
           }
         }
       }
+      nest -= 1
       ok
     }
   }

@@ -340,6 +340,16 @@ final class JsonParseException(msg: String, val pos: Int)
 
 object Json {
 
+  /** Maximum container nesting depth any graft parser accepts. Deeper
+    * documents are a parse ERROR — a deliberate cap shared by Json,
+    * [[Utf8Json]] and [[graft.eval.StreamEval]] so the verdict on an
+    * adversarially-nested document is a pure function of the document,
+    * not of the evaluating thread's stack size (the SOE catch at every
+    * parse boundary remains as backstop, but it would trip at a
+    * stack-dependent depth). 1000 is far above any real document and far
+    * below the ~4–5k where default JVM stacks overflow. */
+  val MaxNestingDepth = 1000
+
   /** Parse a JSON text. Throws JsonParseException on malformed input. */
   def parse(s: String): JValue = {
     val p = new Parser(s)
@@ -476,12 +486,14 @@ object Json {
       i += 1
     }
 
-    def parseValue(): JValue = {
+    def parseValue(): JValue = parseValue(0)
+
+    private def parseValue(depth: Int): JValue = {
       skipWs()
       if (atEnd) fail("unexpected end of input")
       s.charAt(i) match {
-        case '{' => parseObject()
-        case '[' => parseArray()
+        case '{' => parseObject(depth + 1)
+        case '[' => parseArray(depth + 1)
         case '"' => JStr(parseString())
         case 't' => parseLit("true", JBool(true))
         case 'f' => parseLit("false", JBool(false))
@@ -498,7 +510,8 @@ object Json {
       v
     }
 
-    private def parseObject(): JObj = {
+    private def parseObject(depth: Int): JObj = {
+      if (depth > Json.MaxNestingDepth) fail("nesting too deep")
       expect('{'); skipWs()
       if (!atEnd && s.charAt(i) == '}') { i += 1; return JObj.empty }
       val b = new JFields.Builder
@@ -507,7 +520,7 @@ object Json {
         skipWs()
         val k = parseString()
         skipWs(); expect(':')
-        val v = parseValue()
+        val v = parseValue(depth)
         b.add(k, v)
         skipWs()
         if (atEnd) fail("unterminated object")
@@ -520,13 +533,14 @@ object Json {
       JObj(b.result())
     }
 
-    private def parseArray(): JArr = {
+    private def parseArray(depth: Int): JArr = {
+      if (depth > Json.MaxNestingDepth) fail("nesting too deep")
       expect('['); skipWs()
       if (!atEnd && s.charAt(i) == ']') { i += 1; return JArr(Vector.empty) }
       val b = Vector.newBuilder[JValue]
       var done = false
       while (!done) {
-        b += parseValue()
+        b += parseValue(depth)
         skipWs()
         if (atEnd) fail("unterminated array")
         s.charAt(i) match {

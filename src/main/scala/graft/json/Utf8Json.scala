@@ -151,6 +151,13 @@ object Utf8Json {
   }
 
   private final class ByteParser(u: UTF8String) {
+    /** Container nesting depth — capped at [[Json.MaxNestingDepth]] so the
+      * verdict on adversarially-nested input never depends on stack size. */
+    private var depth = 0
+    @inline private def enterContainer(): Unit = {
+      depth += 1
+      if (depth > Json.MaxNestingDepth) fail("nesting too deep")
+    }
     private val base: AnyRef = u.getBaseObject
     private val off: Long = u.getBaseOffset
     private val n: Int = u.numBytes
@@ -237,8 +244,9 @@ object Utf8Json {
       if (b == '"') skipStringStruct()
       else if (b == '{') {
         i += 1
+        enterContainer()
         skipWs()
-        if (i < n && at(i) == '}') { i += 1; return }
+        if (i < n && at(i) == '}') { i += 1; depth -= 1; return }
         var done = false
         while (!done) {
           skipWs()
@@ -252,11 +260,13 @@ object Utf8Json {
           else if (i < n && at(i) == '}') { i += 1; done = true }
           else fail("expected ',' or '}'")
         }
+        depth -= 1
       }
       else if (b == '[') {
         i += 1
+        enterContainer()
         skipWs()
-        if (i < n && at(i) == ']') { i += 1; return }
+        if (i < n && at(i) == ']') { i += 1; depth -= 1; return }
         var done = false
         while (!done) {
           skipValueStruct()
@@ -265,6 +275,7 @@ object Utf8Json {
           else if (i < n && at(i) == ']') { i += 1; done = true }
           else fail("expected ',' or ']'")
         }
+        depth -= 1
       }
       else if (b == 't') parseLit("true")
       else if (b == 'f') parseLit("false")
@@ -359,8 +370,8 @@ object Utf8Json {
     }
 
     private def parseObject(): JObj = {
-      expect('{'); skipWs()
-      if (i < n && at(i) == '}') { i += 1; return JObj.empty }
+      expect('{'); enterContainer(); skipWs()
+      if (i < n && at(i) == '}') { i += 1; depth -= 1; return JObj.empty }
       val b = new JFields.Builder
       var done = false
       while (!done) {
@@ -376,6 +387,7 @@ object Utf8Json {
         else if (c == '}') { i += 1; done = true }
         else fail("expected ',' or '}'")
       }
+      depth -= 1
       JObj(b.result())
     }
 
@@ -392,8 +404,9 @@ object Utf8Json {
       * the table's decision. Caller guarantees `at(i) == '{'`. */
     private def parsePrunedObject(table: graft.schema.PruneTable): JValue = {
       i += 1
+      enterContainer()
       skipWs()
-      if (i < n && at(i) == '}') { i += 1; return JObj.empty }
+      if (i < n && at(i) == '}') { i += 1; depth -= 1; return JObj.empty }
       val memo = table.memo()
       val b = new JFields.Builder
       var done = false
@@ -413,6 +426,7 @@ object Utf8Json {
         else if (c == '}') { i += 1; done = true }
         else fail("expected ',' or '}'")
       }
+      depth -= 1
       JObj(b.result())
     }
 
@@ -434,8 +448,9 @@ object Utf8Json {
       * them, nothing may inspect them. Caller guarantees `at(i) == '['`. */
     private def parsePrunedArray(items: graft.schema.PruneDecision): JArr = {
       i += 1
+      enterContainer()
       skipWs()
-      if (i < n && at(i) == ']') { i += 1; return JArr(Vector.empty) }
+      if (i < n && at(i) == ']') { i += 1; depth -= 1; return JArr(Vector.empty) }
       val b = Vector.newBuilder[JValue]
       var done = false
       while (!done) {
@@ -448,6 +463,7 @@ object Utf8Json {
         else if (c == ']') { i += 1; done = true }
         else fail("expected ',' or ']'")
       }
+      depth -= 1
       JArr(b.result())
     }
 
@@ -463,8 +479,9 @@ object Utf8Json {
       if (b == '"') skipStringStruct()
       else if (b == '{') {
         i += 1
+        enterContainer()
         skipWs()
-        if (i < n && at(i) == '}') { i += 1; return }
+        if (i < n && at(i) == '}') { i += 1; depth -= 1; return }
         var done = false
         while (!done) {
           skipWs()
@@ -478,11 +495,13 @@ object Utf8Json {
           else if (i < n && at(i) == '}') { i += 1; done = true }
           else fail("expected ',' or '}'")
         }
+        depth -= 1
       }
       else if (b == '[') {
         i += 1
+        enterContainer()
         skipWs()
-        if (i < n && at(i) == ']') { i += 1; return }
+        if (i < n && at(i) == ']') { i += 1; depth -= 1; return }
         var done = false
         while (!done) {
           skipValueChecked()
@@ -491,6 +510,7 @@ object Utf8Json {
           else if (i < n && at(i) == ']') { i += 1; done = true }
           else fail("expected ',' or ']'")
         }
+        depth -= 1
       }
       else if (b == 't') parseLit("true")
       else if (b == 'f') parseLit("false")
@@ -541,8 +561,8 @@ object Utf8Json {
     }
 
     private def parseArray(): JArr = {
-      expect('['); skipWs()
-      if (i < n && at(i) == ']') { i += 1; return JArr(Vector.empty) }
+      expect('['); enterContainer(); skipWs()
+      if (i < n && at(i) == ']') { i += 1; depth -= 1; return JArr(Vector.empty) }
       val b = Vector.newBuilder[JValue]
       var done = false
       while (!done) {
@@ -554,6 +574,7 @@ object Utf8Json {
         else if (c == ']') { i += 1; done = true }
         else fail("expected ',' or ']'")
       }
+      depth -= 1
       JArr(b.result())
     }
 

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json.Json
+import graft.eval.{RowEval, StreamEval}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Nesting-depth cap: documents nested deeper than Json.MaxNestingDepth are
+  * a PARSE failure on every evaluator — a deliberate, explicit cap so the
+  * verdict on adversarially-nested input is a pure function of the document,
+  * not of the evaluating thread's stack size (before the cap, the verdict
+  * flipped wherever the JVM happened to overflow — a driver with a roomy
+  * stack and an executor with a small one could disagree on the same row).
+  * The StackOverflowError catch at every parse boundary stays as backstop. */
+class DepthLimitSpec extends AnyFunSuite {
+  private val cs = graft.schema.SchemaCompiler.compile(Json.parse("{}"))
+  private def arr(depth: Int) = "[" * depth + "]" * depth
+  private def obj(depth: Int) = "{\"a\":" * depth + "1" + "}" * depth
+
+  private def verdicts(doc: String): Seq[Boolean] = Seq(
+    RowEval.isValidText(cs, doc),                      // Json tree parser
+    RowEval.isValidText(cs, UTF8String.fromString(doc)), // byte parser
+    StreamEval.isValidText(cs, doc))                   // streaming scanner
+
+  test("documents at the cap are valid on all evaluators") {
+    for (doc <- Seq(arr(Json.MaxNestingDepth), obj(Json.MaxNestingDepth)))
+      assert(verdicts(doc) == Seq(true, true, true))
+  }
+
+  test("one past the cap is a controlled parse failure on all evaluators") {
+    for (doc <- Seq(arr(Json.MaxNestingDepth + 1), obj(Json.MaxNestingDepth + 1))) {
+      assert(verdicts(doc) == Seq(false, false, false))
+      // the refusal is a controlled parse error, not an overflow
+      assert(Json.parseOpt(doc).isEmpty)
+    }
+  }
+
+  test("extreme depth fails fast without stack growth") {
+    // 100k deep: the cap trips at ~1000 frames — orders of magnitude before
+    // any stack limit — identically on every evaluator
+    assert(verdicts(arr(100000)) == Seq(false, false, false))
+  }
+
+  test("wide documents are unaffected (siblings do not accumulate depth)") {
+    val wide = "[" + Seq.fill(5000)("[1]").mkString(",") + "]"
+    assert(verdicts(wide) == Seq(true, true, true))
+    val wideObj = "{" + (1 to 5000).map(i => s""""k$i":{"v":$i}""").mkString(",") + "}"
+    assert(verdicts(wideObj) == Seq(true, true, true))
+  }
+}

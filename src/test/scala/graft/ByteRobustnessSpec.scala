@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.eval.{RowEval, StreamEval}
+
+/** Byte-level robustness: the three evaluators must agree on documents
+  * whose CONTENT bytes are hostile — invalid UTF-8 sequences (parquet
+  * string columns can carry them; all paths decode with replacement,
+  * matching each other byte-for-byte in effect) and raw control
+  * characters (RFC 8259: unescaped chars < 0x20 are invalid in strings;
+  * 0x7F is legal). The property pinned here is cross-evaluator AGREEMENT
+  * plus the control-character rejection — a divergence would mean the
+  * same row validates differently on the byte-parser hot path vs the
+  * fallback path. */
+class ByteRobustnessSpec extends AnyFunSuite {
+  private val cs = graft.schema.SchemaCompiler.compile(graft.json.Json.parse(
+    """{"properties":{"a":{"minLength":1,"pattern":"x"}}}"""))
+  private def mk(payload: Array[Byte]): Array[Byte] =
+    ("""{"a":"""".getBytes("UTF-8")) ++ payload ++ ("""x"}""".getBytes("UTF-8"))
+
+  private val cases: Seq[(String, Array[Byte], Option[Boolean])] = Seq(
+    ("valid ascii", "ok".getBytes("UTF-8"), Some(true)),
+    ("lone continuation 0x80", Array(0x80.toByte), None),
+    ("truncated 2-byte lead 0xC3", Array(0xC3.toByte), None),
+    ("overlong encoding C0 AF", Array(0xC0.toByte, 0xAF.toByte), None),
+    ("invalid byte FF", Array(0xFF.toByte), None),
+    ("raw control 0x01 is rejected", Array(0x01.toByte), Some(false)),
+    ("raw tab 0x09 is rejected", Array(0x09.toByte), Some(false)),
+    ("raw DEL 0x7F is legal", Array(0x7F.toByte), Some(true)))
+
+  for ((name, payload, expected) <- cases) {
+    test(s"evaluators agree: $name") {
+      val bytes = mk(payload)
+      val su = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val vs = Seq(
+        RowEval.isValidText(cs, UTF8String.fromBytes(bytes)),
+        RowEval.isValidText(cs, su),
+        StreamEval.isValidText(cs, su))
+      assert(vs.distinct.size == 1, s"divergence: $vs")
+      expected.foreach(e => assert(vs.head == e))
+    }
+  }
+}

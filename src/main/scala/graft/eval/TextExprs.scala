@@ -340,6 +340,12 @@ object TextExprs {
     * array<string> shingle column. */
   def minhashBands(shingles: Column, k: Int, bands: Int): Column =
     Bridge.column(MinHashBandsExpr(Bridge.expression(shingles), k, bands))
+
+  /** Winnowing fingerprints (MOSS) of a text column — sorted distinct
+    * selected gram hashes; array<string> (sha mode) or array<long>. */
+  def winnowFingerprints(text: Column, k: Int, w: Int,
+                         useSha: Boolean = false): Column =
+    Bridge.column(WinnowExpr(Bridge.expression(text), k, w, useSha))
 }
 
 /** Word n-gram shingles as one flat scalar pass.
@@ -464,4 +470,145 @@ case class MinHashBandsExpr(child: Expression, k: Int, bands: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+  * MOSS document-fingerprinting algorithm; apt here because the input table
+  * IS source code): hash every k-code-point gram of the text, slide a
+  * window of `w` consecutive gram hashes, select each window's minimum, and
+  * return the DISTINCT selected values sorted ascending.
+  *
+  * Contract guarantees: (a) coverage — any shared run of ≥ w + k − 1 code
+  * points contributes at least one shared fingerprint (the winnowing
+  * theorem); (b) the selected-value SET is tie-policy-independent (equal
+  * window minima are the same value), so no rightmost/leftmost tie rule
+  * leaks into the output. Fewer than `w` grams → one window over all grams
+  * (every non-empty gram list yields ≥ 1 fingerprint); fewer than `k` code
+  * points → empty array.
+  *
+  * Hash modes:
+  *  - useSha = true: fingerprint = lowercase sha256 hex of the gram's UTF-8
+  *    bytes, minima by LEXICOGRAPHIC order → array<string>. Exactly
+  *    reproducible by DuckDB (`sha256(substr(content, i, k))` +
+  *    `list_min`/`list_sort`, both binary-lexicographic on ASCII hex) — the
+  *    oracle mode.
+  *  - useSha = false: fingerprint = XXH64(gram UTF-8 bytes, seed 42),
+  *    minima by UNSIGNED order → array<long>. The production mode: no
+  *    digest and no per-gram String.
+  *
+  * Cost: O(m) window minima via a monotonic deque over gram indices
+  * (m = gram count) — not the naive O(m·w) rescan — and gram hashes feed
+  * from ONE UTF-8 encoding of the document through a per-code-point byte
+  * offset table, so no per-gram substring is ever materialized. Scan-local;
+  * a CodegenFallback island inside the surrounding codegen'd projection,
+  * like every custom scalar here.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int, useSha: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, s"gram size k must be positive: $k")
+  require(w > 0, s"window size w must be positive: $w")
+  override def dataType: DataType =
+    ArrayType(if (useSha) StringType else LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nCp = s.codePointCount(0, s.length)
+    val m = nCp - k + 1
+    if (m <= 0) return WinnowExpr.empty
+    // off(i) = byte offset of code point i in `bytes`; gram i is the slice
+    // [off(i), off(i+k)). Mirrors Java's UTF-8 encoder exactly, including
+    // its unpaired-surrogate → '?' (1 byte) replacement.
+    val off = new Array[Int](nCp + 1)
+    var ci = 0; var cp = 0; var bo = 0
+    while (cp < nCp) {
+      off(cp) = bo
+      val c = s.codePointAt(ci)
+      bo += (if (c < 0x80) 1 else if (c < 0x800) 2
+             else if (c >= 0xD800 && c <= 0xDFFF) 1
+             else if (c < 0x10000) 3 else 4)
+      ci += Character.charCount(c)
+      cp += 1
+    }
+    off(nCp) = bo
+    val ww = math.min(w, m)
+    if (useSha) {
+      val md = WinnowExpr.ctxs.get().md
+      val vals = new Array[String](m)
+      var i = 0
+      while (i < m) {
+        md.update(bytes, off(i), off(i + k) - off(i))
+        vals(i) = WinnowExpr.hex(md.digest())
+        i += 1
+      }
+      val dq = new Array[Int](m); var head = 0; var tail = 0
+      val sel = new java.util.TreeSet[String]()
+      var j = 0
+      while (j < m) {
+        while (tail > head && vals(dq(tail - 1)).compareTo(vals(j)) >= 0) tail -= 1
+        dq(tail) = j; tail += 1
+        if (dq(head) <= j - ww) head += 1
+        if (j >= ww - 1) sel.add(vals(dq(head)))
+        j += 1
+      }
+      val out = new Array[Any](sel.size)
+      val it = sel.iterator(); var o = 0
+      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      val vals = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        vals(i) = XXH64.hashUnsafeBytes(
+          bytes, base + off(i), off(i + k) - off(i), 42L)
+        i += 1
+      }
+      val dq = new Array[Int](m); var head = 0; var tail = 0
+      val sel = new java.util.TreeSet[java.lang.Long](
+        new java.util.Comparator[java.lang.Long] {
+          override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+            java.lang.Long.compareUnsigned(a, b)
+        })
+      var j = 0
+      while (j < m) {
+        while (tail > head && java.lang.Long.compareUnsigned(
+          vals(dq(tail - 1)), vals(j)) >= 0) tail -= 1
+        dq(tail) = j; tail += 1
+        if (dq(head) <= j - ww) head += 1
+        if (j >= ww - 1) sel.add(vals(dq(head)))
+        j += 1
+      }
+      val out = new Array[Long](sel.size)
+      val it = sel.iterator(); var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WinnowExpr {
+  private final class ShaCtx {
+    val md: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+  private val ctxs = new graft.util.ThreadSlots[ShaCtx](() => new ShaCtx)
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private def hex(d: Array[Byte]): String = {
+    val c = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      c(2 * i) = hexDigits((d(i) >> 4) & 0xF)
+      c(2 * i + 1) = hexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(c)
+  }
+  private def empty =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
 }

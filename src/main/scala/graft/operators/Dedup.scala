@@ -285,4 +285,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // -------------------------------------------- winnowing code-clone pairs
+
+  /** Code-clone candidate pairs over a source-file table via winnowing
+    * fingerprints ([[graft.eval.WinnowExpr]] — Schleimer/Wilkerson/Aiken's
+    * MOSS algorithm, the classic detector for the exact table shape this
+    * engine validates: repositories of source files). Two files pair when
+    * they share ≥ `minShared` selected fingerprints; fingerprints present
+    * in more than `maxBucketSize` files are dropped as corpus-universal
+    * boilerplate (the same degenerate-bucket guard as every LSH path here —
+    * a banner gram shared by every file carries no clone signal, only an
+    * O(n²) bucket).
+    *
+    * Output: (a, b, n_shared, n_a, n_b) with a < b, where n_a/n_b are the
+    * files' FULL fingerprint-set sizes (pre-guard), so callers can
+    * threshold on containment (n_shared / min(n_a, n_b)) with exact
+    * integers — no float compare in the contract.
+    *
+    * Scale shape: fingerprinting is scan-local (one narrow pass per side —
+    * the explode and the size projection re-evaluate the narrow lineage,
+    * never a shuffle); candidate generation is ONE exchange via
+    * [[bucketPairs]] (O(cap) agg memory per fingerprint bucket); the
+    * pair-count groupBy and the two size joins are pair-sized and row-sized
+    * respectively. No all-pairs stage anywhere. */
+  def codeClonePairs(df: DataFrame, idCol: Column, k: Int = 16, w: Int = 8,
+                     minShared: Long = 3L, maxBucketSize: Int = 64,
+                     contentCol: String = "content",
+                     useSha: Boolean = false): DataFrame = {
+    val fps = df.select(idCol.as("id"),
+      TextExprs.winnowFingerprints(col(contentCol), k, w, useSha).as("fps"))
+    val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val counts = bucketPairs(ex, Seq("fp"), "id", maxBucketSize)
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val sizes = fps.select(col("id"), size(col("fps")).cast("long").as("n"))
+    counts
+      .join(sizes.select(col("id").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"), col("n_a"), col("n_b"))
+  }
+
+  /** Built-in-function spelling of sha-mode winnowing, retained ONLY as the
+    * differential partner pinning [[graft.eval.WinnowExpr]] (the house
+    * pattern — see [[minhashBandsLegacy]]): O(m·w) window minima through
+    * interpreted HOF lambdas vs the expression's O(m) deque. */
+  private[graft] def winnowLegacySha(text: Column, k: Int, w: Int): Column =
+    bindOnce(text, t =>
+      bindOnce(when(length(t) - (k - 1) < 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(t) - (k - 1)),
+          i => sha2(t.substr(i, lit(k)), 256))), hs =>
+        bindOnce(size(hs), m =>
+          when(m === 0, array().cast("array<string>"))
+            .otherwise(sort_array(array_distinct(transform(
+              sequence(lit(1), greatest(m - (w - 1), lit(1))),
+              j => array_min(slice(hs, j, least(lit(w), m))))))))))
 }

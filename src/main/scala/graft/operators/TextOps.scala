@@ -527,6 +527,73 @@ object TextOps {
         col("_s.cleaned").as("cleaned")): _*)
   }
 
+  // ------------------------------------- duplicated spans (exact substring)
+
+  /** Distinct sha256 ids of every `win`-token stride-1 window of `text` —
+    * the unit of EXACT cross-document substring duplication (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed at token-window granularity: the paper's single-node
+    * suffix array does not distribute; the stride-1 window-hash spelling is
+    * the standard distributable form — any duplicated substring of ≥ `win`
+    * tokens necessarily shares every one of its interior windows, so window
+    * matches are a complete detector at that granularity). Docs shorter
+    * than `win` tokens contribute nothing; within-doc repeats collapse
+    * (per-doc distinct), so downstream counts are document counts. */
+  private def spanIds(text: Column, win: Int): Column =
+    bindOnce(filter(split(text, "[ \\t\\n\\f\\r]+"), t => length(t) > 0),
+      toks => bindOnce(size(toks), n =>
+        when(toks.isNull || n < win, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(sequence(lit(0), n - win),
+            i => sha2(concat_ws(" ", slice(toks, i + 1, lit(win))), 256))))))
+
+  /** Token spans (windows of exactly `win` tokens, stride 1) that occur in
+    * at least `minDocs` DISTINCT documents — exact-substring duplication at
+    * window granularity (see [[spanIds]]). Output: (span_sha, n_docs,
+    * min_doc, max_doc), one row per duplicated span.
+    *
+    * Scale shape: window hashing + per-doc distinct are scan-local; the ONE
+    * exchange is the wordcount-shaped groupBy(span_sha) with map-side
+    * partial aggregation. The shuffle carries ~one row per corpus token —
+    * the inherent cost of EXACT substring detection (this is why the
+    * approximate family [[Dedup.minhashCandidatePairs]] exists alongside);
+    * output is duplication-sized, never table-sized. */
+  def duplicatedSpans(docs: DataFrame, win: Int, minDocs: Long = 2L,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(spanIds(col(textCol), win)).as("span_sha"))
+      .groupBy(col("span_sha"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document duplication profile against [[duplicatedSpans]]: how many
+    * of this doc's distinct `win`-token spans also occur in ≥ `minDocs`
+    * documents corpus-wide. Output: (doc_id, n_spans, n_dup_spans) for
+    * EVERY input doc (short/span-free docs report 0/0) — the per-doc signal
+    * a curation pass thresholds on (heavily-duplicated docs are boilerplate
+    * or templates).
+    *
+    * Scale shape: two span-keyed exchanges (dup-set groupBy + the hit join)
+    * and a doc-keyed count — span-exchange cost as in [[duplicatedSpans]].
+    * The scan-local span lineage feeds both passes; Spark re-evaluates it
+    * once per pass (narrow, no shuffle re-run). The final left join is
+    * doc-keyed and row-sized. */
+  def spanDupProfile(docs: DataFrame, win: Int, minDocs: Long = 2L,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      spanIds(col(textCol), win).as("spans"))
+    val ex = base.select(col("doc_id"), explode(col("spans")).as("span_sha"))
+    val dup = ex.groupBy(col("span_sha")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select("span_sha")
+    val hits = ex.join(dup, "span_sha")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    base.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_spans"))
+  }
+
   /** Evaluate `in` once (lambda binding) — see [[Dedup.bindOnce]]. */
   private def bindOnce(in: Column, f: Column => Column): Column =
     Dedup.bindOnce(in, f)

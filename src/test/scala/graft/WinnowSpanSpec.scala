@@ -1,0 +1,189 @@
+package graft
+
+import graft.eval.{TextExprs, WinnowExpr}
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Winnowing fingerprints (WinnowExpr / Dedup.codeClonePairs) and
+  * exact-substring duplicated spans (TextOps.duplicatedSpans /
+  * spanDupProfile). */
+class WinnowSpanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  // ---------------------------------------------------------------- winnow
+
+  /** Naive O(m·w) reference: hash every k-code-point gram, min per window,
+    * distinct + sorted. Mirrors the documented contract directly. */
+  private def naiveSha(s: String, k: Int, w: Int): Seq[String] = {
+    val cps = s.codePoints.toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hs = (0 until m).map { i =>
+      md.digest(new String(cps, i, k).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    val ww = math.min(w, m)
+    (0 to m - ww).map(j => hs.slice(j, j + ww).min).distinct.sorted
+  }
+
+  private def naiveXx(s: String, k: Int, w: Int): Seq[Long] = {
+    val cps = s.codePoints.toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return Seq.empty
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val hs = (0 until m).map { i =>
+      val b = new String(cps, i, k).getBytes("UTF-8")
+      XXH64.hashUnsafeBytes(b, off, b.length, 42L)
+    }
+    val ww = math.min(w, m)
+    (0 to m - ww).map(j => hs.slice(j, j + ww)
+        .min(Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0)))
+      .distinct.sortWith(java.lang.Long.compareUnsigned(_, _) < 0)
+  }
+
+  private def evalSha(s: String, k: Int, w: Int): Seq[String] =
+    WinnowExpr(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), k, w, useSha = true)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+
+  private def evalXx(s: String, k: Int, w: Int): Seq[Long] =
+    WinnowExpr(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), k, w, useSha = false)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+
+  test("WinnowExpr == naive reference on deterministic random inputs (both modes)") {
+    // deterministic LCG; alphabet mixes ASCII, 2/3-byte UTF-8 and an astral
+    // pair so the code-point byte-offset table is exercised
+    val alpha = "ab {}\":,\n\téü∑" + new String(Character.toChars(0x1F600))
+    val alphaCps = alpha.codePoints.toArray
+    var seed = 12345L
+    def nxt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val cases = for (_ <- 1 to 120) yield {
+      val len = nxt(40)
+      new String((0 until len).flatMap(_ =>
+        Character.toChars(alphaCps(nxt(alphaCps.length)))).toArray)
+    }
+    for (k <- Seq(1, 2, 5); w <- Seq(1, 3, 8); s <- cases) {
+      assert(evalSha(s, k, w) == naiveSha(s, k, w), s"sha k=$k w=$w s=${s.take(20)}")
+      assert(evalXx(s, k, w) == naiveXx(s, k, w), s"xx k=$k w=$w s=${s.take(20)}")
+    }
+  }
+
+  test("WinnowExpr edges: empty, shorter than k, exactly k, fewer grams than w") {
+    assert(evalSha("", 3, 4).isEmpty)
+    assert(evalSha("ab", 3, 4).isEmpty)
+    // exactly k code points: one gram, one window
+    assert(evalSha("abc", 3, 4).size == 1)
+    // m=2 grams < w=4: ONE window over all grams -> the single min
+    val two = evalSha("abcd", 3, 4)
+    assert(two.size == 1 && two == naiveSha("abcd", 3, 4))
+  }
+
+  test("WinnowExpr == legacy HOF spelling over corpus texts (DataFrame level)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    val both = docs.select(
+      TextExprs.winnowFingerprints(col("text"), 16, 8, useSha = true).as("e"),
+      Dedup.winnowLegacySha(col("text"), 16, 8).as("l"))
+    assert(both.filter(not(col("e") === col("l"))).count() == 0)
+    assert(both.filter(size(col("e")) === 0).count() == 0)
+  }
+
+  test("winnowing coverage guarantee: shared run of w+k-1 cps shares a fingerprint") {
+    // distinct prefixes/suffixes, one shared 23-cp run (k=16, w=8)
+    val shared = "SHAREDRUNSHAREDRUNSHARE"
+    assert(shared.length == 23)
+    val a = "prefix_one_" + shared + "_tail_a"
+    val b = "completely_other_head_" + shared + "_zz"
+    assert(evalXx(a, 16, 8).toSet.intersect(evalXx(b, 16, 8).toSet).nonEmpty)
+  }
+
+  test("codeClonePairs: planted clone pair found; universal boilerplate capped out") {
+    import spark.implicits._
+    // 40 files of row-unique content; files f1/f2 are near-identical clones
+    val base = (0 until 40).map { i =>
+      val body = (0 until 30).map(j => s"line_${i}_${j} = ${i * 31 + j};").mkString("\n")
+      (s"r/f$i", body)
+    }
+    val cloned = base.map { case (id, c) =>
+      if (id == "r/f1") (id, base(0)._2 + "\n// tweak") else (id, c)
+    }
+    val df = cloned.toDF("id", "content")
+    val pairs = Dedup.codeClonePairs(df, col("id"), k = 16, w = 8,
+      minShared = 3L, maxBucketSize = 8, useSha = false).collect()
+    val clone = pairs.filter(r => r.getString(0) == "r/f0" && r.getString(1) == "r/f1")
+    assert(clone.length == 1, s"expected the planted clone pair, got ${pairs.mkString(";")}")
+    val r = clone.head
+    // near-identical files share most of their fingerprints
+    assert(r.getLong(2) >= (r.getLong(3) min r.getLong(4)) / 2)
+
+    // cap: 12 identical files (> maxBucketSize=8) -> every shared
+    // fingerprint sits in an oversized bucket -> no pairs at all
+    val same = (0 until 12).map(i => (s"s/f$i", "identical content body with enough length to fingerprint"))
+      .toDF("id", "content")
+    assert(Dedup.codeClonePairs(same, col("id"), k = 16, w = 8,
+      minShared = 1L, maxBucketSize = 8, useSha = false).count() == 0)
+  }
+
+  // ------------------------------------------------------ duplicated spans
+
+  test("duplicatedSpans: exactly the shared sentence's interior windows") {
+    import spark.implicits._
+    val s10 = (1 to 10).map(i => s"s$i").mkString(" ") // 10 shared tokens
+    val docs = Seq(
+      (1L, s"ax1 ax2 $s10"),            // 12 toks -> 5 windows, 3 shared
+      (2L, s"by1 $s10 by2"),            // 12 toks -> 5 windows, 3 shared
+      (3L, "short doc only"),           // < win -> no spans
+      (4L, "cz1 cz2 cz3 cz4 cz5 cz6 cz7 cz8 cz9")) // unique 9-tok doc
+      .toDF("doc_id", "text")
+    val dup = TextOps.duplicatedSpans(docs, win = 8).collect()
+    assert(dup.length == 3, s"got ${dup.length} spans")
+    assert(dup.forall(r => r.getLong(1) == 2 && r.getLong(2) == 1L && r.getLong(3) == 2L))
+  }
+
+  test("spanDupProfile: per-doc totals incl. zero-span docs and within-doc repeats") {
+    import spark.implicits._
+    val s10 = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"ax1 ax2 $s10"),
+      (2L, s"by1 $s10 by2"),
+      (3L, "short doc only"),
+      (4L, s"$s10 $s10")) // within-doc repeat: distinct spans only
+      .toDF("doc_id", "text")
+    val prof = TextOps.spanDupProfile(docs, win = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof(1L) == ((5L, 3L)))
+    assert(prof(2L) == ((5L, 3L)))
+    assert(prof(3L) == ((0L, 0L)))
+    // doc 4: 20 toks -> 13 windows; wrap-around windows are doc-unique,
+    // but every window fully inside either copy is one of the 3 shared
+    // spans; n_spans counts DISTINCT spans
+    val (n4, d4) = prof(4L)
+    assert(n4 < 13 && d4 == 3L, s"doc4 $n4/$d4")
+  }
+
+  test("spanDupProfile is consistent with duplicatedSpans") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"))
+          .otherwise(lit(""))))
+    val dup = TextOps.duplicatedSpans(docs, win = 8)
+    val prof = TextOps.spanDupProfile(docs, win = 8)
+    // total dup-span incidences == sum over spans of n_docs
+    val lhs = prof.agg(sum("n_dup_spans")).collect()(0).getLong(0)
+    val rhs = dup.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(lhs == rhs, s"$lhs != $rhs")
+    assert(dup.count() > 0)
+  }
+}

@@ -103,6 +103,47 @@ object SparkEntry {
     * exhaustive for hamming ≤ 3 by pigeonhole over 4×16-bit bands). */
   def simhashFpExportDir(n: Long): String = s"/tmp/graft_golden/simhash_fp_$n"
 
+  // ---------------- duplicated-span fixture (planted shared sentences) -----
+
+  /** Two 12-token sentences planted on doc_id % 5 ∈ {0, 1} so cross-doc
+    * duplicated 8-token spans exist deterministically at any sf; pure SQL
+    * decoration, replayed verbatim by the DuckDB oracle. */
+  val spanSentenceA =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+  val spanSentenceB =
+    "november oscar papa quebec romeo sierra tango uniform victor whiskey xray zulu"
+
+  def spanDupInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + spanSentenceA))
+          .when(col("doc_id") % 5 === 1, lit(" " + spanSentenceB))
+          .otherwise(lit(""))))
+
+  // ---------------- winnowing fixtures (sliced repo snapshot) --------------
+
+  /** 1/32 slice of the c000 repo snapshot (first sha nibble '0', second in
+    * 0–7): small enough for the DuckDB oracle to recompute every gram
+    * sha256 (~300/file) while still hundreds to thousands of files. */
+  def winnowSliceInput(s: SparkSession, dir: String): DataFrame =
+    repoFiles(s, dir).filter(col("commit") === "c000" &&
+      substring(col("sha256"), 1, 1) === "0" &&
+      substring(col("sha256"), 2, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .select(col("repo"), col("path"), col("content"), col("sha256"))
+
+  /** [[winnowSliceInput]] plus a derived clone twin for sha nibble-3 'f'
+    * rows (path∥'.clone', content tweaked) so clone pairs exist
+    * deterministically at any sf. The pairing id carries a sha prefix
+    * because the generator's duplicate stratum repeats (repo, path) keys
+    * with fresh content — the id must name the FILE, not the key. */
+  def cloneSliceInput(s: SparkSession, dir: String): DataFrame = {
+    val base = winnowSliceInput(s, dir)
+    base.unionByName(base.filter(substring(col("sha256"), 3, 1) === "f")
+      .withColumn("path", concat(col("path"), lit(".clone")))
+      .withColumn("content", concat(col("content"), lit("\n// cloned"))))
+  }
+
   // ---------------- secret-scan fixture (planted credentials) --------------
 
   /** repo_files with DETERMINISTIC planted secrets, derived only through
@@ -1058,7 +1099,45 @@ object SparkEntry {
       Similarity.cosineNearDuplicates(withCopies, threshold = 0.99)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("a"), col("b"))
-    }))
+    }),
+
+    // exact cross-doc duplicated 8-token spans (windowed exact-substring
+    // dedup — Lee et al. 2022 re-expressed distributably); planted shared
+    // sentences (spanDupInput) guarantee hits; DuckDB regenerates every
+    // stride-1 window with range() + list_slice and recounts
+    "q_dup_spans" -> ((s, dir) =>
+      TextOps.duplicatedSpans(spanDupInput(s, dir), win = 8)
+        .orderBy(col("span_sha"))),
+
+    // per-document duplication profile over the same spans: distinct spans
+    // vs corpus-duplicated spans per doc, zero-span docs included
+    "q_span_profile" -> ((s, dir) =>
+      TextOps.spanDupProfile(spanDupInput(s, dir), win = 8)
+        .orderBy(col("doc_id"))),
+
+    // winnowing fingerprints (MOSS) per file over the sliced repo snapshot,
+    // in sha mode: the whole selected set is verified byte-for-byte via
+    // sha256 of its sorted join; DuckDB recomputes gram hashes, window
+    // minima and the set digest from the exported table
+    "q_winnow_fps" -> ((s, dir) =>
+      winnowSliceInput(s, dir).select(col("repo"), col("path"),
+          graft.eval.TextExprs.winnowFingerprints(
+            col("content"), 16, 8, useSha = true).as("fps"))
+        .select(col("repo"), col("path"),
+          size(col("fps")).cast("long").as("n_fps"),
+          sha2(concat_ws(" ", col("fps")), 256).as("set_sha"))
+        .orderBy(col("repo"), col("path"), col("set_sha"))),
+
+    // code-clone candidate pairs via shared winnow fingerprints (planted
+    // clone twins + whatever the corpus naturally shares); DuckDB rebuilds
+    // fingerprint sets, applies the same 2..cap bucket guard and recounts
+    // shared fingerprints per pair
+    "q_code_clones" -> ((s, dir) =>
+      Dedup.codeClonePairs(cloneSliceInput(s, dir),
+          concat(col("repo"), lit("|"), col("path"), lit("|"),
+            substring(col("sha256"), 1, 8)),
+          k = 16, w = 8, minShared = 5L, maxBucketSize = 64, useSha = true)
+        .orderBy(col("a"), col("b"))))
 
   /** Driver contract field: oracle SQL at the default export scale. Tools
     * that know their sf should call [[oracleSqlFor]] with the row count they
@@ -1926,5 +2005,106 @@ object SparkEntry {
         |    * (1.0 - (CASE WHEN len > 0 THEN least(punct/len*4.0, 1.0)
         |              ELSE 0.0 END) * 0.5))), 6) AS quality,
         |  sha256(array_to_string(string_split_regex(text, '\s+'), ' ')) AS fingerprint_sha
-        |FROM h ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // exact duplicated spans: replay the planted sentences, regenerate every
+    // stride-1 8-token window, per-doc distinct, recount distinct docs
+    "q_dup_spans" ->
+      s"""WITH d AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' $spanSentenceA'
+         |         WHEN doc_id % 5 = 1 THEN ' $spanSentenceB'
+         |         ELSE '' END AS text FROM documents),
+         |t AS (SELECT doc_id, list_filter(
+         |        string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+         |        x -> len(x) > 0) AS toks FROM d),
+         |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(0, greatest(len(toks) - 7, 0)),
+         |        i -> sha256(array_to_string(
+         |               list_slice(toks, i + 1, i + 8), ' '))))) AS span_sha
+         |      FROM t)
+         |SELECT span_sha, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM sp GROUP BY span_sha HAVING count(*) >= 2
+         |ORDER BY span_sha""".stripMargin,
+
+    // per-doc span-duplication profile: same windows, distinct-span totals
+    // plus how many of each doc's spans are corpus-duplicated
+    "q_span_profile" ->
+      s"""WITH d AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' $spanSentenceA'
+         |         WHEN doc_id % 5 = 1 THEN ' $spanSentenceB'
+         |         ELSE '' END AS text FROM documents),
+         |t AS (SELECT doc_id, list_filter(
+         |        string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+         |        x -> len(x) > 0) AS toks FROM d),
+         |sp AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(0, greatest(len(toks) - 7, 0)),
+         |        i -> sha256(array_to_string(
+         |               list_slice(toks, i + 1, i + 8), ' ')))) AS spans FROM t),
+         |ex AS (SELECT doc_id, unnest(spans) AS span_sha FROM sp),
+         |dup AS (SELECT span_sha FROM ex GROUP BY span_sha
+         |        HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+         |         FROM ex JOIN dup USING (span_sha) GROUP BY doc_id)
+         |SELECT sp.doc_id, CAST(len(sp.spans) AS BIGINT) AS n_spans,
+         |  coalesce(hits.n_dup_spans, 0) AS n_dup_spans
+         |FROM sp LEFT JOIN hits ON sp.doc_id = hits.doc_id
+         |ORDER BY sp.doc_id""".stripMargin,
+
+    // winnowing fingerprints per sliced file: recompute every k=16 gram
+    // sha256, the w=8 window minima (one window over all grams when fewer
+    // than w), distinct+sort, and the set digest — byte-for-byte
+    "q_winnow_fps" ->
+      s"""WITH rf AS (SELECT repo, path, content
+         |  FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')
+         |  WHERE commit = 'c000' AND substr(sha256, 1, 1) = '0'
+         |    AND substr(sha256, 2, 1) IN ('0','1','2','3','4','5','6','7')),
+         |g AS (SELECT repo, path, list_transform(
+         |        range(1, greatest(length(content) - 15, 0) + 1),
+         |        i -> sha256(substr(content, i, 16))) AS hs FROM rf),
+         |mm AS (SELECT repo, path, hs, len(hs) AS m FROM g),
+         |wn AS (SELECT repo, path,
+         |         CASE WHEN m = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE list_sort(list_distinct(list_transform(
+         |                range(1, greatest(m - 7, 1) + 1),
+         |                j -> list_min(list_slice(hs, j, j + least(8, m) - 1)))))
+         |         END AS fps FROM mm)
+         |SELECT repo, path, CAST(len(fps) AS BIGINT) AS n_fps,
+         |  sha256(array_to_string(fps, ' ')) AS set_sha
+         |FROM wn ORDER BY repo, path, set_sha""".stripMargin,
+
+    // code clones: replay the clone-twin derivation, rebuild winnow sets,
+    // apply the same 2..64 fingerprint-bucket guard, recount shared
+    // fingerprints per a<b pair with the same sha-prefixed file ids
+    "q_code_clones" ->
+      s"""WITH rf0 AS (SELECT repo, path, content, sha256
+         |  FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')
+         |  WHERE commit = 'c000' AND substr(sha256, 1, 1) = '0'
+         |    AND substr(sha256, 2, 1) IN ('0','1','2','3','4','5','6','7')),
+         |rf AS (SELECT repo || '|' || path || '|' || substr(sha256, 1, 8) AS id,
+         |              content FROM rf0
+         |       UNION ALL
+         |       SELECT repo || '|' || path || '.clone|' || substr(sha256, 1, 8),
+         |              content || chr(10) || '// cloned'
+         |       FROM rf0 WHERE substr(sha256, 3, 1) = 'f'),
+         |g AS (SELECT id, list_transform(
+         |        range(1, greatest(length(content) - 15, 0) + 1),
+         |        i -> sha256(substr(content, i, 16))) AS hs FROM rf),
+         |mm AS (SELECT id, hs, len(hs) AS m FROM g),
+         |wn AS (SELECT id,
+         |         CASE WHEN m = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE list_sort(list_distinct(list_transform(
+         |                range(1, greatest(m - 7, 1) + 1),
+         |                j -> list_min(list_slice(hs, j, j + least(8, m) - 1)))))
+         |         END AS fps FROM mm),
+         |sz AS (SELECT id, CAST(len(fps) AS BIGINT) AS n FROM wn),
+         |ex AS (SELECT id, unnest(fps) AS fp FROM wn),
+         |ok AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+         |pe AS (SELECT ex.id, ex.fp FROM ex JOIN ok USING (fp)),
+         |pr AS (SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM pe x JOIN pe y ON x.fp = y.fp AND x.id < y.id
+         |       GROUP BY x.id, y.id HAVING count(*) >= 5)
+         |SELECT pr.a, pr.b, pr.n_shared, sa.n AS n_a, sb.n AS n_b
+         |FROM pr JOIN sz sa ON pr.a = sa.id JOIN sz sb ON pr.b = sb.id
+         |ORDER BY pr.a, pr.b""".stripMargin)
 }

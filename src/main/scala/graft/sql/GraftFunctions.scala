@@ -3,7 +3,7 @@ package graft.sql
 import graft.eval.{CanonicalJsonExpr, CosineExpr, KeyStatsExpr,
   MinHashBandsExpr, Sha256MatchesExpr, ShinglesExpr, SimHash64Expr,
   StreamValidateBoolExpr, TopLevelKeysExpr, ValidateBoolExpr,
-  ValidateFailsExpr}
+  ValidateFailsExpr, WinnowExpr}
 import graft.schema.{CompiledSchema, SchemaCompiler}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -150,6 +150,13 @@ object GraftFunctions {
         " arrays; null on length mismatch.") { args =>
       arity("vec_cosine", args, 2)
       CosineExpr(args.head, args(1))
+    },
+    desc("winnow_fingerprints", classOf[WinnowExpr],
+      "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprints" +
+        " (XXH64 mode, array<long>; k, w literals).") { args =>
+      arity("winnow_fingerprints", args, 3)
+      WinnowExpr(args.head, litInt("winnow_fingerprints", "k", args(1)),
+        litInt("winnow_fingerprints", "w", args(2)), useSha = false)
     }
   )
 

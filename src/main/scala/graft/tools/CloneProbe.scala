@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: stage-by-stage timing of the code-clone pipeline to localize
+  * cost (same style as the other dev probes here). */
+object CloneProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val in = SparkEntry.cloneSliceInput(spark, sfDir)
+    val idCol = concat(col("repo"), lit("|"), col("path"), lit("|"),
+      substring(col("sha256"), 1, 8))
+    for (round <- 1 to 3) {
+      println(s"round $round")
+      time("slice count")(println("    n=" + in.count()))
+      val fps = in.select(idCol.as("id"),
+        graft.eval.TextExprs.winnowFingerprints(col("content"), 16, 8,
+          useSha = true).as("fps"))
+      time("winnow count")(println("    n=" + fps.count()))
+      val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
+      time("explode count")(println("    n=" + ex.count()))
+      val grouped = ex.groupBy(col("fp"))
+        .agg(graft.eval.AggExprs.boundedCollectList(
+          struct(col("id").as("id")), 64).as("ids"))
+        .filter(size(col("ids")).between(2, 64))
+      time("grouped count")(println("    n=" + grouped.count()))
+      val pairs = Dedup.bucketPairs(ex, Seq("fp"), "id", 64)
+      time("pairs count")(println("    n=" + pairs.count()))
+      val full = Dedup.codeClonePairs(in, idCol, 16, 8, 5L, 64,
+        useSha = true)
+      time("full count")(println("    n=" + full.count()))
+    }
+    spark.stop()
+  }
+}

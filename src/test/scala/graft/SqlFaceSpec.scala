@@ -120,6 +120,24 @@ class SqlFaceSpec extends AnyFunSuite {
     assert(ragged.isNullAt(0))
   }
 
+  test("winnow_fingerprints in SQL matches the Scala API (XXH64 mode)") {
+    import spark.implicits._
+    val df = Seq("def fn(x) = x * 41 + 7 // some source text to fingerprint")
+      .toDF("txt")
+    df.createOrReplaceTempView("sql_face_winnow")
+    val viaSql = spark.sql(
+      "SELECT winnow_fingerprints(txt, 16, 8) FROM sql_face_winnow")
+      .head().getSeq[Long](0)
+    val viaApi = df.select(TextExprs.winnowFingerprints($"txt", 16, 8))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprints(txt, length(txt), 8) " +
+        "FROM sql_face_winnow").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("schema argument must be a foldable string literal") {
     docs(3).createOrReplaceTempView("sql_face_docs")
     val e = intercept[Exception] {

@@ -122,6 +122,15 @@ object Bench {
     SparkEntry.entry(spark).count()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // WinnowExpr's digest/deque loops C2-compile slowly (~20-50 s observed
+    // cold); without this, q_code_clones' first timed runs measure the JIT,
+    // not the engine (interleaving can't shed a compile that spans rounds).
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(2000)
+        .select(explode(graft.eval.TextExprs.winnowFingerprints(
+          col("text"), 16, 8, useSha = true))).count()
+    }
 
     // Flagship throughput FIRST (before the query sweep dirties the heap):
     // full validation verdict over an on-disk repo_files table (generation

@@ -186,4 +186,27 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) == 2, s"diff must be exactly two agg exchanges:\n$p")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
   }
+
+  test("duplicatedSpans: one wordcount-shaped exchange, no window/sort stage") {
+    val df = TableIO.readRepoFiles(spark, dir)
+      .select(col("path").as("doc_id"), col("content").as("text"))
+    val p = plan(TextOps.duplicatedSpans(df, win = 8, idCol = "doc_id"))
+    // span hashing + per-doc distinct are scan-local; the only exchange is
+    // the groupBy(span_sha) with map-side partial aggregation
+    assert(exchanges(p) == 1, s"spans must be one exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"map-side partials expected:\n$p")
+    assert(!p.contains("Window"), s"no window stage:\n$p")
+  }
+
+  test("codeClonePairs: bucketPairs path, no cartesian, no re-shuffle of pairs") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(Dedup.codeClonePairs(df,
+      concat(col("repo"), lit("|"), col("path")), useSha = false))
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+    // one exchange for the fingerprint-bucket groupBy, one for the pair
+    // count groupBy; the two size joins broadcast (row-sized side)
+    assert(p.contains("BroadcastHashJoin"), s"size joins must broadcast:\n$p")
+    assert(exchanges(p) <= 4, s"pair path must stay bounded:\n$p")
+  }
 }

@@ -2046,7 +2046,8 @@ object SparkEntry {
          |        HAVING count(*) >= 2),
          |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
          |         FROM ex JOIN dup USING (span_sha) GROUP BY doc_id)
-         |SELECT sp.doc_id, CAST(len(sp.spans) AS BIGINT) AS n_spans,
+         |SELECT sp.doc_id,
+         |  CAST(coalesce(len(sp.spans), 0) AS BIGINT) AS n_spans,
          |  coalesce(hits.n_dup_spans, 0) AS n_dup_spans
          |FROM sp LEFT JOIN hits ON sp.doc_id = hits.doc_id
          |ORDER BY sp.doc_id""".stripMargin,

@@ -537,12 +537,18 @@ case class WinnowExpr(child: Expression, k: Int, w: Int, useSha: Boolean)
     if (useSha) {
       val md = WinnowExpr.ctxs.get().md
       val vals = new Array[String](m)
-      var i = 0
-      while (i < m) {
-        md.update(bytes, off(i), off(i + k) - off(i))
-        vals(i) = WinnowExpr.hex(md.digest())
-        i += 1
-      }
+      // same invariant as Sha256MatchesExpr: digest() leaves the instance
+      // reset on every normal exit; an abnormal exit between update and
+      // digest (async task kill) must reset, or a later task reusing this
+      // thread's digest would silently hash against poisoned state
+      try {
+        var i = 0
+        while (i < m) {
+          md.update(bytes, off(i), off(i + k) - off(i))
+          vals(i) = WinnowExpr.hex(md.digest())
+          i += 1
+        }
+      } catch { case t: Throwable => md.reset(); throw t }
       val dq = new Array[Int](m); var head = 0; var tail = 0
       val sel = new java.util.TreeSet[String]()
       var j = 0

@@ -434,11 +434,26 @@ object SparkEntry {
         .orderBy(col("digest"))
     }),
 
+    // Flagship: the full allViolations union (schema violations ∪ per-row
+    // sha256 integrity), oracled from first principles. The generator's
+    // recorded digests always match by construction, so to make the
+    // integrity arm NON-vacuous the query plants a deterministic corruption
+    // (same decoration pattern as q_secret_scan): rows whose recorded digest
+    // starts with '7' (~1/16) get their first hex char replaced by 'x' —
+    // never a valid sha2 output, so corrupted ≠ recomputed always. DuckDB
+    // replays the decoration and recomputes sha256(content) itself; the
+    // schema arm hash-compares against the construction-known golden set.
+    // No orderBy (compare sorts rows): partition-independent by construction.
+    "q_validate_flagship" -> ((s, dir) => {
+      val rf = repoFiles(s, dir).withColumn("sha256",
+        when(substring(col("sha256"), 1, 1) === "7",
+             concat(lit("x"), substring(col("sha256"), 2, 63)))
+          .otherwise(col("sha256")))
+      Validate.allViolations(rf, fixtureSchema).toDF()
+        .select(col("repo"), col("path"), col("constraint"))
+    }),
+
     // --------------------------------------- rows-only (not SQL-expressible)
-    // no orderBy: range-partitioned sort would recompute the whole
-    // validation for the sampling pass; rows-only check needs no order
-    "q_validate_flagship" -> ((s, dir) =>
-      Validate.allViolations(repoFiles(s, dir), fixtureSchema).toDF()),
 
     "q_partition_summary" -> ((s, dir) =>
       Validate.partitionSummary(repoFiles(s, dir), fixtureSchema).toDF()),
@@ -1341,6 +1356,18 @@ object SparkEntry {
       s"""SELECT repo, path, "constraint"
          |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,
+    // flagship = golden schema-violation set ∪ integrity failures, with the
+    // query's deterministic digest corruption replayed and sha256(content)
+    // recomputed by DuckDB itself (first principles, trusts no engine output)
+    "q_validate_flagship" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet'))
+         |SELECT repo, path, "constraint"
+         |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
+         |UNION ALL
+         |SELECT repo, path, '_integrity.sha256' AS "constraint"
+         |FROM rf
+         |WHERE sha256(content) <> (CASE WHEN substr(sha256, 1, 1) = '7'
+         |  THEN 'x' || substr(sha256, 2) ELSE sha256 END)""".stripMargin,
     // k-smallest-hash sample per constraint, recomputed exactly: DuckDB's
     // sha256 emits the same lowercase hex as Spark's sha2, so the hash order
     // (and therefore the sampled rows) must agree bit-for-bit

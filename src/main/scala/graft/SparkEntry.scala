@@ -453,6 +453,46 @@ object SparkEntry {
         .select(col("repo"), col("path"), col("constraint"))
     }),
 
+    // Driver-verified checkpoint/resume (A12/A13): write the deterministic
+    // repo table to parquet, run a capped first pass ("crash" after 20 of 64
+    // buckets — per the ResumableValidate contract a run that dies after K
+    // buckets IS a run capped at K), then resume under a second runId. The
+    // output is the final violation set read back from the engine's own
+    // partitioned sink plus audit-ledger facts (distinct runIds, one audit
+    // row per bucket, total rows/violations accounted). DuckDB expects the
+    // violations to equal a from-scratch run (the golden set — integrity is
+    // empty here, digests are uncorrupted) and recomputes every audit fact
+    // from first principles: runs=2 and audit_rows=64 by protocol, rows and
+    // violations from the exported table / golden set. A resume that
+    // re-processes done buckets (audit_rows>64), drops one (rows short), or
+    // duplicates violation rows diverges from the oracle.
+    "q_resume_validate" -> ((s, dir) => {
+      val n = repoRowsFor(dir)
+      val base = s"/tmp/graft_resume/q_$n"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (in, out) = (s"$base/input", s"$base/out")
+      RepoFiles.dataset(s, n).toDF().write.mode("overwrite").parquet(in)
+      ResumableValidate.run(s, in, out, "run1", fixtureSchema,
+        buckets = 64, maxBucketsPerRun = Some(20))
+      ResumableValidate.run(s, in, out, "run2", fixtureSchema, buckets = 64)
+      val viol = ResumableValidate.violationsOf(s, out)
+        .select(col("repo"), col("path"), col("constraint"))
+      val facts = graft.sources.TableIO.readAudit(s, s"$out/audit")
+        .agg(countDistinct(col("runId")).as("runs"),
+             count(lit(1)).as("audit_rows"),
+             sum(col("rows")).as("rows"),
+             sum(col("violations")).as("violations"))
+        .selectExpr("stack(4," +
+          " '_audit', 'runs', cast(runs as string)," +
+          " '_audit', 'audit_rows', cast(audit_rows as string)," +
+          " '_audit', 'rows', cast(rows as string)," +
+          " '_audit', 'violations', cast(violations as string))" +
+          " as (repo, path, constraint)")
+      viol.unionByName(facts)
+    }),
+
     // --------------------------------------- rows-only (not SQL-expressible)
 
     "q_partition_summary" -> ((s, dir) =>
@@ -611,9 +651,36 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
-    "q_repo_column_stats" -> ((s, dir) =>
-      Stats.columnStats(RepoFiles.dataset(s, repoRowsFor(dir))).toDF()
-        .withColumn("lengthHist", col("lengthHist").cast("string"))),
+    // Column stats, fully oracled. Exact distinct counts (a second,
+    // verification-only countDistinct pass — the operator itself stays the
+    // one-pass HLL aggregate) ride beside the single-pass outputs, and the
+    // HLL estimate is graded through `hll_ok` = |est − exact| ≤ 5 %·exact,
+    // which DuckDB expects to be uniformly TRUE — a drifting sketch fails the
+    // hash-compare. Nulls are planted deterministically (~1/16 of rows get a
+    // NULL lang, keyed on the recorded digest's first hex char) so the
+    // null-counting path is non-vacuous; DuckDB replays the decoration.
+    "q_repo_column_stats" -> ((s, dir) => {
+      val ds = RepoFiles.dataset(s, repoRowsFor(dir))
+        .map(r => if (r.sha256.startsWith("f")) r.copy(lang = null) else r)(
+          org.apache.spark.sql.Encoders.product[graft.sources.RepoFile])
+      val stats = Stats.columnStats(ds).toDF()
+      val exact = ds.toDF().agg(
+          countDistinct(col("repo")).as("repo"),
+          countDistinct(col("path")).as("path"),
+          countDistinct(col("commit")).as("commit"),
+          countDistinct(col("lang")).as("lang"),
+          countDistinct(col("content")).as("content"))
+        .selectExpr("stack(5, 'repo', repo, 'path', path, 'commit', commit," +
+          " 'lang', lang, 'content', content) as (column, distinct_exact)")
+      stats.join(exact, "column")
+        .select(col("column"), col("rows"), col("nulls"),
+          round(col("nullFraction"), 9).as("null_fraction"),
+          col("distinct_exact"),
+          (abs(col("distinctHll") - col("distinct_exact"))
+            <= col("distinct_exact") * 0.05).as("hll_ok"),
+          col("lengthHist").cast("string").as("length_hist"))
+        .orderBy(col("column"))
+    }),
 
     "q_repo_uniqueness" -> ((s, dir) =>
       Uniqueness.duplicateKeys(repoFiles(s, dir))
@@ -1356,6 +1423,56 @@ object SparkEntry {
       s"""SELECT repo, path, "constraint"
          |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,
+    // resume: final violations must equal a from-scratch run (= golden set;
+    // uncorrupted digests make the integrity arm empty), and the audit facts
+    // are recomputed from first principles — two runIds and exactly one
+    // audit row per bucket by protocol, totals from the export/golden set
+    "q_resume_validate" ->
+      s"""WITH rf AS (SELECT * FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |     g  AS (SELECT * FROM read_parquet('${goldenDir(exportRows)}/*.parquet'))
+         |SELECT repo, path, "constraint" FROM g
+         |UNION ALL SELECT '_audit', 'runs', '2'
+         |UNION ALL SELECT '_audit', 'audit_rows', '64'
+         |UNION ALL SELECT '_audit', 'rows',
+         |  CAST((SELECT count(*) FROM rf) AS VARCHAR)
+         |UNION ALL SELECT '_audit', 'violations',
+         |  CAST((SELECT count(*) FROM g) AS VARCHAR)""".stripMargin,
+    // column stats: DuckDB unpivots the five columns (replaying the
+    // deterministic NULL-lang decoration), recomputes rows/nulls/fraction/
+    // exact-distinct and the 32-bucket log2 length histogram with exact
+    // integer math (binary-format length, not float log2), and expects
+    // hll_ok TRUE everywhere — the 5 % HLL-error tolerance assertion
+    "q_repo_column_stats" ->
+      s"""WITH rf AS (SELECT repo, path, "commit",
+         |    CASE WHEN substr(sha256,1,1) = 'f' THEN NULL ELSE lang END AS lang,
+         |    content FROM read_parquet('${repoFilesExportDir(exportRows)}/*.parquet')),
+         |u AS (
+         |  SELECT 'repo' AS c, repo AS v FROM rf
+         |  UNION ALL SELECT 'path', path FROM rf
+         |  UNION ALL SELECT 'commit', "commit" FROM rf
+         |  UNION ALL SELECT 'lang', lang FROM rf
+         |  UNION ALL SELECT 'content', content FROM rf),
+         |b AS (SELECT c, least(31, length(format('{:b}', length(v) + 1)) - 1) AS bucket
+         |      FROM u WHERE v IS NOT NULL),
+         |grid AS (SELECT cols.c, gs.g AS bucket
+         |         FROM (SELECT DISTINCT c FROM u) cols
+         |         CROSS JOIN generate_series(0, 31) gs(g)),
+         |h AS (SELECT c, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |hist AS (SELECT grid.c,
+         |    '[' || string_agg(CAST(coalesce(h.cnt, 0) AS VARCHAR), ', '
+         |                      ORDER BY grid.bucket) || ']' AS length_hist
+         |  FROM grid LEFT JOIN h ON h.c = grid.c AND h.bucket = grid.bucket
+         |  GROUP BY grid.c),
+         |agg AS (SELECT c, count(*) AS n_rows, count(*) - count(v) AS n_nulls,
+         |    round((count(*) - count(v)) / CAST(count(*) AS DOUBLE), 9) AS null_fraction,
+         |    count(DISTINCT v) AS distinct_exact
+         |  FROM u GROUP BY c)
+         |SELECT agg.c AS "column", CAST(n_rows AS BIGINT) AS "rows",
+         |  CAST(n_nulls AS BIGINT) AS nulls, null_fraction,
+         |  CAST(distinct_exact AS BIGINT) AS distinct_exact,
+         |  TRUE AS hll_ok, hist.length_hist
+         |FROM agg JOIN hist ON agg.c = hist.c
+         |ORDER BY "column"""".stripMargin,
     // flagship = golden schema-violation set ∪ integrity failures, with the
     // query's deterministic digest corruption replayed and sha256(content)
     // recomputed by DuckDB itself (first principles, trusts no engine output)

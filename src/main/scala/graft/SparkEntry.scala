@@ -797,9 +797,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Real-decode multimodal features, fully oracled: the corpus is written
+    // as genuine BMP/PPM/WAV/P6-stream containers and the engine computes
+    // features from PARSED bytes; DuckDB recomputes them analytically from
+    // the corpus's closed-form pixel/sample formulas (it never parses a
+    // binary). byte_len pins the writers, decoded_len/brightness/histogram
+    // pin the value stream, pos_sum is order-sensitive (catches bottom-up
+    // rows or padding read as pixels), meta_ok pins header↔metadata
+    // consistency. brightness as exact integer milli-units (value_sum·1000
+    // div len) — no float rounding seam between the engines.
     "q_media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.dataset(s, 1000L)).toDF()
-        .withColumn("histogram", col("histogram").cast("string"))),
+        .selectExpr("mediaId as media_id", "kind",
+          "cast(byteLen as bigint) as byte_len",
+          "cast(decodedLen as bigint) as decoded_len",
+          "valueSum * 1000 div decodedLen as brightness_milli",
+          "posSum as pos_sum",
+          "cast(histogram as string) as histogram",
+          "metaOk as meta_ok")
+        .orderBy(col("media_id"))),
 
     // ------------------------------------------- oracle-checked (continued)
     "q_doc_token_features" -> ((s, dir) =>
@@ -1423,6 +1439,63 @@ object SparkEntry {
       s"""SELECT repo, path, "constraint"
          |FROM read_parquet('${goldenDir(exportRows)}/*.parquet')
          |ORDER BY repo, path, "constraint"""".stripMargin,
+    // multimodal: the engine decodes real BMP/PPM/WAV/P6-stream bytes;
+    // DuckDB recomputes every feature analytically from the corpus's
+    // closed-form pixel/sample formulas — it never parses a binary, so the
+    // two sides share no decode code at all. byte_len is the exact
+    // container size (BMP row padding, PPM header digits, the planted WAV
+    // LIST chunk); pos_sum is the order-sensitive checksum.
+    "q_media_features" ->
+      """WITH m AS (SELECT i FROM generate_series(0, 999) t(i)),
+        |img AS (SELECT i, 16 + i%21 AS w, 8 + i%13 AS h FROM m WHERE i%3 = 0),
+        |imgv AS (SELECT img.i, (y.g*w + x.g)*3 + c.g AS k,
+        |                (img.i*7 + x.g*3 + y.g*5 + c.g*11) % 256 AS v
+        |         FROM img
+        |         JOIN generate_series(0, 20) y(g) ON y.g < img.h
+        |         JOIN generate_series(0, 36) x(g) ON x.g < img.w
+        |         JOIN generate_series(0, 2) c(g) ON TRUE),
+        |aud AS (SELECT i, 800 + i%1600 AS n FROM m WHERE i%3 = 1),
+        |audv AS (SELECT aud.i, j.g AS k, 120 + ((aud.i*13 + j.g*7) % 4096) // 256 AS v
+        |         FROM aud JOIN generate_series(0, 2399) j(g) ON j.g < aud.n),
+        |vid AS (SELECT i, 2 + i%4 AS nf, 16 + i%5 AS w, 8 + i%3 AS h FROM m WHERE i%3 = 2),
+        |vidv AS (SELECT vid.i, ((f.g*h + y.g)*w + x.g)*3 + c.g AS k,
+        |                (vid.i*7 + x.g*3 + y.g*5 + c.g*11 + f.g*17) % 256 AS v
+        |         FROM vid
+        |         JOIN generate_series(0, 5) f(g) ON f.g < vid.nf
+        |         JOIN generate_series(0, 9) y(g) ON y.g < vid.h
+        |         JOIN generate_series(0, 20) x(g) ON x.g < vid.w
+        |         JOIN generate_series(0, 2) c(g) ON TRUE),
+        |vals AS (SELECT * FROM imgv UNION ALL SELECT * FROM audv UNION ALL SELECT * FROM vidv),
+        |agg AS (SELECT i, count(*) AS decoded_len, sum(v) AS vsum, sum((k+1)*v) AS pos_sum
+        |        FROM vals GROUP BY i),
+        |hg AS (SELECT vals.i, v // 16 AS bucket, count(*) AS cnt FROM vals GROUP BY 1, 2),
+        |grid AS (SELECT m.i, b.g AS bucket FROM m JOIN generate_series(0, 15) b(g) ON TRUE),
+        |hist AS (SELECT grid.i,
+        |           '[' || string_agg(CAST(coalesce(hg.cnt, 0) AS VARCHAR), ', '
+        |                             ORDER BY grid.bucket) || ']' AS histogram
+        |         FROM grid LEFT JOIN hg ON hg.i = grid.i AND hg.bucket = grid.bucket
+        |         GROUP BY grid.i),
+        |spec AS (
+        |  SELECT i, 'image' AS kind,
+        |    CASE WHEN (i//3) % 2 = 0
+        |      THEN 54 + (8 + i%13) * (((3*(16 + i%21) + 3) // 4) * 4)
+        |      ELSE 3 + length(CAST(16 + i%21 AS VARCHAR)) + 1
+        |             + length(CAST(8 + i%13 AS VARCHAR)) + 5
+        |             + 3*(16 + i%21)*(8 + i%13) END AS byte_len
+        |  FROM m WHERE i%3 = 0
+        |  UNION ALL
+        |  SELECT i, 'audio', 44 + 2*(800 + i%1600) + CASE WHEN i%5 = 0 THEN 20 ELSE 0 END
+        |  FROM m WHERE i%3 = 1
+        |  UNION ALL
+        |  SELECT i, 'video', (2 + i%4) * (3 + length(CAST(16 + i%5 AS VARCHAR)) + 1
+        |    + length(CAST(8 + i%3 AS VARCHAR)) + 5 + 3*(16 + i%5)*(8 + i%3))
+        |  FROM m WHERE i%3 = 2)
+        |SELECT spec.i AS media_id, spec.kind, CAST(byte_len AS BIGINT) AS byte_len,
+        |  CAST(decoded_len AS BIGINT) AS decoded_len,
+        |  CAST(vsum * 1000 // decoded_len AS BIGINT) AS brightness_milli,
+        |  CAST(pos_sum AS BIGINT) AS pos_sum, hist.histogram, TRUE AS meta_ok
+        |FROM spec JOIN agg ON agg.i = spec.i JOIN hist ON hist.i = spec.i
+        |ORDER BY media_id""".stripMargin,
     // resume: final violations must equal a from-scratch run (= golden set;
     // uncorrupted digests make the integrity arm empty), and the audit facts
     // are recomputed from first principles — two runIds and exactly one

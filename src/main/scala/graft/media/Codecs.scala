@@ -1,0 +1,263 @@
+package graft.media
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** A decoded raster: RGB triplets, row-major, top-down (values 0..255). */
+final case class Raster(width: Int, height: Int, rgb: Array[Int])
+
+/** Decoded PCM audio: signed 16-bit samples, one channel. */
+final case class Pcm(sampleRate: Int, samples: Array[Short])
+
+/** Pure-JVM codecs for uncompressed media containers — the real decode step
+  * behind [[graft.operators.Multimodal]] (no image/audio libraries exist in
+  * this environment, and none are needed for these formats: BMP and PPM are
+  * header + raw pixels, WAV PCM is header + raw samples).
+  *
+  * Decoders parse the container faithfully — BMP's little-endian header
+  * fields, BGR byte order, bottom-up row storage and 4-byte row padding;
+  * PPM's whitespace/comment grammar; WAV's RIFF chunk walk (unknown chunks
+  * are skipped by their declared size, as the format requires). Every
+  * deviation a sloppy parser could make (padding counted as pixels, rows
+  * left bottom-up, a LIST chunk read as samples) changes the decoded values
+  * and is caught by the driver's analytic oracle over q_media_features.
+  *
+  * Encoders exist so the deterministic media corpus is written IN these
+  * formats; they are also the round-trip partners for the decoder specs.
+  */
+object Codecs {
+
+  // ------------------------------------------------------------------ utils
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def i32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def put16le(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+
+  private def put32le(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  // ------------------------------------------------------------------- BMP
+
+  /** Bytes per stored BMP row: 3·width rounded up to a 4-byte boundary. */
+  def bmpRowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** 24-bit uncompressed BMP (BITMAPINFOHEADER), bottom-up. `rgb` is
+    * top-down R,G,B triplets; the file stores B,G,R with padded rows. */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length != w*h*3")
+    val rowSize = bmpRowSize(width)
+    val dataOff = 14 + 40
+    val out = new Array[Byte](dataOff + rowSize * height)
+    out(0) = 'B'; out(1) = 'M'
+    put32le(out, 2, out.length)
+    put32le(out, 10, dataOff)
+    put32le(out, 14, 40) // BITMAPINFOHEADER size
+    put32le(out, 18, width)
+    put32le(out, 22, height) // positive => bottom-up
+    put16le(out, 26, 1) // planes
+    put16le(out, 28, 24) // bpp
+    put32le(out, 30, 0) // BI_RGB (uncompressed)
+    put32le(out, 34, rowSize * height)
+    put32le(out, 38, 2835); put32le(out, 42, 2835) // 72 dpi
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOff + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        out(rowOff + x * 3) = rgb(p + 2).toByte     // B
+        out(rowOff + x * 3 + 1) = rgb(p + 1).toByte // G
+        out(rowOff + x * 3 + 2) = rgb(p).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a 24-bit uncompressed bottom-up BMP to a top-down RGB raster. */
+  def decodeBmp(b: Array[Byte]): Raster = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') fail("not a BMP")
+    val dataOff = i32le(b, 10)
+    val hdrSize = i32le(b, 14)
+    if (hdrSize < 40) fail(s"unsupported BMP header size $hdrSize")
+    val width = i32le(b, 18)
+    val height = i32le(b, 22)
+    if (width <= 0 || height <= 0) fail(s"unsupported BMP dims ${width}x$height")
+    if (u16le(b, 28) != 24) fail(s"unsupported bpp ${u16le(b, 28)}")
+    if (i32le(b, 30) != 0) fail("compressed BMP unsupported")
+    val rowSize = bmpRowSize(width)
+    if (dataOff + rowSize * height > b.length) fail("truncated BMP pixel data")
+    val rgb = new Array[Int](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOff + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        rgb(p) = b(rowOff + x * 3 + 2) & 0xff     // R
+        rgb(p + 1) = b(rowOff + x * 3 + 1) & 0xff // G
+        rgb(p + 2) = b(rowOff + x * 3) & 0xff     // B
+        x += 1
+      }
+      y += 1
+    }
+    Raster(width, height, rgb)
+  }
+
+  // ---------------------------------------------------------------- PPM P6
+
+  /** Binary PPM: "P6\n<w> <h>\n255\n" + raw top-down RGB bytes. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length != w*h*3")
+    val hdr = s"P6\n$width $height\n255\n".getBytes(US_ASCII)
+    val out = new Array[Byte](hdr.length + rgb.length)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    var i = 0
+    while (i < rgb.length) { out(hdr.length + i) = rgb(i).toByte; i += 1 }
+    out
+  }
+
+  /** Parse one P6 image starting at `off`; returns (raster, end offset).
+    * Implements the full PPM header grammar: tokens separated by any
+    * whitespace, `#` comments running to end of line. */
+  def decodePpmAt(b: Array[Byte], off: Int): (Raster, Int) = {
+    var p = off
+    def skipWs(): Unit = {
+      var more = true
+      while (more && p < b.length) {
+        val c = b(p)
+        if (c == ' ' || c == '\n' || c == '\r' || c == '\t') p += 1
+        else if (c == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+        else more = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+        v = v * 10 + (b(p) - '0'); p += 1; any = true
+      }
+      if (!any) fail(s"PPM: expected integer at offset $p")
+      v
+    }
+    if (p + 2 > b.length || b(p) != 'P' || b(p + 1) != '6') fail("not a P6 PPM")
+    p += 2
+    val (w, h, maxv) = (int(), int(), int())
+    if (maxv != 255) fail(s"unsupported PPM maxval $maxv")
+    if (p >= b.length) fail("truncated PPM header")
+    p += 1 // exactly one whitespace byte after maxval, per the spec
+    val nb = w * h * 3
+    if (p + nb > b.length) fail("truncated PPM pixel data")
+    val rgb = new Array[Int](nb)
+    var i = 0
+    while (i < nb) { rgb(i) = b(p + i) & 0xff; i += 1 }
+    (Raster(w, h, rgb), p + nb)
+  }
+
+  def decodePpm(b: Array[Byte]): Raster = decodePpmAt(b, 0)._1
+
+  /** A raw "video": back-to-back P6 frames (what image2pipe-style tools
+    * emit). Parses frames until the buffer is exhausted. */
+  def decodePpmStream(b: Array[Byte]): Vector[Raster] = {
+    var frames = Vector.empty[Raster]
+    var off = 0
+    while (off < b.length) {
+      val (r, end) = decodePpmAt(b, off)
+      frames :+= r
+      off = end
+    }
+    frames
+  }
+
+  def encodePpmStream(frames: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    val bufs = frames.map { case (w, h, rgb) => encodePpm(w, h, rgb) }
+    val out = new Array[Byte](bufs.map(_.length).sum)
+    var off = 0
+    bufs.foreach { f => System.arraycopy(f, 0, out, off, f.length); off += f.length }
+    out
+  }
+
+  // ------------------------------------------------------------- WAV PCM16
+
+  /** Mono 16-bit PCM WAV. `extraChunk` (id, payload) is inserted between
+    * `fmt ` and `data` — real WAV files carry LIST/INFO chunks there, and
+    * the corpus plants one on a stratum of rows so the decoder's chunk walk
+    * is exercised, not just the happy path. */
+  def encodeWav(sampleRate: Int, samples: Array[Short],
+                extraChunk: Option[(String, Array[Byte])] = None): Array[Byte] = {
+    val extraLen = extraChunk.fold(0) { case (_, p) => 8 + p.length }
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + extraLen + dataLen)
+    def putId(off: Int, id: String): Unit = {
+      val a = id.getBytes(US_ASCII); require(a.length == 4)
+      System.arraycopy(a, 0, out, off, 4)
+    }
+    putId(0, "RIFF"); put32le(out, 4, out.length - 8); putId(8, "WAVE")
+    putId(12, "fmt "); put32le(out, 16, 16)
+    put16le(out, 20, 1) // PCM
+    put16le(out, 22, 1) // mono
+    put32le(out, 24, sampleRate)
+    put32le(out, 28, sampleRate * 2) // byte rate
+    put16le(out, 32, 2) // block align
+    put16le(out, 34, 16) // bits/sample
+    var off = 36
+    extraChunk.foreach { case (id, payload) =>
+      putId(off, id); put32le(out, off + 4, payload.length)
+      System.arraycopy(payload, 0, out, off + 8, payload.length)
+      off += 8 + payload.length
+    }
+    putId(off, "data"); put32le(out, off + 4, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      put16le(out, off + 8 + i * 2, samples(i) & 0xffff); i += 1
+    }
+    out
+  }
+
+  /** RIFF chunk walk: read `fmt `, skip unknown chunks by declared size
+    * (odd sizes padded to even, per the RIFF rule), stop at `data`. */
+  def decodeWav(b: Array[Byte]): Pcm = {
+    if (b.length < 44) fail("truncated WAV")
+    def id(off: Int): String = new String(b, off, 4, US_ASCII)
+    if (id(0) != "RIFF" || id(8) != "WAVE") fail("not a RIFF/WAVE file")
+    var off = 12
+    var rate = -1
+    var pcm: Array[Short] = null
+    while (off + 8 <= b.length && pcm == null) {
+      val cid = id(off)
+      val sz = i32le(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) fail(s"bad chunk size $sz at $off")
+      cid match {
+        case "fmt " =>
+          if (sz < 16) fail("short fmt chunk")
+          if (u16le(b, off + 8) != 1) fail("non-PCM WAV unsupported")
+          if (u16le(b, off + 10) != 1) fail("only mono supported")
+          if (u16le(b, off + 22) != 16) fail("only 16-bit supported")
+          rate = i32le(b, off + 12)
+        case "data" =>
+          if (rate < 0) fail("data chunk before fmt")
+          pcm = new Array[Short](sz / 2)
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = u16le(b, off + 8 + i * 2).toShort; i += 1
+          }
+        case _ => () // LIST/INFO/etc: skip by size
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (pcm == null) fail("no data chunk")
+    Pcm(rate, pcm)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.RepoFiles.mix64
+import graft.media.{Codecs, Raster}
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Typed metadata for an opaque media payload. */
@@ -14,72 +14,176 @@ final case class MediaMeta(mime: String, width: Int, height: Int,
 final case class MediaFile(mediaId: Long, kind: String,
                            bytes: Array[Byte], meta: MediaMeta)
 
+/** Features computed from the DECODED payload: `decodedLen` values in
+  * 0..255 (RGB channels for rasters, (sample+32768)>>8 for PCM), their sum,
+  * a position-weighted checksum Σ(k+1)·v_k (order-sensitive — catches a
+  * decoder that leaves BMP rows bottom-up), a 16-bucket histogram, mean
+  * brightness, and `metaOk` = container header agrees with the row's typed
+  * metadata. */
 final case class MediaFeatures(mediaId: Long, kind: String, byteLen: Int,
-                               histogram: Seq[Long], brightness: Double)
+                               decodedLen: Int, valueSum: Long, posSum: Long,
+                               brightness: Double, histogram: Seq[Long],
+                               metaOk: Boolean)
 
 final case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long,
                        bytes: Array[Byte])
 
-/** Multimodal-column operators. The image/audio codecs are NOT in this
-  * container, so the decode step is a clearly-marked deterministic FAKE
-  * (`fakeDecode`): it synthesizes pixel-like bytes from the payload with
-  * splitmix64. Everything around it — the binary-column schema, the
-  * partition-preserving `mapPartitions` batch shape, the explode to frames,
-  * the feature aggregation — is the real Spark plumbing a production codec
-  * drops into (swap `fakeDecode` for the JNI/lib call; nothing else moves).
+/** Multimodal-column operators over REAL container formats. The corpus is
+  * written as genuine BMP / binary-PPM images, mono 16-bit PCM WAV audio,
+  * and concatenated-P6 video streams — formats a JVM parses without any
+  * native codec — and every operator decodes the actual bytes through
+  * [[graft.media.Codecs]] (headers, BGR order, bottom-up rows, row padding,
+  * RIFF chunk walk). The pixel/sample values follow small closed-form
+  * formulas, so the driver's DuckDB oracle recomputes the features
+  * analytically without parsing binaries: any decode deviation diverges.
+  *
+  * The Spark shape is the production one: binary column + typed metadata,
+  * decode as a narrow partition-local pass ([[features]]), one-to-many
+  * frame explode ([[sampleFrames]]) — a JNI/batch codec drops into the same
+  * mapPartitions seam for formats that do need native libraries.
   */
 object Multimodal {
 
   val Kinds = Vector("image", "audio", "video")
 
-  /** Deterministic synthetic media table (index-addressable, like RepoFiles). */
+  val AudioRate = 8000
+  val FrameMs = 40L // 25 fps
+
+  // ---------------------------------------------------- deterministic corpus
+  // All shapes/values are simple integer formulas of the row index so the
+  // DuckDB oracle can replay them in SQL (mix64 is deliberately avoided).
+
+  def imageDims(i: Long): (Int, Int) = ((16 + i % 21).toInt, (8 + i % 13).toInt)
+  def audioSamples(i: Long): Int = (800 + i % 1600).toInt
+  def videoShape(i: Long): (Int, Int, Int) = // (frames, w, h)
+    ((2 + i % 4).toInt, (16 + i % 5).toInt, (8 + i % 3).toInt)
+
+  def pixel(i: Long, x: Int, y: Int, c: Int, f: Int = 0): Int =
+    ((i * 7 + x * 3 + y * 5 + c * 11 + f * 17) % 256).toInt
+
+  def sample(i: Long, j: Int): Short =
+    (((i * 13 + j * 7) % 4096) - 2048).toShort
+
+  private def raster(i: Long, w: Int, h: Int, f: Int): Array[Int] = {
+    val rgb = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          rgb((y * w + x) * 3 + c) = pixel(i, x, y, c, f); c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Deterministic media table in real container formats: images alternate
+    * BMP / PPM, every 5th audio row carries a LIST chunk before `data` (the
+    * decoder must skip it), video rows are concatenated P6 frames. */
   def dataset(spark: SparkSession, n: Long): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).map { i =>
-      val kind = Kinds(((mix64(i) & Long.MaxValue) % 3).toInt)
-      val len = 64 + (mix64(i ^ 7) & 0xff).toInt
-      val bytes = Array.tabulate[Byte](len)(j => (mix64(i * 131 + j) & 0xff).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta("image/png", 32 + (i % 64).toInt, 32, 0L, 0)
-        case "audio" => MediaMeta("audio/wav", 0, 0, 1000L + i % 5000, 16000)
-        case _       => MediaMeta("video/mp4", 64, 48, 2000L + i % 9000, 0)
+      (i % 3) match {
+        case 0 =>
+          val (w, h) = imageDims(i)
+          val rgb = raster(i, w, h, 0)
+          if ((i / 3) % 2 == 0)
+            MediaFile(i, "image", Codecs.encodeBmp(w, h, rgb),
+              MediaMeta("image/bmp", w, h, 0L, 0))
+          else
+            MediaFile(i, "image", Codecs.encodePpm(w, h, rgb),
+              MediaMeta("image/x-portable-pixmap", w, h, 0L, 0))
+        case 1 =>
+          val ns = audioSamples(i)
+          val pcm = Array.tabulate[Short](ns)(j => sample(i, j))
+          val extra =
+            if (i % 5 == 0) Some(("LIST", "INFOgraftmed".getBytes("US-ASCII")))
+            else None
+          MediaFile(i, "audio", Codecs.encodeWav(AudioRate, pcm, extra),
+            MediaMeta("audio/wav", 0, 0, ns * 1000L / AudioRate, AudioRate))
+        case _ =>
+          val (nf, w, h) = videoShape(i)
+          val frames = (0 until nf).map(f => (w, h, raster(i, w, h, f)))
+          MediaFile(i, "video", Codecs.encodePpmStream(frames),
+            MediaMeta("video/x-ppm-stream", w, h, nf * FrameMs, 0))
       }
-      MediaFile(i, kind, bytes, meta)
     }
   }
 
-  /** STUB decode — stands in for the real codec (not in this container).
-    * Deterministic: output depends only on the payload bytes. */
-  def fakeDecode(bytes: Array[Byte]): Array[Byte] =
-    Array.tabulate[Byte](bytes.length)(j =>
-      (mix64(bytes(j).toLong * 31 + j) & 0xff).toByte)
+  // ------------------------------------------------------------------ decode
 
-  /** Per-partition feature extraction: decode + byte histogram + mean
-    * "brightness". One narrow mapPartitions pass, no shuffle — the batch
-    * shape a vectorized codec (or Pandas-UDF equivalent) would use. */
+  /** Decode a row's payload to its 0..255 value stream + header consistency
+    * vs the typed metadata. Images/frames: RGB top-down; audio: unsigned
+    * high byte of each sample. */
+  def decodeValues(m: MediaFile): (Array[Int], Boolean) = m.kind match {
+    case "image" =>
+      val r =
+        if (m.bytes.length >= 2 && m.bytes(0) == 'B' && m.bytes(1) == 'M')
+          Codecs.decodeBmp(m.bytes)
+        else Codecs.decodePpm(m.bytes)
+      (r.rgb, r.width == m.meta.width && r.height == m.meta.height)
+    case "audio" =>
+      val pcm = Codecs.decodeWav(m.bytes)
+      val vs = new Array[Int](pcm.samples.length)
+      var j = 0
+      while (j < vs.length) { vs(j) = (pcm.samples(j) + 32768) >> 8; j += 1 }
+      (vs, pcm.sampleRate == m.meta.sampleRate &&
+        pcm.samples.length * 1000L / pcm.sampleRate == m.meta.durationMs)
+    case _ =>
+      val frames = Codecs.decodePpmStream(m.bytes)
+      val vs = new Array[Int](frames.iterator.map(_.rgb.length).sum)
+      var off = 0
+      frames.foreach { r =>
+        System.arraycopy(r.rgb, 0, vs, off, r.rgb.length); off += r.rgb.length
+      }
+      (vs, frames.nonEmpty &&
+        frames.forall(r => r.width == m.meta.width && r.height == m.meta.height) &&
+        frames.length * FrameMs == m.meta.durationMs)
+  }
+
+  /** Per-partition feature extraction: real decode + histogram + brightness
+    * + position-weighted checksum. One narrow mapPartitions pass, no
+    * shuffle — the batch shape a vectorized codec would use. */
   def features(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val px = fakeDecode(m.bytes)
+      val (vs, metaOk) = decodeValues(m)
       val hist = new Array[Long](16)
       var sum = 0L
-      px.foreach { b => val v = b & 0xff; hist(v / 16) += 1; sum += v }
-      MediaFeatures(m.mediaId, m.kind, m.bytes.length,
-        hist.toSeq, if (px.isEmpty) 0.0 else sum.toDouble / px.length)
+      var pos = 0L
+      var k = 0
+      while (k < vs.length) {
+        val v = vs(k)
+        hist(v / 16) += 1
+        sum += v
+        pos += (k + 1).toLong * v
+        k += 1
+      }
+      MediaFeatures(m.mediaId, m.kind, m.bytes.length, vs.length, sum, pos,
+        if (vs.isEmpty) 0.0 else sum.toDouble / vs.length, hist.toSeq, metaOk)
     })
   }
 
-  /** Frame sampling for video rows: every `everyMs` ms → one Frame row.
-    * flatMap (one-to-many) keeps partitioning; frame payloads are stub
-    * slices of the decoded stream. */
+  /** Frame sampling for video rows: decode the P6 stream, emit the frame
+    * under the playhead every `everyMs` ms (≥1 frame per video). flatMap
+    * (one-to-many) keeps partitioning; payload is the frame's RGB prefix. */
   def sampleFrames(media: Dataset[MediaFile], everyMs: Long = 1000L): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val px = fakeDecode(m.bytes)
-      val nFrames = math.max(1, (m.meta.durationMs / everyMs).toInt)
-      (0 until nFrames).map { f =>
-        val off = f * px.length / nFrames
-        Frame(m.mediaId, f, f * everyMs, px.slice(off, math.min(px.length, off + 16)))
+      val frames = Codecs.decodePpmStream(m.bytes)
+      val n = math.max(1L, m.meta.durationMs / everyMs)
+      (0L until n).map { s =>
+        val t = s * everyMs
+        val idx = math.min(frames.length - 1, (t / FrameMs).toInt)
+        val rgb = frames(idx).rgb
+        val payload = new Array[Byte](math.min(16, rgb.length))
+        var b = 0
+        while (b < payload.length) { payload(b) = rgb(b).toByte; b += 1 }
+        Frame(m.mediaId, s.toInt, t, payload)
       }
     }
   }

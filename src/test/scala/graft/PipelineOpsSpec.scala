@@ -270,10 +270,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val feats = Multimodal.features(media).cache()
     assert(feats.count() == 300)
     feats.collect().foreach { f =>
-      assert(f.histogram.sum == f.byteLen)
+      assert(f.histogram.sum == f.decodedLen)
+      assert(f.decodedLen > 0)
       assert(f.brightness >= 0 && f.brightness <= 255)
+      assert(f.metaOk, s"container header disagrees with metadata: $f")
     }
-    // decode stub is deterministic
+    // real decode is deterministic
     val again = Multimodal.features(media)
     assert(feats.toDF().exceptAll(again.toDF()).count() == 0)
     val frames = Multimodal.sampleFrames(media).cache()

@@ -103,6 +103,23 @@ object SparkEntry {
     * exhaustive for hamming ≤ 3 by pigeonhole over 4×16-bit bands). */
   def simhashFpExportDir(n: Long): String = s"/tmp/graft_golden/simhash_fp_$n"
 
+  /** Full corpus for q_simhash_near_dup (documents ∪ planted copies) —
+    * shared by the query and Verify's fingerprint export so both sides see
+    * the identical input. */
+  def simhashFullInput(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 41 === 0)
+      .withColumn("doc_id", col("doc_id") + 20000000))
+  }
+
+  /** Full-corpus fingerprint export: the q_simhash_near_dup oracle re-derives
+    * the 4×16-bit banding, the degenerate-bucket cap, and the hamming verify
+    * in SQL over it — the candidate machinery is driver-verified at full
+    * scale (pigeonhole makes banding exact for hamming ≤ 3, so this is a
+    * true equality oracle, not a recall bound). */
+  def simhashFpFullExportDir(n: Long): String =
+    s"/tmp/graft_golden/simhash_fp_full_$n"
+
   // ---------------- duplicated-span fixture (planted shared sentences) -----
 
   /** Two 12-token sentences planted on doc_id % 5 ∈ {0, 1} so cross-doc
@@ -714,12 +731,14 @@ object SparkEntry {
       Dedup.nearDuplicates(docs.unionByName(copies), threshold = 0.5)
     }),
 
-    "q_simhash_near_dup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val copies = docs.filter(col("doc_id") % 41 === 0)
-        .withColumn("doc_id", col("doc_id") + 20000000)
-      Dedup.simhashNearDuplicates(docs.unionByName(copies), maxHamming = 3)
-    }),
+    // oracle-checked at FULL scale: 4×16-bit banding is exhaustive for
+    // hamming ≤ 3 by pigeonhole, so DuckDB re-deriving the bands, the
+    // degenerate-bucket cap, and the hamming verify over the exported
+    // fingerprints is an equality oracle, not a recall bound
+    "q_simhash_near_dup" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(simhashFullInput(s, dir), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("a"), col("b"))),
 
     // oracle-checked: double-cast on BOTH sides so Spark and DuckDB do the
     // identical IEEE-double dot/norm arithmetic; rank as long to match
@@ -2062,6 +2081,24 @@ object SparkEntry {
         |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    // full-scale banded path: re-derive bands ((fp >> 16g) & 0xffff — both
+    // engines' >> is arithmetic, the mask cancels sign extension), drop
+    // buckets over the 1000 cap exactly as BoundedCollectList does
+    // (deterministic: oversized buckets are dropped whole, never truncated),
+    // dedup multi-band collisions, verify hamming ≤ 3
+    "q_simhash_near_dup" ->
+      s"""WITH fp AS (SELECT * FROM read_parquet('${simhashFpFullExportDir(exportRows)}/*.parquet')),
+         |b AS (SELECT id, fp, g.g AS band, (fp >> (g.g * 16)) & 65535 AS v
+         |      FROM fp JOIN generate_series(0, 3) g(g) ON TRUE),
+         |bs AS (SELECT band, v FROM b GROUP BY band, v
+         |       HAVING count(*) BETWEEN 2 AND 1000),
+         |cand AS (SELECT DISTINCT a.id AS a, b2.id AS b, a.fp AS fa, b2.fp AS fb
+         |         FROM b a
+         |         JOIN bs ON bs.band = a.band AND bs.v = a.v
+         |         JOIN b b2 ON a.band = b2.band AND a.v = b2.v AND a.id < b2.id)
+         |SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+         |ORDER BY a, b""".stripMargin,
     "q_simhash_slice" ->
       s"""WITH fp AS (SELECT * FROM read_parquet('${simhashFpExportDir(exportRows)}/*.parquet'))
          |SELECT a.id AS a, b.id AS b,

@@ -45,6 +45,13 @@ object Verify {
           graft.operators.Dedup.simhash(col("text")).as("fp"))
         .coalesce(1).write.mode("overwrite")
         .parquet(SparkEntry.simhashFpExportDir(n))
+      // full-corpus fingerprints: the q_simhash_near_dup oracle re-derives
+      // banding + bucket cap + hamming over these at full scale
+      SparkEntry.simhashFullInput(spark, sfDir)
+        .select(col("doc_id").as("id"),
+          graft.operators.Dedup.simhash(col("text")).as("fp"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(SparkEntry.simhashFpFullExportDir(n))
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -511,6 +511,18 @@ object SparkEntry {
     }),
 
     // --------------------------------------- rows-only (not SQL-expressible)
+    // The 5 remaining no_oracle queries, each inherently so:
+    //  - q_partition_summary: keyed by spark_partition_id, a PHYSICAL
+    //    property no SQL engine can recompute (its totals are oracled via
+    //    q_summary_totals);
+    //  - q_minhash_near_dup / q_cosine_near_dup: LSH candidate generation is
+    //    probabilistic by design — recall is a measured bound, not an
+    //    equality (their exact sliced variants q_minhash_slice /
+    //    q_cosine_slice ARE equality-oracled);
+    //  - q_ann_lsh / q_ann_ivf: approximate-by-contract top-k (probe subsets
+    //    of buckets / k-means cells); their probe-all degenerations
+    //    q_ann_lsh_probeall / q_ann_ivf_probeall ARE equality-oracled, which
+    //    pins the entire candidate/dedup/top-k plumbing.
 
     "q_partition_summary" -> ((s, dir) =>
       Validate.partitionSummary(repoFiles(s, dir), fixtureSchema).toDF()),

@@ -551,6 +551,13 @@ object TextOps {
     * window granularity (see [[spanIds]]). Output: (span_sha, n_docs,
     * min_doc, max_doc), one row per duplicated span.
     *
+    * Precondition: `idCol` values are UNIQUE per document. The per-doc
+    * distinct in [[spanIds]] makes n_docs a count of rows carrying the
+    * span, which equals distinct documents only under that precondition —
+    * duplicate ids would silently inflate n_docs past the `minDocs`
+    * threshold (run exact dedup first, or pass a guaranteed-unique key).
+    * Same assumption in [[spanDupProfile]]'s duplicated-span set.
+    *
     * Scale shape: window hashing + per-doc distinct are scan-local; the ONE
     * exchange is the wordcount-shaped groupBy(span_sha) with map-side
     * partial aggregation. The shuffle carries ~one row per corpus token —

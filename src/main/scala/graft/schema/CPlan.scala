@@ -399,6 +399,35 @@ final class PruneTable private[schema] (
 
   /** True iff the member's value is skipped outright (test/report surface). */
   def skip(key: String): Boolean = decide(key).skip
+
+  /** Debug rendering for the CLI plan dump (the `jvst -d` analog): one line
+    * per statically-decided member key, then each dynamic pattern with its
+    * regex-engine choice. Recurses into nested object/array tables. */
+  def describeInto(sb: StringBuilder, indent: Int): Unit = {
+    val pad = "  " * indent
+    def render(d: PruneDecision, ind: Int): String =
+      if (d.skip) "SKIP (structural parse only)"
+      else if (d.sub != null) "parse; if object, members prune:"
+      else if (d.items != null) s"parse; if array, each element: ${render(d.items, ind)}"
+      else "FULL parse"
+    val keys = {
+      import scala.jdk.CollectionConverters._
+      named.asScala.toSeq.sortBy(_._1)
+    }
+    if (keys.isEmpty && patterns.isEmpty)
+      sb.append(pad).append("(every member value skipped)\n")
+    keys.foreach { case (k, d) =>
+      sb.append(pad).append(s"'$k': ").append(render(d, indent)).append('\n')
+      if (d.sub != null) d.sub.describeInto(sb, indent + 1)
+      else if (d.items != null && d.items.sub != null)
+        d.items.sub.describeInto(sb, indent + 1)
+    }
+    patterns.foreach { case (p, _) =>
+      val engine = if (p.dfa != null) "DFA" else "Matcher"
+      sb.append(pad)
+        .append(s"/${p.pattern.pattern()}/ [$engine]: dynamic decision per matching-pattern set\n")
+    }
+  }
 }
 
 object PruneTable {

@@ -30,6 +30,33 @@ object TableIO {
   def readRepoFiles(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(repoFilesSchema).parquet(dir)
 
+  /** Persist a verdict ledger bucketed by its join keys, so the NEXT run's
+    * [[graft.operators.Validate.incrementalVerdicts]] sort-merge join reads
+    * it pre-partitioned and re-shuffles only the current side (PlanSpec pins
+    * the single-exchange shape). Spark path-based parquet cannot carry
+    * bucket metadata, so this goes through the session catalog
+    * (`bucketBy(...).saveAsTable`); on Iceberg the same layout is a
+    * `bucket(n, keys)` partition transform. Choose `buckets` equal to the
+    * job's shuffle partitioning or the bucketed scan cannot line up. */
+  def writeLedgerBucketed(df: DataFrame, table: String, buckets: Int,
+                          keys: Seq[String] = Seq("repo", "path")): Unit = {
+    val spark = df.sparkSession
+    // a previous JVM's managed-table directory can outlive its catalog
+    // entry (fresh in-memory catalog, surviving warehouse dir); clear both
+    // or saveAsTable fails with "location already exists"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+  }
+
+  def readLedger(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   val auditSchema: StructType = StructType(Seq(
     StructField("runId", StringType, nullable = false),
     StructField("partitionId", IntegerType, nullable = false),

@@ -153,7 +153,8 @@ object GraftFunctions {
     },
     desc("winnow_fingerprints", classOf[WinnowExpr],
       "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprints" +
-        " (XXH64 mode, array<long>; k, w literals).") { args =>
+        " (XXH64 mode, array<long> sorted by UNSIGNED 64-bit value, so" +
+        " negative longs sort last under signed operators; k, w literals).") { args =>
       arity("winnow_fingerprints", args, 3)
       WinnowExpr(args.head, litInt("winnow_fingerprints", "k", args(1)),
         litInt("winnow_fingerprints", "w", args(2)), useSha = false)

@@ -63,6 +63,20 @@ object ValidateCli {
       compiled.defs.foreach { case (name, p) =>
         sb.append(s"DEF $name\n"); dumpPlan(p, 1, sb)
       }
+      // the CONSUME analog: which top-level member values the pruned verdict
+      // parse skips/recurses (jvst -d ir shows the same decision as CONSUME
+      // vs eval ops), or why pruning is off for this schema shape
+      sb.append("PRUNE (root object members)\n")
+      val pt = compiled.rootPrune
+      if (pt == null)
+        sb.append("  (disabled: a root conjunct can deep-inspect member values)\n")
+      else pt.describeInto(sb, 1)
+      // which execution backend the Spark verdict column would use for this
+      // plan (choice is global and measured — see Validate.passCol)
+      sb.append("BACKEND\n")
+      sb.append("  verdict: row-evaluator expression (graft.eval.Exprs.validateBool")
+      sb.append(")\n  details: labeled row evaluator on failing rows only ")
+      sb.append("(Exprs.validateFails)\n")
       print(sb)
       sys.exit(0)
     }

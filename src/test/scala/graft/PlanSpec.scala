@@ -187,6 +187,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
   }
 
+  test("incrementalVerdicts: bucketed ledger joins without re-shuffling the ledger side") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    // bucket count == the session's shuffle partitioning, or the bucketed
+    // scan cannot line up with the shuffled current side
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    TableIO.writeLedgerBucketed(
+      Validate.verdictLedger(df, cs), "graft_planspec_ledger", buckets)
+    val led = TableIO.readLedger(spark, "graft_planspec_ledger")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = plan(Validate.incrementalVerdicts(df, led, cs))
+      assert(p.contains("SortMergeJoin"), p)
+      // exactly ONE exchange: the current side shuffling to the ledger's
+      // bucketing. A regression that re-shuffles the bucketed ledger scan
+      // (the silent third exchange the scaladoc warns about) fails here.
+      assert(exchanges(p) == 1,
+        s"bucketed ledger side must not re-shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), s"ledger scan must be bucketed:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("duplicatedSpans: one wordcount-shaped exchange, no window/sort stage") {
     val df = TableIO.readRepoFiles(spark, dir)
       .select(col("path").as("doc_id"), col("content").as("text"))

@@ -56,6 +56,14 @@ object Exprs {
     * built-in pays (JFR: ~8% of flagship samples). */
   def sha256Matches(content: Column, expectedHex: Column): Column =
     column(Sha256MatchesExpr(expr(content), expr(expectedHex)))
+
+  /** Fused verdict + sha256 invariant in ONE expression dispatch: bit 0 =
+    * schema pass, bit 1 = digest matches. Same semantics as
+    * `validateBool(...)` beside `sha256Matches(...)`, minus one
+    * CodegenFallback eval + UTF8String fetch + boxed Boolean per row (the
+    * flagship summary evaluates both on every row). */
+  def verdictSha(schema: CompiledSchema, content: Column, expectedHex: Column): Column =
+    column(VerdictShaExpr(expr(content), expr(expectedHex), schema))
 }
 
 case class CanonicalJsonExpr(child: Expression) extends UnaryExpression
@@ -158,6 +166,31 @@ case class Sha256MatchesExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(content: Any, expected: Any): Any =
     java.lang.Boolean.valueOf(Sha256MatchesExpr.matches(
       content.asInstanceOf[UTF8String], expected.asInstanceOf[UTF8String]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** See [[Exprs.verdictSha]]. Null content ⇒ 0 (fails both invariants, like
+  * the unfused pair: validateBool is false on null, sha can't match). */
+case class VerdictShaExpr(left: Expression, right: Expression,
+                          schema: CompiledSchema)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jsonschema_verdict_sha"
+  override def eval(input: InternalRow): Any = {
+    val c = left.eval(input)
+    if (c == null) java.lang.Integer.valueOf(0)
+    else {
+      val u = c.asInstanceOf[UTF8String]
+      val pass = RowEval.isValidText(schema, u)
+      val e = right.eval(input)
+      val sha = e != null &&
+        Sha256MatchesExpr.matches(u, e.asInstanceOf[UTF8String])
+      java.lang.Integer.valueOf((if (pass) 1 else 0) | (if (sha) 2 else 0))
+    }
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

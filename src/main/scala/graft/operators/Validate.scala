@@ -240,6 +240,30 @@ object Validate {
     * attributes BEFORE the aggregate so each is evaluated exactly once per
     * row — referencing the expression from several sum() branches would
     * otherwise duplicate the work per aggregate. */
+  /** [[partitionSummary]] with the verdict and the sha256 invariant fused
+    * into ONE expression dispatch per row ([[graft.eval.Exprs.verdictSha]]).
+    * A/B partner for the flagship hot path (`FlagshipProbe ab` measures it
+    * against the unfused pair on the bench input); same output contract. */
+  def partitionSummaryFused(df: DataFrame, cs: CompiledSchema): Dataset[PartitionSummary] = {
+    import df.sparkSession.implicits._
+    val pre = df.select(
+      spark_partition_id().as("partitionId"),
+      inScope(df).as("_scoped"),
+      Exprs.verdictSha(cs, df("content"), df("sha256")).as("_vs"),
+      octet_length(col("content")).cast("long").as("_bytes"))
+    pre.groupBy(col("partitionId"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("_scoped"), 1L).otherwise(0L)).as("validated"),
+        sum(when(col("_scoped") && col("_vs").bitwiseAND(1) === 1, 1L)
+          .otherwise(0L)).as("passed"),
+        sum(when(col("_scoped") && col("_vs").bitwiseAND(1) === 0, 1L)
+          .otherwise(0L)).as("failed"),
+        sum(col("_bytes")).as("bytes"),
+        sum(when(col("_vs").bitwiseAND(2) === 0, 1L).otherwise(0L)).as("sha256Failures"))
+      .as[PartitionSummary]
+  }
+
   def partitionSummary(df: DataFrame, cs: CompiledSchema): Dataset[PartitionSummary] = {
     import df.sparkSession.implicits._
     val pre = df.select(

@@ -9,11 +9,40 @@ import org.apache.spark.sql.functions._
 /** Step timings for the flagship violations query at a given row count. */
 object FlagshipProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.filter(_ != "dir").map(_.toLong).getOrElse(200000L)
+    val n = args.headOption.filterNot(Set("dir", "ab")).map(_.toLong).getOrElse(200000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("ab")) {
+      // interleaved A/B: unfused verdict+sha pair vs the fused single
+      // expression (Exprs.verdictSha), medians over `loops` rounds
+      val dir = args.lift(1).getOrElse("/tmp/graft_bench_input_4000000")
+      val loops = args.lift(2).map(_.toInt).getOrElse(7)
+      val cs = SparkEntry.fixtureSchema
+      val df = graft.sources.TableIO.readRepoFiles(spark, dir)
+      val nrows = df.count()
+      def run(fused: Boolean): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        val s = if (fused) Validate.partitionSummaryFused(df, cs).collect()
+                else Validate.partitionSummary(df, cs).collect()
+        require(s.map(_.rows).sum == nrows)
+        nrows / ((System.nanoTime() - t0) / 1e9)
+      }
+      (1 to 2).foreach { _ => run(false); run(true) } // warm both paths
+      val (a, b) = (Array.newBuilder[Double], Array.newBuilder[Double])
+      (1 to loops).foreach { k =>
+        val x = run(false); val y = run(true)
+        a += x; b += y
+        println(f"# round $k: unfused $x%.0f fused $y%.0f (${y / x}%.3f)")
+      }
+      def med(xs: Array[Double]) = xs.sorted.apply(xs.length / 2)
+      val (ma, mb) = (med(a.result()), med(b.result()))
+      println(f"unfused median $ma%.0f files/s; fused median $mb%.0f; ratio ${mb / ma}%.3f")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("dir")) {
       // JFR-profiling mode: loop the bench's exact flagship measurement over
       // a pre-written on-disk input so a profile captures the steady state.

@@ -490,7 +490,8 @@ object SparkEntry {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val (in, out) = (s"$base/input", s"$base/out")
-      RepoFiles.dataset(s, n).toDF().write.mode("overwrite").parquet(in)
+      RepoFiles.dataset(s, n).toDF().coalesce(8)
+        .write.mode("overwrite").parquet(in)
       ResumableValidate.run(s, in, out, "run1", fixtureSchema,
         buckets = 64, maxBucketsPerRun = Some(20))
       ResumableValidate.run(s, in, out, "run2", fixtureSchema, buckets = 64)

@@ -112,7 +112,13 @@ object ResumableValidate {
       return RunReport(runId, buckets, done.size, 0, 0L, 0L)
     val pending = df.filter(col("bucket").isin(take.toSeq: _*))
 
-    violationsWithBucket(pending, cs).write.mode(SaveMode.Overwrite)
+    // cluster by the partition column before the dynamic-partition write:
+    // without it every task holds an open writer per bucket it touches
+    // (tasks × buckets small files + writer memory — 2048 files observed at
+    // 32 tasks × 64 buckets); hashed on bucket each task writes only its
+    // own buckets. The shuffled set is violation-sized, not table-sized.
+    violationsWithBucket(pending, cs).repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(violDir)
 

@@ -1,0 +1,74 @@
+package graft.eval
+
+import graft.json.JsonPushScanner
+import graft.schema.CompiledSchema
+
+/** Chunk-feed validation — the engine analog of the reference's streaming
+  * entry points `jvst_validate_init` / `jvst_validate_more` /
+  * `jvst_validate_close` (reference:src/validate.c [R]): a document arrives
+  * in arbitrary byte chunks, each `more` advances validation, `close`
+  * delivers the verdict.
+  *
+  * Incrementality contract, stated honestly:
+  *  - the GRAMMAR is validated as bytes arrive ([[JsonPushScanner]],
+  *    O(depth) state, strict RFC 8259 — identical acceptance to the
+  *    engine's parsers): a malformed document is rejected at the byte that
+  *    kills it, after which `more` is a cheap no-op (`alive` false lets a
+  *    caller stop feeding — jvst's early-failure behavior);
+  *  - CONSTRAINT evaluation runs once at `close` over the buffered bytes
+  *    via the same [[RowEval]] path every other surface uses, so the
+  *    verdict is bit-identical to whole-document validation. In the Spark
+  *    engine rows arrive whole (a content cell is bounded far below any
+  *    size where deferred evaluation could matter); this surface exists for
+  *    API-contract parity and for driver-free callers feeding sockets or
+  *    files larger than they want to hand over in one call.
+  *
+  * Single-use: after `close`, feed a new document through a new instance
+  * (`jvst_validate_init` ≙ `new ChunkedValidation(cs)`).
+  */
+final class ChunkedValidation(cs: CompiledSchema) {
+
+  private val scanner = new JsonPushScanner
+  private var buf = new Array[Byte](256)
+  private var len = 0
+  private var closed = false
+
+  /** False once the document is already known malformed (grammar). */
+  def alive: Boolean = grammarAlive
+  private var grammarAlive = true
+
+  def more(chunk: Array[Byte]): this.type = more(chunk, 0, chunk.length)
+
+  def more(chunk: Array[Byte], off: Int, n: Int): this.type = {
+    require(!closed, "more() after close()")
+    if (grammarAlive) {
+      if (len + n > buf.length) {
+        val grown = new Array[Byte](
+          math.max(buf.length * 2, len + n))
+        System.arraycopy(buf, 0, grown, 0, len)
+        buf = grown
+      }
+      System.arraycopy(chunk, off, buf, len, n)
+      len += n
+      grammarAlive = scanner.push(chunk, off, n)
+    }
+    this
+  }
+
+  /** Verdict + labeled violations (empty seq = valid). A document the
+    * scanner killed reports the single grammar violation without running
+    * the evaluator; otherwise the buffered bytes go through the standard
+    * whole-document path. */
+  def close(): Seq[Fail] = {
+    require(!closed, "close() called twice")
+    closed = true
+    if (!grammarAlive || !scanner.finish())
+      return Vector(Fail("_parse.json",
+        "malformed JSON document (rejected by streaming grammar scan)"))
+    RowEval.validateText(cs,
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(buf, 0, len))
+  }
+
+  /** Boolean verdict convenience (jvst exit-code shape). */
+  def closeValid(): Boolean = close().isEmpty
+}

@@ -1,0 +1,192 @@
+package graft.json
+
+/** Push-mode JSON grammar scanner: bytes arrive in arbitrary chunks, state
+  * is O(container depth), and rejection is sound — `push` returns false
+  * only for inputs [[Utf8Json]] would also reject (same strict RFC 8259
+  * grammar, same control-character/escape rules, same
+  * [[Json.MaxNestingDepth]] cap; differentially tested at random chunk
+  * boundaries). The chunk-feed validation surface
+  * ([[graft.eval.ChunkedValidation]]) uses it to fail malformed documents
+  * AS THE BYTES ARRIVE — the incremental half of the reference's
+  * `jvst_validate_init/_more/_close` contract — while constraint
+  * evaluation itself runs once at close.
+  *
+  * Bytes ≥ 0x80 are string content, never validated as UTF-8 (the parsers
+  * decode with replacement — a scanner rejecting bad UTF-8 would reject
+  * documents the engine accepts).
+  */
+final class JsonPushScanner {
+
+  import JsonPushScanner._
+
+  // container stack: bit k set = object at depth k (else array)
+  private var stack = new Array[Long]((Json.MaxNestingDepth >> 6) + 1)
+  private var depth = 0
+  private var state = ValueStart
+  private var literal: String = null // remaining expected literal chars
+  private var litPos = 0
+  private var uLeft = 0 // hex digits still expected in a \\u escape
+  private var dead = false
+  private var started = false // a top-level value has begun
+
+  private def inObject: Boolean =
+    depth > 0 && (stack((depth - 1) >> 6) & (1L << ((depth - 1) & 63))) != 0
+
+  private def pushContainer(obj: Boolean): Boolean = {
+    if (depth >= Json.MaxNestingDepth) return false
+    val (w, b) = (depth >> 6, depth & 63)
+    if (obj) stack(w) |= 1L << b else stack(w) &= ~(1L << b)
+    depth += 1
+    true
+  }
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** After a value completes: expect ',' / closer / end-of-input. */
+  private def afterValue(): Int = if (depth == 0) Done else AfterValue
+
+  /** Feed one byte. Returns false once the input is definitely malformed
+    * (sticky — every later call returns false too). */
+  def push(b: Byte): Boolean = {
+    if (dead) return false
+    val c = b & 0xff
+    var s = state
+    var ok = true
+
+    s match {
+      case InString | InKey =>
+        if (c == '"') s = if (s == InKey) ExpectColon else afterValue()
+        else if (c == '\\') s = if (s == InKey) KeyEscape else StrEscape
+        else if (c < 0x20) ok = false // raw control char
+      case StrEscape | KeyEscape =>
+        val key = s == KeyEscape
+        c match {
+          case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' =>
+            s = if (key) InKey else InString
+          case 'u' => uLeft = 4; s = if (key) KeyU else StrU
+          case _ => ok = false
+        }
+      case StrU | KeyU =>
+        val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')
+        if (!hex) ok = false
+        else { uLeft -= 1; if (uLeft == 0) s = if (s == KeyU) InKey else InString }
+      case InLiteral =>
+        if (litPos < literal.length && c == literal.charAt(litPos)) {
+          litPos += 1
+          if (litPos == literal.length) { literal = null; s = afterValue() }
+        } else ok = false
+      // ---- numbers: on a delimiter the number completes and the byte is
+      // re-dispatched through the completed-value state
+      case NumMinus =>
+        if (c == '0') s = NumZero
+        else if (c >= '1' && c <= '9') s = NumInt
+        else ok = false
+      case NumZero | NumInt | NumFrac | NumExp =>
+        val digitOk = s != NumZero
+        if (c >= '0' && c <= '9') { if (!digitOk) ok = false }
+        else if (c == '.' && (s == NumZero || s == NumInt)) s = NumFracStart
+        else if ((c == 'e' || c == 'E') && s != NumExp) s = NumExpStart
+        else if ((c == 'e' || c == 'E') && s == NumExp) ok = false
+        else {
+          // number complete; re-dispatch this byte as after-value input
+          state = afterValue(); dead = false
+          return push(b)
+        }
+      case NumFracStart =>
+        if (c >= '0' && c <= '9') s = NumFrac else ok = false
+      case NumExpStart =>
+        if (c == '+' || c == '-') s = NumExpSign
+        else if (c >= '0' && c <= '9') s = NumExp
+        else ok = false
+      case NumExpSign =>
+        if (c >= '0' && c <= '9') s = NumExp else ok = false
+      // ---- structure
+      case ValueStart | ArrValueOrClose =>
+        if (isWs(c)) ()
+        else if (c == ']' && s == ArrValueOrClose) { depth -= 1; s = afterValue() }
+        else { started = true; ok = startValue(c) match {
+          case -1 => false
+          case ns => s = ns; true } }
+      case ObjKeyOrClose | ObjKey =>
+        if (isWs(c)) ()
+        else if (c == '"') s = InKey
+        else if (c == '}' && s == ObjKeyOrClose) { depth -= 1; s = afterValue() }
+        else ok = false
+      case ExpectColon =>
+        if (isWs(c)) ()
+        else if (c == ':') s = ValueStart
+        else ok = false
+      case AfterValue =>
+        if (isWs(c)) ()
+        else if (c == ',') s = if (inObject) ObjKey else ValueStart
+        else if (c == '}' && inObject) { depth -= 1; s = afterValue() }
+        else if (c == ']' && !inObject) { depth -= 1; s = afterValue() }
+        else ok = false
+      case Done =>
+        if (!isWs(c)) ok = false
+    }
+
+    if (!ok) { dead = true; false }
+    else { state = s; true }
+  }
+
+  /** Returns the next state for a value starting with byte `c`, or -1. */
+  private def startValue(c: Int): Int = c match {
+    case '"' => InString
+    case '{' => if (pushContainer(obj = true)) ObjKeyOrClose else -1
+    case '[' => if (pushContainer(obj = false)) ArrValueOrClose else -1
+    case 't' => literal = "rue"; litPos = 0; InLiteral
+    case 'f' => literal = "alse"; litPos = 0; InLiteral
+    case 'n' => literal = "ull"; litPos = 0; InLiteral
+    case '-' => NumMinus
+    case d if d >= '0' && d <= '9' => if (d == '0') NumZero else NumInt
+    case _ => -1
+  }
+
+  def push(bytes: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    var ok = !dead
+    while (ok && i < end) { ok = push(bytes(i)); i += 1 }
+    ok
+  }
+
+  /** End of input: true iff the bytes so far form one complete JSON value
+    * (numbers may complete exactly at end-of-input). */
+  def finish(): Boolean = {
+    if (dead || !started || depth != 0) return false
+    state match {
+      case Done | AfterValue => true
+      case NumZero | NumInt | NumFrac | NumExp => true // complete number
+      case _ => false
+    }
+  }
+}
+
+object JsonPushScanner {
+  // states (private protocol between push/startValue/finish)
+  private final val ValueStart = 0
+  private final val InString = 1
+  private final val InKey = 2
+  private final val StrEscape = 3
+  private final val KeyEscape = 4
+  private final val StrU = 5
+  private final val KeyU = 6
+  private final val InLiteral = 7
+  private final val NumMinus = 8
+  private final val NumZero = 9
+  private final val NumInt = 10
+  private final val NumFracStart = 11
+  private final val NumFrac = 12
+  private final val NumExpStart = 13
+  private final val NumExpSign = 14
+  private final val NumExp = 15
+  private final val ObjKeyOrClose = 16
+  private final val ObjKey = 17
+  private final val ExpectColon = 18
+  private final val AfterValue = 19
+  private final val ArrValueOrClose = 20
+  private final val Done = 21
+}

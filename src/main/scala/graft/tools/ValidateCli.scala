@@ -9,10 +9,13 @@ import java.nio.file.{Files, Paths}
   * verdict + violations. Exit code 0 iff all documents valid.
   * Driver-free local surface for the core engine (no SparkSession).
   *
-  * Usage: runMain graft.tools.ValidateCli [-d] <schema.json> [doc.json ...]
+  * Usage: runMain graft.tools.ValidateCli [-d | -chunk N] <schema.json> [doc.json ...]
   *        with no doc args, reads one document from stdin.
   *        -d dumps the compiled constraint plan (analog of `jvst -d cnode`,
   *        the reference's IR-dump debug path) instead of validating.
+  *        -chunk N feeds each document through the incremental
+  *        jvst_validate_init/_more/_close analog
+  *        ([[graft.eval.ChunkedValidation]]) in N-byte chunks.
   */
 object ValidateCli {
   private def dumpPlan(p: graft.schema.CPlan, indent: Int, sb: StringBuilder): Unit = {
@@ -44,7 +47,12 @@ object ValidateCli {
 
   def main(args0: Array[String]): Unit = {
     val dump = args0.headOption.contains("-d")
-    val args = if (dump) args0.drop(1) else args0
+    val chunkSize = args0.headOption.filter(_ == "-chunk")
+      .flatMap(_ => args0.lift(1)).map(_.toInt)
+    val args =
+      if (dump) args0.drop(1)
+      else if (chunkSize.isDefined) args0.drop(2)
+      else args0
     if (args.isEmpty) {
       System.err.println("usage: ValidateCli [-d] <schema.json> [doc.json ...]")
       sys.exit(2)
@@ -87,7 +95,14 @@ object ValidateCli {
 
     var anyInvalid = false
     docs.foreach { case (name, text) =>
-      val fails = RowEval.validateText(compiled, text)
+      val fails = chunkSize match {
+        case Some(n) =>
+          val cv = new graft.eval.ChunkedValidation(compiled)
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          bytes.grouped(math.max(1, n)).foreach(cv.more(_))
+          cv.close()
+        case None => RowEval.validateText(compiled, text)
+      }
       if (fails.isEmpty) println(s"$name: VALID")
       else {
         anyInvalid = true

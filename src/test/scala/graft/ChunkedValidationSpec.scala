@@ -1,0 +1,119 @@
+package graft
+
+import graft.eval.{ChunkedValidation, RowEval}
+import graft.json.{JsonPushScanner, Utf8Json}
+import graft.schema.SchemaCompiler
+import graft.sources.RepoFiles
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Chunk-feed validation (the jvst_validate_init/_more/_close analog):
+  * the push-mode grammar scanner must agree byte-for-byte with the engine
+  * parser's acceptance, at every chunk boundary, and the close() verdict
+  * must match whole-document validation. */
+class ChunkedValidationSpec extends AnyFunSuite {
+
+  private val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+
+  private def scannerAccepts(bytes: Array[Byte], chunk: Int): Boolean = {
+    val sc = new JsonPushScanner
+    var ok = true
+    bytes.grouped(math.max(1, chunk)).foreach { c =>
+      ok = sc.push(c, 0, c.length) && ok
+    }
+    ok && sc.finish()
+  }
+
+  private def parserAccepts(bytes: Array[Byte]): Boolean =
+    Utf8Json.parseOrNull(UTF8String.fromBytes(bytes)) != null
+
+  private def agree(doc: String, chunks: Seq[Int] = Seq(1, 3, 7, 4096)): Unit = {
+    val bytes = doc.getBytes(UTF_8)
+    val p = parserAccepts(bytes)
+    chunks.foreach { n =>
+      assert(scannerAccepts(bytes, n) == p,
+        s"scanner/parser disagree (chunk=$n) on: ${doc.take(120)}")
+    }
+  }
+
+  test("scanner agrees with the parser on grammar corner cases") {
+    // numbers
+    Seq("0", "-0", "01", "1.", "1.5", "-", "-x", "+1", ".5", "1e", "1e+",
+      "1e+2", "0e0", "1e2e3", "1E9", "123456789012345678901234567890",
+      "0.0000001", "9e999").foreach(agree(_))
+    // strings
+    Seq("\"a\"", "\"\"", "\"\\n\"", "\"\\u0041\"", "\"\\u004\"", "\"\\q\"",
+      "\"unterminated", "\"tab\tinside\"", "\"\\\\\"", "\"\\\"\"",
+      "\"caf\u00e9\"", "\"astral \ud83d\ude00\"").foreach(agree(_))
+    // literals
+    Seq("true", "false", "null", "truex", "tru", "nul", "nulll").foreach(agree(_))
+    // structure
+    Seq("{}", "[]", "[1,2,3]", "[1,]", "{\"a\":1}", "{\"a\":1,}", "{\"a\"}",
+      "{\"a\":}", "{:1}", "{\"a\" : 1 , \"b\" : [ true , null ] }",
+      "", " ", "  \t\n", "{} extra", "1 2", "[[[]]]", "}{", "]",
+      "\ufeff{}", "{\"k\\u0041\":0}").foreach(agree(_))
+  }
+
+  test("scanner agrees with the parser at the nesting cap") {
+    def nested(d: Int) = "[" * d + "1" + "]" * d
+    Seq(999, 1000, 1001).foreach(d => agree(nested(d), Seq(1, 4096)))
+  }
+
+  test("scanner agrees with the parser on corpus docs and mutations") {
+    val rnd = new scala.util.Random(20260821)
+    (0 until 400).foreach { i =>
+      val doc = RepoFiles.contentOf(i, 400) // valid JSON, violating JSON, code text
+      agree(doc, Seq(1, 7, 4096))
+      // random single-byte mutation (often breaks the grammar)
+      val b = doc.getBytes(UTF_8)
+      if (b.nonEmpty) {
+        b(rnd.nextInt(b.length)) = (rnd.nextInt(127) + 1).toByte
+        val mutated = new String(b, UTF_8)
+        agree(mutated, Seq(1, 4096))
+      }
+      // truncation mid-document
+      agree(doc.take(rnd.nextInt(doc.length + 1)), Seq(1, 4096))
+    }
+  }
+
+  test("close() verdict matches whole-document validation at every chunk size") {
+    (0 until 200).foreach { i =>
+      val doc = RepoFiles.contentOf(i, 200)
+      val whole = RowEval.validateText(cs, UTF8String.fromString(doc))
+      Seq(1, 2, 13, 4096).foreach { n =>
+        val cv = new ChunkedValidation(cs)
+        doc.getBytes(UTF_8).grouped(n).foreach(cv.more(_))
+        val fails = cv.close()
+        assert(fails.isEmpty == whole.isEmpty, s"verdict differs doc $i chunk $n")
+        assert(fails.map(_.constraint).sorted == whole.map(_.constraint).sorted,
+          s"constraints differ doc $i chunk $n")
+      }
+    }
+  }
+
+  test("malformed input dies at the killing byte; close is still safe") {
+    val cv = new ChunkedValidation(cs)
+    cv.more("{\"a\": tr".getBytes(UTF_8))
+    assert(cv.alive)
+    cv.more("XX".getBytes(UTF_8)) // kills the literal
+    assert(!cv.alive)
+    cv.more("whatever, scanning stopped".getBytes(UTF_8))
+    val fails = cv.close()
+    assert(fails.nonEmpty && fails.head.constraint == "_parse.json")
+    intercept[IllegalArgumentException](cv.close())
+    intercept[IllegalArgumentException](cv.more(Array[Byte](1)))
+  }
+
+  test("single-use instances validate independently") {
+    def run(doc: String): Boolean = {
+      val cv = new ChunkedValidation(cs)
+      cv.more(doc.getBytes(UTF_8)).closeValid()
+    }
+    val valid = RepoFiles.contentOf(0, 100) // stratum 0: valid doc
+    assert(run(valid))
+    assert(!run(valid.dropRight(1)))
+    assert(run(valid)) // fresh instance unaffected
+  }
+}

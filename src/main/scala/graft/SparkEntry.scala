@@ -729,6 +729,16 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // corpus-familiarity (CCNet-style LM quality filter, integer-exact):
+    // docs < 300 scored against trigram counts from the FULL corpus;
+    // DuckDB regenerates every trigram position and the same exact
+    // milli-unit division
+    "q_doc_familiarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.familiarity(docs, docs.filter(col("doc_id") < 300))
+        .orderBy(col("doc_id"))
+    }),
+
     // oracle-checked: the exported fingerprint is the sha256 one (DuckDB
     // recomputes langID/quality/fingerprint from first principles); the
     // internal xxhash64 rolling fingerprint stays suite-tested
@@ -1659,6 +1669,22 @@ object SparkEntry {
          |  round(sum(pa.p * ln(pa.p / pb.p)), 9) AS kl, 64 AS buckets
          |FROM d pa JOIN d pb ON pa.b = pb.b
          |WHERE pa.c = 'c000' AND pb.c = 'c111'""".stripMargin,
+    // familiarity: regenerate every stride-1 trigram position, recount the
+    // corpus table, rescore the subset with the identical integer division
+    "q_doc_familiarity" ->
+      """WITH tg AS (SELECT doc_id, substr(text, CAST(p AS INT), 3) AS tri
+        |            FROM (SELECT doc_id, text,
+        |                    unnest(range(1, length(text) - 1)) AS p
+        |                  FROM documents)),
+        |counts AS (SELECT tri, count(*) AS corpus_n FROM tg GROUP BY tri),
+        |d AS (SELECT doc_id, tri, count(*) AS n FROM tg
+        |      WHERE doc_id < 300 GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, sum(n) AS positions, sum(n * corpus_n) AS w
+        |       FROM d JOIN counts USING (tri) GROUP BY d.doc_id)
+        |SELECT ids.doc_id, CAST(coalesce(positions, 0) AS BIGINT) AS positions,
+        |  CAST(w * 1000 // positions AS BIGINT) AS familiarity_milli
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) ids
+        |LEFT JOIN sc USING (doc_id) ORDER BY ids.doc_id""".stripMargin,
     "q_doc_quality" ->
       """WITH d AS (SELECT doc_id, text,
         |  CAST(length(text) AS DOUBLE) AS len,

@@ -601,6 +601,64 @@ object TextOps {
       .na.fill(0L, Seq("n_dup_spans"))
   }
 
+  // ---------------------------------------- corpus-familiarity scoring
+
+  /** Character trigrams of `text` at every position (stride 1); empty for
+    * texts shorter than 3 chars. */
+  private def charTrigrams(text: Column): Column =
+    when(length(text) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - 2),
+        p => text.substr(p, lit(3))))
+
+  /** Corpus-familiarity quality score — the CCNet idea (filter documents by
+    * how fluent they are under a language model trained on the corpus
+    * itself) re-expressed with INTEGER-exact arithmetic so the score is
+    * bit-reproducible at any parallelism and SQL-recomputable: the "model"
+    * is the corpus's own character-trigram frequency table, and a
+    * document's score is the mean corpus frequency of its trigram
+    * occurrences, in exact milli-units (`Σ n_i·count(tri_i) · 1000 div
+    * positions`). Mojibake, binary spew and unusual markup are built from
+    * corpus-rare trigrams and score low; fluent text scores high. A true
+    * log-probability LM would differ only by the log/smoothing transform —
+    * deliberately avoided because cross-engine float `ln` is not
+    * bit-reproducible, and the RANKING a filter thresholds on is preserved.
+    *
+    * Scale shape: the count pass is a wordcount-shaped exchange over ~one
+    * row per corpus character (partial aggregation makes the shuffle
+    * bounded by distinct trigrams per partition); the scoring side reduces
+    * to per-doc DISTINCT trigrams before the frequency join (bounded by
+    * charset³ per doc, not doc length), and the join shuffles on the
+    * trigram key. At web scale the frequency table is charset³-bounded —
+    * broadcast it when it fits (Spark chooses with stats); the per-doc
+    * aggregation is doc-count-sized.
+    *
+    * `scoreDocs` lets callers score a subset (e.g. new arrivals) against
+    * counts from the FULL corpus — pass the same frame twice to score
+    * everything. Output: (idCol, positions, familiarity_milli), with NULL
+    * score for texts shorter than one trigram. */
+  def familiarity(corpus: DataFrame, scoreDocs: DataFrame,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val counts = corpus
+      .select(explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("corpus_n"))
+    val docTris = scoreDocs
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
+    // left join: a doc scored against a DIFFERENT corpus may carry trigrams
+    // the corpus never saw — they count as frequency 0, not dropped rows
+    val scored = docTris.join(counts, Seq("tri"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("positions"),
+           sum(col("n") * coalesce(col("corpus_n"), lit(0L))).as("_w"))
+    // short texts (< 3 chars) have no trigrams: report them with
+    // positions 0 and a NULL score rather than silently dropping the row
+    scoreDocs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("positions"), lit(0L)).as("positions"),
+        expr("_w * 1000 div positions").as("familiarity_milli"))
+  }
+
   /** Evaluate `in` once (lambda binding) — see [[Dedup.bindOnce]]. */
   private def bindOnce(in: Column, f: Column => Column): Column =
     Dedup.bindOnce(in, f)

@@ -292,6 +292,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gotFrames == expectedFrames.map { case (k, v) => k -> v.toLong })
   }
 
+  test("familiarity: fluent text outscores mojibake; exact hand case; short-doc NULL") {
+    import spark.implicits._
+    val fluent = "the quick brown fox jumps over the lazy dog and runs on"
+    val corpus = ((0 until 20).map(i => (i.toLong, fluent)) :+
+      (20L, "ßþÃ q9@# z!~ xq") :+ (21L, "ab")).toDF("doc_id", "text")
+    val out = TextOps.familiarity(corpus, corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    // every fluent doc shares all trigrams 20x; the mojibake doc's trigrams
+    // are mostly unique to it
+    val fluentScore = out(0L)._2.get
+    val weirdScore = out(20L)._2.get
+    assert(fluentScore > weirdScore * 5, s"fluent $fluentScore vs weird $weirdScore")
+    assert(out(21L) == ((0L, None)), "short doc must report positions 0, NULL score")
+    // exact micro-case: corpus {"aaaa", "aaab"}: trigrams aaa(x2 from doc0,
+    // x1 doc1... doc0="aaaa" -> aaa,aaa; doc1="aaab" -> aaa,aab
+    val tiny = Seq((0L, "aaaa"), (1L, "aaab")).toDF("doc_id", "text")
+    val t = TextOps.familiarity(tiny, tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // counts: aaa=3, aab=1. doc0: (2*3)*1000 div 2 = 3000; doc1: (3+1)*1000 div 2 = 2000
+    assert(t(0L) == 3000L && t(1L) == 2000L, t.toString)
+    // scoring docs against a foreign corpus: unseen trigrams count as 0
+    val foreign = TextOps.familiarity(tiny, Seq((9L, "zzzz")).toDF("doc_id", "text"))
+      .collect().head
+    assert(foreign.getLong(1) == 2 && foreign.getLong(2) == 0L)
+  }
+
   test("secret scan: plants detected, near-misses rejected, matches counted") {
     import spark.implicits._
     val df = Seq(

@@ -694,12 +694,15 @@ object SparkEntry {
         .map(r => if (r.sha256.startsWith("f")) r.copy(lang = null) else r)(
           org.apache.spark.sql.Encoders.product[graft.sources.RepoFile])
       val stats = Stats.columnStats(ds).toDF()
+      // content distinct via the recorded digest: |distinct contents| ==
+      // |distinct sha256| (digest is a function of content), and the
+      // expand-shuffle then carries 64-hex digests instead of full bodies
       val exact = ds.toDF().agg(
           countDistinct(col("repo")).as("repo"),
           countDistinct(col("path")).as("path"),
           countDistinct(col("commit")).as("commit"),
           countDistinct(col("lang")).as("lang"),
-          countDistinct(col("content")).as("content"))
+          countDistinct(col("sha256")).as("content"))
         .selectExpr("stack(5, 'repo', repo, 'path', path, 'commit', commit," +
           " 'lang', lang, 'content', content) as (column, distinct_exact)")
       stats.join(exact, "column")

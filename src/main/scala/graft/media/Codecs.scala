@@ -97,8 +97,12 @@ object Codecs {
     if (width <= 0 || height <= 0) fail(s"unsupported BMP dims ${width}x$height")
     if (u16le(b, 28) != 24) fail(s"unsupported bpp ${u16le(b, 28)}")
     if (i32le(b, 30) != 0) fail("compressed BMP unsupported")
-    val rowSize = bmpRowSize(width)
-    if (dataOff + rowSize * height > b.length) fail("truncated BMP pixel data")
+    // long arithmetic: adversarial header dims must not overflow the bounds
+    // check into a giant allocation or a buffer over-read
+    val rowSizeL = (3L * width + 3) / 4 * 4
+    if (dataOff < 0 || dataOff.toLong + rowSizeL * height > b.length)
+      fail("truncated BMP pixel data")
+    val rowSize = rowSizeL.toInt
     val rgb = new Array[Int](width * height * 3)
     var y = 0
     while (y < height) {
@@ -148,6 +152,7 @@ object Codecs {
       var v = 0; var any = false
       while (p < b.length && b(p) >= '0' && b(p) <= '9') {
         v = v * 10 + (b(p) - '0'); p += 1; any = true
+        if (v > 0x40000000) fail("PPM header value too large") // overflow guard
       }
       if (!any) fail(s"PPM: expected integer at offset $p")
       v
@@ -155,11 +160,15 @@ object Codecs {
     if (p + 2 > b.length || b(p) != 'P' || b(p + 1) != '6') fail("not a P6 PPM")
     p += 2
     val (w, h, maxv) = (int(), int(), int())
+    if (w <= 0 || h <= 0) fail(s"unsupported PPM dims ${w}x$h")
     if (maxv != 255) fail(s"unsupported PPM maxval $maxv")
     if (p >= b.length) fail("truncated PPM header")
     p += 1 // exactly one whitespace byte after maxval, per the spec
-    val nb = w * h * 3
-    if (p + nb > b.length) fail("truncated PPM pixel data")
+    // long arithmetic: header-declared dims are untrusted — the bounds
+    // check must not overflow into accepting a giant or negative size
+    val nbL = w.toLong * h * 3
+    if (p + nbL > b.length) fail("truncated PPM pixel data")
+    val nb = nbL.toInt
     val rgb = new Array[Int](nb)
     var i = 0
     while (i < nb) { rgb(i) = b(p + i) & 0xff; i += 1 }
@@ -238,7 +247,9 @@ object Codecs {
     while (off + 8 <= b.length && pcm == null) {
       val cid = id(off)
       val sz = i32le(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) fail(s"bad chunk size $sz at $off")
+      // long compare: a near-Int.MaxValue declared size must not overflow
+      // past the bounds check into a giant allocation
+      if (sz < 0 || off.toLong + 8 + sz > b.length) fail(s"bad chunk size $sz at $off")
       cid match {
         case "fmt " =>
           if (sz < 16) fail("short fmt chunk")

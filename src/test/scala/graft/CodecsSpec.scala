@@ -116,6 +116,27 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeWav(noData))
   }
 
+  test("adversarial headers: overflowing sizes rejected, no giant allocations") {
+    // BMP with dims whose rowSize*height overflows Int32 past the old check
+    val bmp = Codecs.encodeBmp(3, 3, rgbOf(3, 3)((_, _, _) => 1))
+    val evil = bmp.clone()
+    evil(18) = 0; evil(19) = 0; evil(20) = 0; evil(21) = 0x40 // width = 2^30
+    intercept[IllegalArgumentException](Codecs.decodeBmp(evil))
+    val negOff = bmp.clone(); negOff(13) = 0x80.toByte // dataOffset < 0
+    intercept[IllegalArgumentException](Codecs.decodeBmp(negOff))
+    // PPM dims that overflow w*h*3, and a digit run that overflows Int
+    intercept[IllegalArgumentException](Codecs.decodePpm(
+      ("P6\n1000000 1000000\n255\n" + "x").getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](Codecs.decodePpm(
+      "P6\n99999999999999999999 2\n255\n".getBytes("US-ASCII")))
+    // WAV chunk declaring a near-Int.MaxValue size
+    val wav = Codecs.encodeWav(8000, Array.tabulate[Short](4)(_.toShort))
+    val evilWav = wav.clone()
+    evilWav(40) = 0xf0.toByte; evilWav(41) = 0xff.toByte
+    evilWav(42) = 0xff.toByte; evilWav(43) = 0x7f // data size = 0x7ffffff0
+    intercept[IllegalArgumentException](Codecs.decodeWav(evilWav))
+  }
+
   test("decoded features match the corpus formulas on a spot row") {
     // engine-side end-to-end sanity for one image: decode(encode(formula))
     // equals the formula exactly (the full-corpus version is the driver's

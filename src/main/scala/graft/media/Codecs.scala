@@ -93,8 +93,11 @@ object Codecs {
     val hdrSize = i32le(b, 14)
     if (hdrSize < 40) fail(s"unsupported BMP header size $hdrSize")
     val width = i32le(b, 18)
-    val height = i32le(b, 22)
-    if (width <= 0 || height <= 0) fail(s"unsupported BMP dims ${width}x$height")
+    val rawHeight = i32le(b, 22)
+    // negative height = top-down row order (a real-world BMP variant)
+    val topDown = rawHeight < 0
+    val height = if (topDown) -rawHeight else rawHeight
+    if (width <= 0 || height <= 0) fail(s"unsupported BMP dims ${width}x$rawHeight")
     if (u16le(b, 28) != 24) fail(s"unsupported bpp ${u16le(b, 28)}")
     if (i32le(b, 30) != 0) fail("compressed BMP unsupported")
     // long arithmetic: adversarial header dims must not overflow the bounds
@@ -106,7 +109,8 @@ object Codecs {
     val rgb = new Array[Int](width * height * 3)
     var y = 0
     while (y < height) {
-      val rowOff = dataOff + (height - 1 - y) * rowSize
+      val rowOff =
+        dataOff + (if (topDown) y else height - 1 - y) * rowSize
       var x = 0
       while (x < width) {
         val p = (y * width + x) * 3

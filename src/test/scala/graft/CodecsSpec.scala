@@ -33,6 +33,22 @@ class CodecsSpec extends AnyFunSuite {
     assert(dec.rgb.sameElements(rgb))
   }
 
+  test("BMP negative height = top-down row order (real-world variant)") {
+    val (w, h) = (5, 4)
+    val rgb = rgbOf(w, h)((x, y, c) => x * 3 + y * 5 + c * 11 + 1)
+    val enc = Codecs.encodeBmp(w, h, rgb)
+    val rowSize = Codecs.bmpRowSize(w)
+    // rewrite as top-down: negate height, reverse stored row order
+    val td = enc.clone()
+    val negH = -h
+    td(22) = negH.toByte; td(23) = (negH >> 8).toByte
+    td(24) = (negH >> 16).toByte; td(25) = (negH >> 24).toByte
+    for (r <- 0 until h)
+      System.arraycopy(enc, 54 + (h - 1 - r) * rowSize, td, 54 + r * rowSize, rowSize)
+    val dec = Codecs.decodeBmp(td)
+    assert(dec.height == h && dec.rgb.sameElements(rgb))
+  }
+
   test("BMP padding bytes are not read as pixels") {
     // w=5: rowSize=16, 1 pad byte per row; poison the pad bytes
     val rgb = rgbOf(5, 4)((x, y, c) => 7)

@@ -183,6 +183,43 @@ class DifferentialSpec extends AnyFunSuite {
     info(s"stream-vs-row pairs checked: $checked")
   }
 
+  test("push scanner == parser acceptance on random docs, mutations, chunkings") {
+    // pure driver-side: the chunk-feed grammar scanner must accept exactly
+    // the strings the tree parser accepts, at any chunk boundary
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = genDoc(3 + fuzzDepthOff)
+    var seed = Seed(21082026L + fuzzSeedOff)
+    val rnd = new scala.util.Random(77L + fuzzSeedOff)
+    var checked = 0
+    def accepts(bytes: Array[Byte], chunk: Int): Boolean = {
+      val sc = new JsonPushScanner
+      var ok = true
+      bytes.grouped(math.max(1, chunk)).foreach(c => ok = sc.push(c, 0, c.length) && ok)
+      ok && sc.finish()
+    }
+    for (_ <- 0 until 1500 * fuzzMult) {
+      val doc = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val variants = {
+        val t = Json.compact(doc)
+        val b = t.getBytes("UTF-8")
+        val mutated = if (b.isEmpty) b else {
+          val m = b.clone(); m(rnd.nextInt(m.length)) = (rnd.nextInt(255) + 1).toByte; m
+        }
+        Seq(b, mutated, b.take(rnd.nextInt(b.length + 1)))
+      }
+      variants.foreach { bytes =>
+        val expected = Utf8Json.parseOrNull(UTF8String.fromBytes(bytes)) != null
+        Seq(1, 1 + rnd.nextInt(9), 4096).foreach { chunk =>
+          assert(accepts(bytes, chunk) == expected,
+            s"scanner/parser disagree chunk=$chunk on ${new String(bytes, "UTF-8").take(150)}")
+        }
+        checked += 1
+      }
+    }
+    info(s"scanner-vs-parser inputs checked: $checked")
+  }
+
   test("pruned verdict parse == full parse on random (schema, doc) pairs") {
     // the UTF8String overload of isValidText prunes whenever the schema
     // admits it; the String overload always parses fully — they must agree

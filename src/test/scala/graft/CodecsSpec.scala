@@ -153,6 +153,26 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.decodeWav(evilWav))
   }
 
+  test("frame sampling at sub-frame stride walks the real decoded frames") {
+    import graft.operators.Multimodal
+    val m = Multimodal.dataset(SparkTestSession.get, 30).filter(_.kind == "video")
+    val vids = m.collect()
+    assert(vids.nonEmpty)
+    val frames = Multimodal.sampleFrames(m, everyMs = Multimodal.FrameMs).collect()
+    vids.foreach { v =>
+      val mine = frames.filter(_.mediaId == v.mediaId).sortBy(_.frameIdx)
+      val nf = (v.meta.durationMs / Multimodal.FrameMs).toInt
+      assert(mine.length == nf, s"video ${v.mediaId}: ${mine.length} != $nf")
+      // each sampled payload is the REAL decoded frame's RGB prefix
+      val dec = Codecs.decodePpmStream(v.bytes)
+      mine.zipWithIndex.foreach { case (f, i) =>
+        val expect = dec(i).rgb.take(f.bytes.length).map(_.toByte)
+        assert(f.bytes.sameElements(expect), s"video ${v.mediaId} frame $i")
+        assert(f.offsetMs == i * Multimodal.FrameMs)
+      }
+    }
+  }
+
   test("decoded features match the corpus formulas on a spot row") {
     // engine-side end-to-end sanity for one image: decode(encode(formula))
     // equals the formula exactly (the full-corpus version is the driver's

@@ -209,6 +209,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("familiarity: partial-aggregated count/doc exchanges, no cartesian") {
+    val docs = TableIO.readRepoFiles(spark, dir)
+      .select(col("path").as("doc_id"), col("content").as("text"))
+    val p = plan(TextOps.familiarity(docs, docs))
+    // exchanges: trigram-count agg, per-doc-distinct agg, final per-doc agg
+    // (+ possibly a join-side shuffle when the stats veto a broadcast) —
+    // what must NEVER appear is a cartesian product or a data-sized
+    // collect; the frequency join must be keyed
+    assert(!p.contains("CartesianProduct"), s"familiarity must join keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"map-side partials expected:\n$p")
+    val ex = exchanges(p)
+    assert(ex >= 3 && ex <= 6, s"unexpected exchange count $ex:\n$p")
+  }
+
   test("duplicatedSpans: one wordcount-shaped exchange, no window/sort stage") {
     val df = TableIO.readRepoFiles(spark, dir)
       .select(col("path").as("doc_id"), col("content").as("text"))

@@ -42,9 +42,14 @@ final class ChunkedValidation(cs: CompiledSchema) {
   def more(chunk: Array[Byte], off: Int, n: Int): this.type = {
     require(!closed, "more() after close()")
     if (grammarAlive) {
-      if (len + n > buf.length) {
-        val grown = new Array[Byte](
-          math.max(buf.length * 2, len + n))
+      if (len.toLong + n > buf.length) {
+        // long math: doubling past 1 GiB must saturate at the array cap,
+        // not wrap negative
+        val want = math.max(buf.length * 2L, len.toLong + n)
+        if (want > Int.MaxValue - 8)
+          throw new IllegalArgumentException(
+            s"document exceeds the ${Int.MaxValue - 8}-byte buffer cap")
+        val grown = new Array[Byte](want.toInt)
         System.arraycopy(buf, 0, grown, 0, len)
         buf = grown
       }

@@ -44,11 +44,13 @@ final class ChunkedValidation(cs: CompiledSchema) {
     if (grammarAlive) {
       if (len.toLong + n > buf.length) {
         // long math: doubling past 1 GiB must saturate at the array cap,
-        // not wrap negative
-        val want = math.max(buf.length * 2L, len.toLong + n)
-        if (want > Int.MaxValue - 8)
+        // not wrap negative — and only the NEEDED size is capped, so a
+        // document that fits the cap is accepted however it is chunked
+        val need = len.toLong + n
+        if (need > Int.MaxValue - 8)
           throw new IllegalArgumentException(
             s"document exceeds the ${Int.MaxValue - 8}-byte buffer cap")
+        val want = math.min(math.max(buf.length * 2L, need), (Int.MaxValue - 8).toLong)
         val grown = new Array[Byte](want.toInt)
         System.arraycopy(buf, 0, grown, 0, len)
         buf = grown

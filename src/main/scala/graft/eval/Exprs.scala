@@ -170,8 +170,12 @@ case class Sha256MatchesExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** See [[Exprs.verdictSha]]. Null content ⇒ 0 (fails both invariants, like
-  * the unfused pair: validateBool is false on null, sha can't match). */
+/** See [[Exprs.verdictSha]]. Bit 0 = schema pass (false on null content,
+  * like `validateBool`); bit 1 = digest matches; bit 2 = the digest check
+  * was APPLICABLE (both content and expected digest non-null). The unfused
+  * pair's `sha256Matches` is null-propagating, so `when(!_shaOk)` skips
+  * null-input rows — consumers must count a sha failure only when bit 2 is
+  * set and bit 1 is clear to match that contract exactly. */
 case class VerdictShaExpr(left: Expression, right: Expression,
                           schema: CompiledSchema)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -186,9 +190,11 @@ case class VerdictShaExpr(left: Expression, right: Expression,
       val u = c.asInstanceOf[UTF8String]
       val pass = RowEval.isValidText(schema, u)
       val e = right.eval(input)
-      val sha = e != null &&
-        Sha256MatchesExpr.matches(u, e.asInstanceOf[UTF8String])
-      java.lang.Integer.valueOf((if (pass) 1 else 0) | (if (sha) 2 else 0))
+      val sha =
+        if (e == null) 0
+        else if (Sha256MatchesExpr.matches(u, e.asInstanceOf[UTF8String])) 6
+        else 4
+      java.lang.Integer.valueOf((if (pass) 1 else 0) | sha)
     }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -167,7 +167,12 @@ object Codecs {
     if (w <= 0 || h <= 0) fail(s"unsupported PPM dims ${w}x$h")
     if (maxv != 255) fail(s"unsupported PPM maxval $maxv")
     if (p >= b.length) fail("truncated PPM header")
-    p += 1 // exactly one whitespace byte after maxval, per the spec
+    // exactly one whitespace byte after maxval, per the spec — verify it
+    // IS whitespace, or the first pixel byte would be silently consumed
+    val sep = b(p)
+    if (sep != ' ' && sep != '\t' && sep != '\r' && sep != '\n')
+      fail("PPM: expected whitespace after maxval")
+    p += 1
     // long arithmetic: header-declared dims are untrusted — the bounds
     // check must not overflow into accepting a giant or negative size
     val nbL = w.toLong * h * 3

@@ -260,7 +260,8 @@ object Validate {
         sum(when(col("_scoped") && col("_vs").bitwiseAND(1) === 0, 1L)
           .otherwise(0L)).as("failed"),
         sum(col("_bytes")).as("bytes"),
-        sum(when(col("_vs").bitwiseAND(2) === 0, 1L).otherwise(0L)).as("sha256Failures"))
+        sum(when(col("_vs").bitwiseAND(4) === 4 && col("_vs").bitwiseAND(2) === 0,
+          1L).otherwise(0L)).as("sha256Failures"))
       .as[PartitionSummary]
   }
 

@@ -92,6 +92,27 @@ class RepoFilesSpec extends AnyFunSuite {
     assert(s.map(_.passed).sum + expectedFailing == s.map(_.validated).sum)
   }
 
+  test("fused summary ≡ unfused summary, including null content/digest rows") {
+    import spark.implicits._
+    // corpus + adversarial null rows: null content, null digest, both null —
+    // the null-propagating unfused sha check skips them; the fused bitfield
+    // must agree on every aggregate column
+    val nulls = Seq(
+      ("r0", "p_nullc", "c000", "json", null.asInstanceOf[String], "ab" * 32),
+      ("r0", "p_nulls", "c000", "json", "{\"k\":1}", null.asInstanceOf[String]),
+      ("r0", "p_nullb", "c000", "json", null.asInstanceOf[String],
+        null.asInstanceOf[String]))
+      .toDF("repo", "path", "commit", "lang", "content", "sha256")
+    val t = df.select("repo", "path", "commit", "lang", "content", "sha256")
+      .unionByName(nulls).repartition(7)
+    def totals(s: Seq[graft.operators.PartitionSummary]) =
+      (s.map(_.rows).sum, s.map(_.validated).sum, s.map(_.passed).sum,
+        s.map(_.failed).sum, s.map(_.sha256Failures).sum)
+    val a = totals(Validate.partitionSummary(t, cs).collect().toSeq)
+    val b = totals(Validate.partitionSummaryFused(t, cs).collect().toSeq)
+    assert(a == b)
+  }
+
   test("TableIO round-trips the commit-partitioned layout") {
     val dir = java.nio.file.Files.createTempDirectory("repofiles").toString
     TableIO.writeRepoFiles(RepoFiles.dataset(spark, 200L), dir)

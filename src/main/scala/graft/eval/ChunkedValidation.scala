@@ -9,33 +9,54 @@ import graft.schema.CompiledSchema
   * in arbitrary byte chunks, each `more` advances validation, `close`
   * delivers the verdict.
   *
-  * Incrementality contract, stated honestly:
+  * Incrementality contract — BOTH halves advance per chunk:
   *  - the GRAMMAR is validated as bytes arrive ([[JsonPushScanner]],
   *    O(depth) state, strict RFC 8259 — identical acceptance to the
   *    engine's parsers): a malformed document is rejected at the byte that
-  *    kills it, after which `more` is a cheap no-op (`alive` false lets a
-  *    caller stop feeding — jvst's early-failure behavior);
-  *  - CONSTRAINT evaluation runs once at `close` over the buffered bytes
-  *    via the same [[RowEval]] path every other surface uses, so the
-  *    verdict is bit-identical to whole-document validation. In the Spark
-  *    engine rows arrive whole (a content cell is bounded far below any
-  *    size where deferred evaluation could matter); this surface exists for
-  *    API-contract parity and for driver-free callers feeding sockets or
-  *    files larger than they want to hand over in one call.
+  *    kills it;
+  *  - CONSTRAINT state advances on the same pass ([[PushEval]] fed by the
+  *    scanner's token events): a document whose constraint verdict is
+  *    already decided reports INVALID before end of input — jvst's
+  *    `jvst_validate_more` early-exit semantics. `alive` turning false
+  *    tells the caller it may stop feeding. Early rejection is SOUND
+  *    (invariant under any completion of the stream — see [[PushEval]] for
+  *    the duplicate-key holdback rule; [[provisionallyInvalid]] exposes the
+  *    jvst-style eager signal for callers whose producers never emit
+  *    duplicate keys).
+  *
+  * A document fed to completion yields a verdict and violation rows
+  * BIT-IDENTICAL to whole-document validation: the incremental evaluator's
+  * leaf decisions are RowEval's own code over values materialized from the
+  * token stream, it defers to a close-time [[RowEval]] pass over the
+  * buffered bytes whenever it voids itself ([[PushEval.needsFallback]]),
+  * and labeled violations (the failing minority) always come from that
+  * pass. Bytes are buffered for exactly that purpose.
   *
   * Single-use: after `close`, feed a new document through a new instance
   * (`jvst_validate_init` ≙ `new ChunkedValidation(cs)`).
   */
 final class ChunkedValidation(cs: CompiledSchema) {
 
-  private val scanner = new JsonPushScanner
+  private val push = new PushEval(cs)
+  private val scanner = new JsonPushScanner(push)
   private var buf = new Array[Byte](256)
   private var len = 0
   private var closed = false
 
-  /** False once the document is already known malformed (grammar). */
-  def alive: Boolean = grammarAlive
+  /** False once the verdict is already decided: the grammar rejected the
+    * document, or the constraint evaluator soundly rejected it early. A
+    * caller may stop feeding; continuing to feed a constraint-rejected
+    * document is still allowed (and upgrades `close()` to full labeled
+    * violations). */
+  def alive: Boolean = grammarAlive && !push.decidedInvalid
   private var grammarAlive = true
+
+  /** Constraint verdict resolved INVALID but is held for possible
+    * duplicate-key re-binding in a still-open object (see [[PushEval]]). */
+  def provisionallyInvalid: Boolean = push.provisionallyInvalid
+
+  /** Sound early INVALID: no completion of the stream can validate. */
+  def decidedInvalid: Boolean = push.decidedInvalid
 
   def more(chunk: Array[Byte]): this.type = more(chunk, 0, chunk.length)
 
@@ -63,17 +84,31 @@ final class ChunkedValidation(cs: CompiledSchema) {
   }
 
   /** Verdict + labeled violations (empty seq = valid). A document the
-    * scanner killed reports the single grammar violation without running
-    * the evaluator; otherwise the buffered bytes go through the standard
-    * whole-document path. */
+    * scanner killed reports the single grammar violation; a document the
+    * constraint evaluator soundly rejected before its final byte reports
+    * the early-decision marker (feed to completion for full labels);
+    * otherwise the verdict is the incremental evaluator's, with labeled
+    * violations (and the evaluator's documented fallback cases) delegated
+    * to the standard whole-document path over the buffered bytes. */
   def close(): Seq[Fail] = {
     require(!closed, "close() called twice")
     closed = true
-    if (!grammarAlive || !scanner.finish())
+    if (!grammarAlive)
       return Vector(Fail("_parse.json",
         "malformed JSON document (rejected by streaming grammar scan)"))
-    RowEval.validateText(cs,
-      org.apache.spark.unsafe.types.UTF8String.fromBytes(buf, 0, len))
+    if (scanner.finish()) {
+      push.result() match {
+        case StreamEval.VerdictValid => Vector.empty
+        case _ => // invalid (labels needed) or fallback: whole-doc authority
+          RowEval.validateText(cs,
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(buf, 0, len))
+      }
+    } else if (push.decidedInvalid)
+      Vector(Fail("_early.invalid",
+        "constraints rejected the document before end of input"))
+    else
+      Vector(Fail("_parse.json",
+        "malformed JSON document (rejected by streaming grammar scan)"))
   }
 
   /** Boolean verdict convenience (jvst exit-code shape). */

@@ -1,0 +1,554 @@
+package graft.eval
+
+import graft.json._
+import graft.schema.{CPlan, CompiledSchema}
+import scala.collection.mutable.ArrayBuffer
+
+/** Incremental (push-mode) constraint evaluator — the engine's analog of
+  * jvst's suspended VM: constraint state advances as tokens arrive from the
+  * chunk feed, and a document whose verdict is already decided reports
+  * INVALID before end of input (`jvst_validate_more` semantics,
+  * reference:src/validate.c + validate_vm.c [R]).
+  *
+  * Architecture: the compiled plan is decomposed STRUCTURALLY at each
+  * container value — combinators (`allOf`/`anyOf`/`oneOf`/`not`/`$ref`)
+  * become a result-combination tree evaluated in parallel over the one
+  * token stream; `properties`/`patternProperties`/`additionalProperties`
+  * and `items`/`additionalItems` forward their sub-plans to child values as
+  * the children begin; everything anchored at a value that cannot be
+  * decided structurally (`enum`, `required`, `dependencies`, property
+  * counts on objects) is evaluated at that value's CLOSE by delegating to
+  * [[RowEval.check]] over the value materialized from the same token
+  * stream. Because every leaf decision is RowEval's own code over the same
+  * JValue the tree parser would build, the end-of-document verdict is
+  * bit-identical to whole-document evaluation by construction (asserted by
+  * the chunked differentials over the embedded suite + corpus).
+  *
+  * Early INVALID is SOUND, never speculative. Two sources of
+  * non-monotonicity are handled explicitly:
+  *  - duplicate object keys: the engine's document semantics are last-wins
+  *    ([[graft.json.JFields]]), so a later duplicate can re-bind a subtree
+  *    a forwarded sub-plan already failed on. Values materialized at close
+  *    dedup exactly like the tree parser (no issue); only per-occurrence
+  *    property FORWARDS are sensitive, so a duplicate key in a frame with
+  *    property forwards voids incremental state entirely
+  *    ([[needsFallback]] — close-time RowEval is then the authority), and
+  *    a root-false decision reached while such a frame is still open is
+  *    held PROVISIONAL ([[provisionallyInvalid]]) until the outermost open
+  *    forwarded-object frame closes without duplicates, at which point it
+  *    becomes final ([[decidedInvalid]]). A decision with no open
+  *    forwarded-object ancestor (root type mismatch, a failing element of
+  *    a root-level array — the common streaming shapes) is final
+  *    immediately.
+  *  - disjunction: `anyOf`/`oneOf`/`not` nodes report upward only once
+  *    their own outcome is decided, so a root-false is a true resolution
+  *    of the whole combination tree, not a failed branch.
+  *
+  * Strings/keys arrive as raw quoted spans and are decoded by the engine's
+  * own string parser; malformed UTF-8 (which the byte parsers decode with
+  * replacement) flips [[needsFallback]] rather than risking a decode
+  * mismatch. Any internal failure does the same — the surface's close-time
+  * RowEval pass can always take over, so incremental evaluation can reject
+  * early but can never corrupt a verdict.
+  *
+  * Single document, single-threaded, driven by [[graft.json.JsonPushScanner]]
+  * (which owns grammar rejection; this sink only ever sees tokens of a
+  * prefix-valid document).
+  */
+final class PushEval(cs: CompiledSchema) extends JsonSink {
+  import CPlan._
+  import PushEval._
+
+  private var fallback = false
+  private var pendingInvalid = false
+  private var finalInvalid = false
+  private var barrier: Frame = null
+  private val root = new RootNode(this)
+  private val frames = new ArrayBuffer[Frame](16)
+  private var rootBinds: ArrayBuffer[Bind] = {
+    val b = new ArrayBuffer[Bind](1)
+    b += new Bind(cs.root, root, 0)
+    b
+  }
+
+  /** Incremental state was voided (duplicate key under property forwards,
+    * malformed UTF-8, internal guard): the caller's close-time RowEval pass
+    * over the buffered bytes is the verdict authority. */
+  def needsFallback: Boolean = fallback
+
+  /** Sound early verdict: the document is invalid whatever bytes follow. */
+  def decidedInvalid: Boolean = finalInvalid && !fallback
+
+  /** The combination tree resolved false, but an open object frame with
+    * property forwards could still re-bind (last-wins duplicate keys) the
+    * evidence — a caller that KNOWS its producer never emits duplicate
+    * keys may treat this as jvst-style early INVALID. */
+  def provisionallyInvalid: Boolean = !fallback && (pendingInvalid || finalInvalid)
+
+  /** After the final token (scanner `finish()` true):
+    * [[StreamEval.VerdictValid]] / [[StreamEval.VerdictInvalid]] /
+    * [[StreamEval.VerdictFallback]]. */
+  def result(): Int =
+    if (fallback) StreamEval.VerdictFallback
+    else if (!root.done) StreamEval.VerdictFallback // guard: incomplete feed
+    else if (root.result) StreamEval.VerdictValid
+    else StreamEval.VerdictInvalid
+
+  // ------------------------------------------------------------- plumbing
+
+  private[eval] def rootDecided(r: Boolean): Unit =
+    if (!r && !finalInvalid) {
+      pendingInvalid = true
+      // outermost OPEN object frame with property forwards: only there can
+      // a later duplicate key re-bind the subtree the decision came from
+      var i = 0
+      var b: Frame = null
+      while (b == null && i < frames.length) {
+        val f = frames(i)
+        if (f.isObj && f.seen != null) b = f
+        i += 1
+      }
+      if (b == null) finalInvalid = true else barrier = b
+    }
+
+  private def frameClosed(f: Frame): Unit =
+    if ((f eq barrier) && pendingInvalid && !fallback) {
+      finalInvalid = true
+      barrier = null
+    }
+
+  @inline private def giveUp: Boolean = fallback || finalInvalid
+
+  // ------------------------------------------------------------ the sink
+
+  override def objStart(): Unit = if (!giveUp) {
+    try containerStart(isObj = true)
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def arrStart(): Unit = if (!giveUp) {
+    try containerStart(isObj = false)
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def objEnd(): Unit = if (!giveUp) {
+    try containerEnd()
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def arrEnd(): Unit = if (!giveUp) {
+    try containerEnd()
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def key(raw: Array[Byte], len: Int): Unit = if (!giveUp) {
+    try keyEvent(raw, len)
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def str(raw: Array[Byte], len: Int): Unit = if (!giveUp) {
+    try scalarEvent(() => parseStringToken(raw, len))
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def num(ascii: String): Unit = if (!giveUp) {
+    try scalarEvent(() => Json.parse(ascii))
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def bool(b: Boolean): Unit = if (!giveUp) {
+    try scalarEvent(() => JBool(b))
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+  override def nul(): Unit = if (!giveUp) {
+    try scalarEvent(() => JNull)
+    catch { case t: Throwable if guardable(t) => fallback = true }
+  }
+
+  private def guardable(t: Throwable): Boolean = t match {
+    case _: StackOverflowError => true
+    case _: Error => false
+    case _ => true
+  }
+
+  // --------------------------------------------------------- value begin
+
+  /** Binds for the value that is starting now (null = unconstrained). */
+  private def beginValue(): ArrayBuffer[Bind] = {
+    if (frames.isEmpty) { val b = rootBinds; rootBinds = null; b }
+    else {
+      val f = frames(frames.length - 1)
+      if (f.isObj) { val s = f.staged; f.staged = null; s }
+      else {
+        var binds: ArrayBuffer[Bind] = null
+        if (f.countW != null) {
+          val started = f.index + 1
+          var i = 0
+          while (i < f.countW.length) { f.countW(i).onBegin(started); i += 1 }
+        }
+        if (f.itemsW != null) {
+          var i = 0
+          while (i < f.itemsW.length) {
+            val w = f.itemsW(i)
+            val p =
+              if (w.all != null) w.all
+              else if (f.index < w.tuple.length) w.tuple(f.index)
+              else w.additional
+            if (p != null) {
+              w.and.grow()
+              if (binds == null) binds = new ArrayBuffer[Bind](2)
+              binds += new Bind(p, w.and, w.rd)
+            }
+            i += 1
+          }
+        }
+        binds
+      }
+    }
+  }
+
+  private def scalarEvent(mk: () => JValue): Unit = {
+    val binds = beginValue()
+    val f = if (frames.isEmpty) null else frames(frames.length - 1)
+    val need = (binds != null && binds.nonEmpty) || (f != null && f.mat)
+    val v = if (need) mk() else null
+    if (need && v == null) return // decode voided incremental state
+    if (binds != null) {
+      var i = 0
+      while (i < binds.length) {
+        val b = binds(i)
+        b.parent.child(RowEval.check(b.plan, v, cs, b.rd))
+        i += 1
+      }
+    }
+    completeChild(v)
+  }
+
+  private def containerStart(isObj: Boolean): Unit = {
+    val binds = beginValue()
+    val parentMat = frames.nonEmpty && frames(frames.length - 1).mat
+    val f = new Frame(isObj)
+    frames += f
+    if (binds != null) {
+      var i = 0
+      while (i < binds.length) {
+        val b = binds(i)
+        expand(b.plan, b.parent, b.rd, f)
+        i += 1
+      }
+    }
+    f.mat = parentMat || f.closeChecks != null || f.uniqueW != null
+    if (f.propsW != null) f.seen = new java.util.HashSet[String](8)
+    if (f.mat) {
+      if (isObj) f.objB = new JFields.Builder else f.arrB = new ArrayBuffer[JValue](8)
+    }
+  }
+
+  private def containerEnd(): Unit = {
+    val f = frames.remove(frames.length - 1)
+    if (f.propsW != null) { var i = 0; while (i < f.propsW.length) { f.propsW(i).and.seal(); i += 1 } }
+    if (f.itemsW != null) { var i = 0; while (i < f.itemsW.length) { f.itemsW(i).and.seal(); i += 1 } }
+    if (f.countW != null) { var i = 0; while (i < f.countW.length) { f.countW(i).onEnd(f.index); i += 1 } }
+    if (f.uniqueW != null) { var i = 0; while (i < f.uniqueW.length) { f.uniqueW(i).onEnd(); i += 1 } }
+    val v: JValue =
+      if (!f.mat) null
+      else if (f.isObj) JObj(f.objB.result())
+      else JArr(f.arrB.toVector)
+    if (f.closeChecks != null) {
+      var i = 0
+      while (i < f.closeChecks.length) {
+        val c = f.closeChecks(i)
+        c.parent.child(RowEval.check(c.plan, v, cs, c.rd))
+        i += 1
+      }
+    }
+    frameClosed(f)
+    completeChild(v)
+  }
+
+  private def completeChild(v: JValue): Unit = {
+    if (frames.isEmpty) return
+    val f = frames(frames.length - 1)
+    if (f.isObj) {
+      if (f.objB != null) f.objB.add(f.curKey, v)
+    } else {
+      if (f.arrB != null) f.arrB += v
+      if (f.uniqueW != null) {
+        var i = 0
+        while (i < f.uniqueW.length) { f.uniqueW(i).onElem(v); i += 1 }
+      }
+      f.index += 1
+    }
+  }
+
+  private def keyEvent(raw: Array[Byte], len: Int): Unit = {
+    val f = frames(frames.length - 1)
+    f.staged = null
+    if (f.objB == null && f.propsW == null && f.seen == null) { f.curKey = null; return }
+    val js = parseStringToken(raw, len)
+    if (js == null) return // decode voided incremental state
+    val k = js.value
+    f.curKey = k
+    if (f.seen != null && !f.seen.add(k)) { fallback = true; return }
+    if (f.propsW != null) {
+      var staged: ArrayBuffer[Bind] = null
+      @inline def stage(p: CPlan, w: PropsW): Unit = {
+        w.and.grow()
+        if (staged == null) staged = new ArrayBuffer[Bind](2)
+        staged += new Bind(p, w.and, w.rd)
+      }
+      var i = 0
+      while (i < f.propsW.length) {
+        val w = f.propsW(i)
+        var applied = false
+        val named = w.plan.propsJ.get(k)
+        if (named != null) { applied = true; stage(named, w) }
+        val pats = w.plan.patternsC
+        var p = 0
+        while (p < pats.length) {
+          val cp = pats(p)
+          if (cp._1.find(k)) { applied = true; stage(cp._2, w) }
+          p += 1
+        }
+        if (!applied && w.plan.additionalOrNull != null) stage(w.plan.additionalOrNull, w)
+        i += 1
+      }
+      f.staged = staged
+    }
+  }
+
+  // ---------------------------------------------------------- expansion
+
+  /** Decompose `p` against the container value whose frame `f` just
+    * opened. Kind-decidable leaves decide now; per-child constraints
+    * become forwards; everything else waits for the materialized value at
+    * frame close (delegated to RowEval — exact by construction). */
+  private def expand(p: CPlan, parent: Node, rd: Int, f: Frame): Unit = p match {
+    case Valid   => parent.child(true)
+    case Invalid => parent.child(false)
+    case t: TypeIs =>
+      parent.child((t.mask & (if (f.isObj) 32 else 16)) != 0)
+    case ao: AllOf =>
+      val n = new AndNode(parent, ao.subsArr.length, open0 = false)
+      var i = 0
+      while (i < ao.subsArr.length) { expand(ao.subsArr(i), n, rd, f); i += 1 }
+    case ao: AnyOf =>
+      val n = new OrNode(parent, ao.subsArr.length)
+      var i = 0
+      while (i < ao.subsArr.length) { expand(ao.subsArr(i), n, rd, f); i += 1 }
+    case oo: OneOf =>
+      val n = new OneNode(parent, oo.subsArr.length)
+      var i = 0
+      while (i < oo.subsArr.length) { expand(oo.subsArr(i), n, rd, f); i += 1 }
+    case Not(s) => expand(s, new NotNode(parent), rd, f)
+    case r: Ref =>
+      if (rd >= RowEval.MaxRefDepth) parent.child(false)
+      else expand(r.deref(cs), parent, rd + 1, f)
+    case pr: Props =>
+      if (!f.isObj) parent.child(true)
+      else {
+        val a = new AndNode(parent, 0, open0 = true)
+        if (f.propsW == null) f.propsW = new ArrayBuffer[PropsW](2)
+        f.propsW += new PropsW(pr, a, rd)
+      }
+    case ia: ItemsAll =>
+      if (f.isObj) parent.child(true)
+      else {
+        val a = new AndNode(parent, 0, open0 = true)
+        if (f.itemsW == null) f.itemsW = new ArrayBuffer[ItemsW](2)
+        f.itemsW += new ItemsW(ia.sub, null, null, a, rd)
+      }
+    case it: ItemsTuple =>
+      if (f.isObj) parent.child(true)
+      else {
+        val a = new AndNode(parent, 0, open0 = true)
+        if (f.itemsW == null) f.itemsW = new ArrayBuffer[ItemsW](2)
+        f.itemsW += new ItemsW(null, it.subs.toArray, it.additional.orNull, a, rd)
+      }
+    case ic: ItemCount =>
+      if (f.isObj) parent.child(true)
+      else {
+        if (f.countW == null) f.countW = new ArrayBuffer[CountW](2)
+        f.countW += new CountW(ic.min.getOrElse(-1), ic.max.getOrElse(-1), parent)
+      }
+    case UniqueItems =>
+      if (f.isObj) parent.child(true)
+      else {
+        if (f.uniqueW == null) f.uniqueW = new ArrayBuffer[UniqueW](2)
+        f.uniqueW += new UniqueW(parent)
+      }
+    case _: Required | _: PropCount | _: Dependencies =>
+      if (!f.isObj) parent.child(true)
+      else addCloseCheck(f, p, parent, rd)
+    case _: InEnum => addCloseCheck(f, p, parent, rd)
+    case _: StrPattern | _: StrLen | _: NumRange | _: NumMultipleOf =>
+      parent.child(true) // string/number keywords are vacuous on containers
+  }
+
+  private def addCloseCheck(f: Frame, p: CPlan, parent: Node, rd: Int): Unit = {
+    if (f.closeChecks == null) f.closeChecks = new ArrayBuffer[CloseCheck](2)
+    f.closeChecks += new CloseCheck(p, parent, rd)
+  }
+
+  // ------------------------------------------------------- token decode
+
+  /** Raw quoted span → JStr with the engine's own decode; null (+fallback)
+    * on UTF-8 the tree parsers would decode with replacement. */
+  private def parseStringToken(raw: Array[Byte], len: Int): JStr = {
+    if (!utf8Valid(raw, len)) { fallback = true; return null }
+    val s = new String(raw, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+    var esc = false
+    var i = 1
+    val stop = len - 1
+    while (!esc && i < stop) { if (raw(i) == '\\') esc = true; i += 1 }
+    if (!esc) JStr(s.substring(1, s.length - 1))
+    else Json.parse(s) match {
+      case j: JStr => j
+      case _ => fallback = true; null
+    }
+  }
+
+  /** Strict UTF-8 well-formedness (rejects overlongs, surrogates, >U+10FFFF
+    * — everything Java replaces rather than decodes exactly). */
+  private def utf8Valid(b: Array[Byte], len: Int): Boolean = {
+    var i = 0
+    while (i < len) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false
+      else if (c < 0xe0) {
+        if (i + 1 >= len || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) {
+        if (i + 2 >= len) return false
+        val b1 = b(i + 1) & 0xff
+        val lo = if (c == 0xe0) 0xa0 else 0x80
+        val hi = if (c == 0xed) 0x9f else 0xbf
+        if (b1 < lo || b1 > hi || (b(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (c < 0xf5) {
+        if (i + 3 >= len) return false
+        val b1 = b(i + 1) & 0xff
+        val lo = if (c == 0xf0) 0x90 else 0x80
+        val hi = if (c == 0xf4) 0x8f else 0xbf
+        if (b1 < lo || b1 > hi || (b(i + 2) & 0xc0) != 0x80 ||
+            (b(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+}
+
+object PushEval {
+
+  /** One open container: watchers discovered by expansion, the
+    * materialization builder (only when some pending decision needs the
+    * value — unconstrained subtrees build nothing), duplicate-key tracking
+    * (only under property forwards), and the binds staged for the next
+    * child value. */
+  private[eval] final class Frame(val isObj: Boolean) {
+    var propsW: ArrayBuffer[PropsW] = null
+    var itemsW: ArrayBuffer[ItemsW] = null
+    var closeChecks: ArrayBuffer[CloseCheck] = null
+    var countW: ArrayBuffer[CountW] = null
+    var uniqueW: ArrayBuffer[UniqueW] = null
+    var objB: JFields.Builder = null
+    var arrB: ArrayBuffer[JValue] = null
+    var seen: java.util.HashSet[String] = null
+    var curKey: String = null
+    var index: Int = 0 // completed elements (arrays)
+    var staged: ArrayBuffer[Bind] = null
+    var mat: Boolean = false
+  }
+
+  private[eval] final class Bind(val plan: CPlan, val parent: Node, val rd: Int)
+
+  /** Result-combination tree. Children report exactly once; nodes report
+    * upward exactly once, as soon as their outcome is decided. */
+  private[eval] sealed abstract class Node {
+    var done = false
+    def child(r: Boolean): Unit
+  }
+
+  private[eval] final class RootNode(pe: PushEval) extends Node {
+    var result = false
+    def child(r: Boolean): Unit =
+      if (!done) { done = true; result = r; pe.rootDecided(r) }
+  }
+
+  /** AND with optional dynamic arity: `open0 = true` starts open (children
+    * added via [[grow]] until [[seal]]); a static AllOf passes its arity and
+    * stays closed. Empty-and-closed is vacuously true. */
+  private[eval] final class AndNode(parent: Node, initial: Int,
+                                    open0: Boolean) extends Node {
+    private var pending = initial
+    private var open = open0
+    if (!open && pending == 0) { done = true; parent.child(true) }
+    def grow(): Unit = if (!done) pending += 1
+    def seal(): Unit = if (!done) {
+      open = false
+      if (pending == 0) { done = true; parent.child(true) }
+    }
+    def child(r: Boolean): Unit = if (!done) {
+      if (!r) { done = true; parent.child(false) }
+      else {
+        pending -= 1
+        if (pending == 0 && !open) { done = true; parent.child(true) }
+      }
+    }
+  }
+
+  private[eval] final class OrNode(parent: Node, arity: Int) extends Node {
+    private var pending = arity
+    if (pending == 0) { done = true; parent.child(false) }
+    def child(r: Boolean): Unit = if (!done) {
+      if (r) { done = true; parent.child(true) }
+      else {
+        pending -= 1
+        if (pending == 0) { done = true; parent.child(false) }
+      }
+    }
+  }
+
+  private[eval] final class OneNode(parent: Node, arity: Int) extends Node {
+    private var pending = arity
+    private var trues = 0
+    if (pending == 0) { done = true; parent.child(false) }
+    def child(r: Boolean): Unit = if (!done) {
+      if (r) {
+        trues += 1
+        if (trues == 2) { done = true; parent.child(false); return }
+      }
+      pending -= 1
+      if (pending == 0) { done = true; parent.child(trues == 1) }
+    }
+  }
+
+  private[eval] final class NotNode(parent: Node) extends Node {
+    def child(r: Boolean): Unit =
+      if (!done) { done = true; parent.child(!r) }
+  }
+
+  private[eval] final class PropsW(val plan: CPlan.Props, val and: AndNode,
+                                   val rd: Int)
+  private[eval] final class ItemsW(val all: CPlan, val tuple: Array[CPlan],
+                                   val additional: CPlan, val and: AndNode,
+                                   val rd: Int)
+  private[eval] final class CloseCheck(val plan: CPlan, val parent: Node,
+                                       val rd: Int)
+
+  /** minItems/maxItems with early max rejection (counts occurrences —
+    * exact for arrays). -1 = unbounded. */
+  private[eval] final class CountW(min: Int, max: Int, parent: Node) {
+    private var done = false
+    def onBegin(started: Int): Unit =
+      if (!done && max >= 0 && started > max) { done = true; parent.child(false) }
+    def onEnd(n: Int): Unit =
+      if (!done) { done = true; parent.child((min < 0 || n >= min) && (max < 0 || n <= max)) }
+  }
+
+  /** uniqueItems with early duplicate rejection over canonical forms of
+    * materialized elements (canonicalization dedups object keys exactly
+    * like the tree parser, so this is duplicate-key-safe). */
+  private[eval] final class UniqueW(parent: Node) {
+    private var done = false
+    private val seen = new java.util.HashSet[String](8)
+    def onElem(v: JValue): Unit =
+      if (!done && !seen.add(Json.canonical(v))) { done = true; parent.child(false) }
+    def onEnd(): Unit = if (!done) { done = true; parent.child(true) }
+  }
+}

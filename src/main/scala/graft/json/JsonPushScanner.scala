@@ -1,5 +1,29 @@
 package graft.json
 
+/** Token-event receiver for [[JsonPushScanner]]. Events fire in document
+  * order as bytes arrive; string/key payloads are RAW spans INCLUDING the
+  * surrounding quotes (escapes undecoded, bytes exactly as fed) so a
+  * receiver can hand them to the engine's own string parser and inherit its
+  * decode semantics bit-for-bit. The byte buffer is reused between events —
+  * receivers must consume (or copy) it before returning. No event is ever
+  * emitted for a token the grammar ultimately rejects mid-token; container
+  * events are balanced only on documents the scanner accepts to the end.
+  */
+trait JsonSink {
+  def objStart(): Unit
+  def objEnd(): Unit
+  def arrStart(): Unit
+  def arrEnd(): Unit
+  /** Object key, raw span including quotes. */
+  def key(raw: Array[Byte], len: Int): Unit
+  /** String value, raw span including quotes. */
+  def str(raw: Array[Byte], len: Int): Unit
+  /** Number value, ASCII text exactly as written. */
+  def num(ascii: String): Unit
+  def bool(b: Boolean): Unit
+  def nul(): Unit
+}
+
 /** Push-mode JSON grammar scanner: bytes arrive in arbitrary chunks, state
   * is O(container depth), and rejection is sound — `push` returns false
   * only for inputs [[Utf8Json]] would also reject (same strict RFC 8259
@@ -8,14 +32,18 @@ package graft.json
   * boundaries). The chunk-feed validation surface
   * ([[graft.eval.ChunkedValidation]]) uses it to fail malformed documents
   * AS THE BYTES ARRIVE — the incremental half of the reference's
-  * `jvst_validate_init/_more/_close` contract — while constraint
-  * evaluation itself runs once at close.
+  * `jvst_validate_init/_more/_close` contract — and, when constructed with
+  * a [[JsonSink]], feeds the token stream to the incremental constraint
+  * evaluator ([[graft.eval.PushEval]]) so constraint state advances per
+  * chunk too.
   *
   * Bytes ≥ 0x80 are string content, never validated as UTF-8 (the parsers
   * decode with replacement — a scanner rejecting bad UTF-8 would reject
   * documents the engine accepts).
   */
-final class JsonPushScanner {
+final class JsonPushScanner(sink: JsonSink) {
+
+  def this() = this(null)
 
   import JsonPushScanner._
 
@@ -28,6 +56,18 @@ final class JsonPushScanner {
   private var uLeft = 0 // hex digits still expected in a \\u escape
   private var dead = false
   private var started = false // a top-level value has begun
+
+  private val hasSink = sink ne null
+  // reused raw-token buffer (string/key spans incl. quotes; number ASCII)
+  private var tok: Array[Byte] = if (hasSink) new Array[Byte](64) else null
+  private var tokLen = 0
+  @inline private def tokAdd(c: Int): Unit = {
+    if (tokLen == tok.length) tok = java.util.Arrays.copyOf(tok, tokLen * 2)
+    tok(tokLen) = c.toByte
+    tokLen += 1
+  }
+  @inline private def numText(): String =
+    new String(tok, 0, tokLen, java.nio.charset.StandardCharsets.US_ASCII)
 
   private def inObject: Boolean =
     depth > 0 && (stack((depth - 1) >> 6) & (1L << ((depth - 1) & 63))) != 0
@@ -56,63 +96,106 @@ final class JsonPushScanner {
 
     s match {
       case InString | InKey =>
-        if (c == '"') s = if (s == InKey) ExpectColon else afterValue()
-        else if (c == '\\') s = if (s == InKey) KeyEscape else StrEscape
+        if (c == '"') {
+          if (hasSink) {
+            tokAdd('"')
+            if (s == InKey) sink.key(tok, tokLen) else sink.str(tok, tokLen)
+          }
+          s = if (s == InKey) ExpectColon else afterValue()
+        }
+        else if (c == '\\') {
+          if (hasSink) tokAdd(c)
+          s = if (s == InKey) KeyEscape else StrEscape
+        }
         else if (c < 0x20) ok = false // raw control char
+        else if (hasSink) tokAdd(c)
       case StrEscape | KeyEscape =>
         val key = s == KeyEscape
         c match {
           case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' =>
+            if (hasSink) tokAdd(c)
             s = if (key) InKey else InString
-          case 'u' => uLeft = 4; s = if (key) KeyU else StrU
+          case 'u' =>
+            if (hasSink) tokAdd(c)
+            uLeft = 4; s = if (key) KeyU else StrU
           case _ => ok = false
         }
       case StrU | KeyU =>
         val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
           (c >= 'A' && c <= 'F')
         if (!hex) ok = false
-        else { uLeft -= 1; if (uLeft == 0) s = if (s == KeyU) InKey else InString }
+        else {
+          if (hasSink) tokAdd(c)
+          uLeft -= 1; if (uLeft == 0) s = if (s == KeyU) InKey else InString
+        }
       case InLiteral =>
         if (litPos < literal.length && c == literal.charAt(litPos)) {
           litPos += 1
-          if (litPos == literal.length) { literal = null; s = afterValue() }
+          if (litPos == literal.length) {
+            if (hasSink) {
+              if (literal == "rue") sink.bool(true)
+              else if (literal == "alse") sink.bool(false)
+              else sink.nul()
+            }
+            literal = null; s = afterValue()
+          }
         } else ok = false
       // ---- numbers: on a delimiter the number completes and the byte is
       // re-dispatched through the completed-value state
       case NumMinus =>
-        if (c == '0') s = NumZero
-        else if (c >= '1' && c <= '9') s = NumInt
+        if (c == '0') { if (hasSink) tokAdd(c); s = NumZero }
+        else if (c >= '1' && c <= '9') { if (hasSink) tokAdd(c); s = NumInt }
         else ok = false
       case NumZero | NumInt | NumFrac | NumExp =>
         val digitOk = s != NumZero
-        if (c >= '0' && c <= '9') { if (!digitOk) ok = false }
-        else if (c == '.' && (s == NumZero || s == NumInt)) s = NumFracStart
-        else if ((c == 'e' || c == 'E') && s != NumExp) s = NumExpStart
+        if (c >= '0' && c <= '9') {
+          if (!digitOk) ok = false else if (hasSink) tokAdd(c)
+        }
+        else if (c == '.' && (s == NumZero || s == NumInt)) {
+          if (hasSink) tokAdd(c); s = NumFracStart
+        }
+        else if ((c == 'e' || c == 'E') && s != NumExp) {
+          if (hasSink) tokAdd(c); s = NumExpStart
+        }
         else if ((c == 'e' || c == 'E') && s == NumExp) ok = false
         else {
           // number complete; re-dispatch this byte as after-value input
+          if (hasSink) sink.num(numText())
           state = afterValue(); dead = false
           return push(b)
         }
       case NumFracStart =>
-        if (c >= '0' && c <= '9') s = NumFrac else ok = false
+        if (c >= '0' && c <= '9') { if (hasSink) tokAdd(c); s = NumFrac }
+        else ok = false
       case NumExpStart =>
-        if (c == '+' || c == '-') s = NumExpSign
-        else if (c >= '0' && c <= '9') s = NumExp
+        if (c == '+' || c == '-') { if (hasSink) tokAdd(c); s = NumExpSign }
+        else if (c >= '0' && c <= '9') { if (hasSink) tokAdd(c); s = NumExp }
         else ok = false
       case NumExpSign =>
-        if (c >= '0' && c <= '9') s = NumExp else ok = false
+        if (c >= '0' && c <= '9') { if (hasSink) tokAdd(c); s = NumExp }
+        else ok = false
       // ---- structure
       case ValueStart | ArrValueOrClose =>
         if (isWs(c)) ()
-        else if (c == ']' && s == ArrValueOrClose) { depth -= 1; s = afterValue() }
+        else if (c == ']' && s == ArrValueOrClose) {
+          depth -= 1
+          if (hasSink) sink.arrEnd()
+          s = afterValue()
+        }
         else { started = true; ok = startValue(c) match {
           case -1 => false
           case ns => s = ns; true } }
       case ObjKeyOrClose | ObjKey =>
         if (isWs(c)) ()
-        else if (c == '"') s = InKey
-        else if (c == '}' && s == ObjKeyOrClose) { depth -= 1; s = afterValue() }
+        else if (c == '"') {
+          if (hasSink) { tokLen = 0; tokAdd('"') }
+          s = InKey
+        }
+        else if (c == '}' && s == ObjKeyOrClose) {
+          depth -= 1
+          if (hasSink) sink.objEnd()
+          s = afterValue()
+        }
         else ok = false
       case ExpectColon =>
         if (isWs(c)) ()
@@ -121,8 +204,16 @@ final class JsonPushScanner {
       case AfterValue =>
         if (isWs(c)) ()
         else if (c == ',') s = if (inObject) ObjKey else ValueStart
-        else if (c == '}' && inObject) { depth -= 1; s = afterValue() }
-        else if (c == ']' && !inObject) { depth -= 1; s = afterValue() }
+        else if (c == '}' && inObject) {
+          depth -= 1
+          if (hasSink) sink.objEnd()
+          s = afterValue()
+        }
+        else if (c == ']' && !inObject) {
+          depth -= 1
+          if (hasSink) sink.arrEnd()
+          s = afterValue()
+        }
         else ok = false
       case Done =>
         if (!isWs(c)) ok = false
@@ -134,14 +225,24 @@ final class JsonPushScanner {
 
   /** Returns the next state for a value starting with byte `c`, or -1. */
   private def startValue(c: Int): Int = c match {
-    case '"' => InString
-    case '{' => if (pushContainer(obj = true)) ObjKeyOrClose else -1
-    case '[' => if (pushContainer(obj = false)) ArrValueOrClose else -1
+    case '"' =>
+      if (hasSink) { tokLen = 0; tokAdd('"') }
+      InString
+    case '{' =>
+      if (pushContainer(obj = true)) { if (hasSink) sink.objStart(); ObjKeyOrClose }
+      else -1
+    case '[' =>
+      if (pushContainer(obj = false)) { if (hasSink) sink.arrStart(); ArrValueOrClose }
+      else -1
     case 't' => literal = "rue"; litPos = 0; InLiteral
     case 'f' => literal = "alse"; litPos = 0; InLiteral
     case 'n' => literal = "ull"; litPos = 0; InLiteral
-    case '-' => NumMinus
-    case d if d >= '0' && d <= '9' => if (d == '0') NumZero else NumInt
+    case '-' =>
+      if (hasSink) { tokLen = 0; tokAdd('-') }
+      NumMinus
+    case d if d >= '0' && d <= '9' =>
+      if (hasSink) { tokLen = 0; tokAdd(d) }
+      if (d == '0') NumZero else NumInt
     case _ => -1
   }
 
@@ -154,12 +255,16 @@ final class JsonPushScanner {
   }
 
   /** End of input: true iff the bytes so far form one complete JSON value
-    * (numbers may complete exactly at end-of-input). */
+    * (numbers may complete exactly at end-of-input, emitting their token
+    * event here; idempotent — the trailing number fires once). */
   def finish(): Boolean = {
     if (dead || !started || depth != 0) return false
     state match {
       case Done | AfterValue => true
-      case NumZero | NumInt | NumFrac | NumExp => true // complete number
+      case NumZero | NumInt | NumFrac | NumExp => // complete number
+        if (hasSink) sink.num(numText())
+        state = Done
+        true
       case _ => false
     }
   }

@@ -183,6 +183,40 @@ class DifferentialSpec extends AnyFunSuite {
     info(s"stream-vs-row pairs checked: $checked")
   }
 
+  test("chunk-feed incremental evaluator == row evaluator on random (schema, doc) pairs") {
+    // pure driver-side: PushEval-through-ChunkedValidation at random chunk
+    // boundaries; early rejection must only ever fire on invalid docs
+    val gen = Gen.zip(genRootSchema(2 + fuzzDepthOff), Gen.listOfN(8, genDoc(3 + fuzzDepthOff)))
+    var seed = Seed(424242L + fuzzSeedOff)
+    val rnd = new scala.util.Random(424242L + fuzzSeedOff)
+    var checked = 0
+    var early = 0
+    for (_ <- 0 until 250 * fuzzMult) {
+      val (schema, docs) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val compiled: CompiledSchema =
+        try SchemaCompiler.compile(schema)
+        catch { case _: graft.schema.SchemaCompileException => null }
+      if (compiled != null) docs.foreach { d =>
+        val text = Json.compact(d)
+        val expected = RowEval.isValidText(compiled, text)
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val cv = new graft.eval.ChunkedValidation(compiled)
+        var off = 0
+        while (off < bytes.length) {
+          val n = math.min(1 + rnd.nextInt(9), bytes.length - off)
+          cv.more(bytes, off, n)
+          off += n
+        }
+        if (cv.decidedInvalid) { early += 1; assert(!expected, s"unsound early exit on $text") }
+        assert(cv.closeValid() == expected,
+          s"\nschema=${Json.compact(schema)}\ndoc=$text\nexpected=$expected")
+        checked += 1
+      }
+    }
+    info(s"chunked-vs-row pairs checked: $checked (sound early exits: $early)")
+  }
+
   test("push scanner == parser acceptance on random docs, mutations, chunkings") {
     // pure driver-side: the chunk-feed grammar scanner must accept exactly
     // the strings the tree parser accepts, at any chunk boundary

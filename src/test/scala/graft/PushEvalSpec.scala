@@ -1,0 +1,197 @@
+package graft
+
+import graft.eval.{ChunkedValidation, RowEval}
+import graft.json._
+import graft.schema.SchemaCompiler
+import graft.sources.RepoFiles
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** Incremental constraint evaluation (PushEval inside ChunkedValidation):
+  * chunked verdicts must be bit-identical to whole-document evaluation at
+  * every chunk boundary, over the full embedded official-format suite and
+  * the generated corpus; early INVALID must fire only when sound, and must
+  * fire for the streaming shapes (root type mismatch, failing element of a
+  * root array, nested object closing on a failure). */
+class PushEvalSpec extends AnyFunSuite {
+
+  private def chunked(schema: graft.schema.CompiledSchema, doc: String,
+                      n: Int): ChunkedValidation = {
+    val cv = new ChunkedValidation(schema)
+    val bytes = doc.getBytes(UTF_8)
+    if (n >= bytes.length) { if (bytes.nonEmpty) cv.more(bytes) }
+    else bytes.grouped(math.max(1, n)).foreach(cv.more(_))
+    cv
+  }
+
+  test("chunked verdict matches whole-document over the embedded suite at chunk 1/3/whole") {
+    val suiteDir = {
+      val fromResources = Option(getClass.getResource("/suite")).map(u => Paths.get(u.toURI))
+      fromResources.getOrElse(Paths.get("src/test/resources/suite"))
+    }
+    val files = Files.list(suiteDir).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toVector
+    assert(files.nonEmpty)
+    var cases = 0
+    var earlyExits = 0
+    for (file <- files) {
+      val JArr(groups) = Json.parse(Files.readString(file)): @unchecked
+      for (group <- groups) {
+        val g = group.asInstanceOf[JObj]
+        val compiled = SchemaCompiler.compile(g.get("schema").get)
+        val JArr(tests) = g.get("tests").get: @unchecked
+        for (c <- tests) {
+          val co = c.asInstanceOf[JObj]
+          val doc = Json.compact(co.get("data").get)
+          val expected = RowEval.isValidText(compiled, UTF8String.fromString(doc))
+          for (n <- Seq(1, 3, doc.length + 1)) {
+            val cv = chunked(compiled, doc, n)
+            // sound early rejection may only ever fire on invalid documents
+            if (cv.decidedInvalid) { earlyExits += 1; assert(!expected) }
+            assert(cv.closeValid() == expected,
+              s"${file.getFileName}: chunk=$n doc=$doc")
+          }
+          cases += 1
+        }
+      }
+    }
+    assert(cases >= 500, s"suite shrank? $cases cases")
+    assert(earlyExits > 0, "no early exits fired anywhere in the suite")
+  }
+
+  test("chunked verdict and labels match whole-document over the corpus at random boundaries") {
+    val cs = SchemaCompiler.compile(RepoFiles.schemaJson)
+    val rnd = new scala.util.Random(20260821)
+    (0 until 300).foreach { i =>
+      val doc = RepoFiles.contentOf(i, 300)
+      val whole = RowEval.validateText(cs, UTF8String.fromString(doc))
+      val bytes = doc.getBytes(UTF_8)
+      // random chunk split
+      val cv = new ChunkedValidation(cs)
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(1 + rnd.nextInt(17), bytes.length - off)
+        cv.more(bytes, off, n)
+        off += n
+      }
+      val fails = cv.close()
+      assert(fails.isEmpty == whole.isEmpty, s"verdict differs doc $i")
+      assert(fails.map(_.constraint).sorted == whole.map(_.constraint).sorted,
+        s"labels differ doc $i")
+    }
+  }
+
+  test("root type mismatch decides INVALID at the first byte") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"type":"object"}"""))
+    val cv = new ChunkedValidation(cs)
+    cv.more("[1,2,".getBytes(UTF_8))
+    assert(cv.decidedInvalid && !cv.alive)
+    // feeding may stop: close on the incomplete stream reports the early decision
+    val fails = cv.close()
+    assert(fails.nonEmpty && fails.head.constraint == "_early.invalid")
+  }
+
+  test("failing element of a root array decides INVALID mid-stream") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"items":{"type":"integer"}}"""))
+    val cv = new ChunkedValidation(cs)
+    cv.more("[1, 2, \"x\"".getBytes(UTF_8))
+    assert(cv.decidedInvalid && !cv.alive)
+    // fed to completion instead, the verdict carries full labels
+    val cv2 = new ChunkedValidation(cs)
+    cv2.more("[1, 2, \"x\"]".getBytes(UTF_8))
+    val fails = cv2.close()
+    assert(fails.nonEmpty && fails.exists(_.constraint.contains("type")))
+  }
+
+  test("a failure inside an object is held until the object closes (duplicate-key soundness)") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"properties":{"a":{"type":"string"}}}"""))
+    val cv = new ChunkedValidation(cs)
+    cv.more("""{"a":1,""".getBytes(UTF_8))
+    assert(!cv.decidedInvalid, "must not finalize while the object can re-bind 'a'")
+    assert(cv.provisionallyInvalid, "jvst-style eager signal should be up")
+    assert(cv.alive)
+    cv.more(""""b":2}""".getBytes(UTF_8))
+    assert(cv.close().nonEmpty)
+  }
+
+  test("a later duplicate key re-binding the failure yields VALID (last-wins)") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"properties":{"a":{"type":"string"}}}"""))
+    val doc = """{"a":1,"a":"x"}"""
+    assert(RowEval.isValidText(cs, UTF8String.fromString(doc)), "oracle sanity")
+    for (n <- Seq(1, 4, 100)) {
+      val cv = chunked(cs, doc, n)
+      assert(!cv.decidedInvalid)
+      assert(cv.closeValid(), s"chunk=$n")
+    }
+    // and a duplicate that stays invalid still reports invalid at close
+    val doc2 = """{"a":1,"a":2}"""
+    assert(!chunked(cs, doc2, 1).closeValid())
+  }
+
+  test("nested object closing on a failure finalizes before end of input") {
+    val cs = SchemaCompiler.compile(
+      Json.parse("""{"items":{"properties":{"n":{"type":"integer"}}}}"""))
+    val cv = new ChunkedValidation(cs)
+    cv.more("""[{"n":"x"}""".getBytes(UTF_8))
+    // the element object closed without duplicates: its failure is final
+    assert(cv.decidedInvalid && !cv.alive)
+  }
+
+  test("early max-items rejection fires before the array ends") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"maxItems":2}"""))
+    val cv = new ChunkedValidation(cs)
+    // the trailing comma completes the third number token — a bare "3"
+    // could still be a prefix of "3.5", so the element event waits for it
+    cv.more("[1,2,3,".getBytes(UTF_8))
+    assert(cv.decidedInvalid)
+  }
+
+  test("early uniqueItems duplicate rejection fires before the array ends") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"uniqueItems":true}"""))
+    val cv = new ChunkedValidation(cs)
+    cv.more("""[{"k":[1]}, 2, {"k":[1.0]}""".getBytes(UTF_8))
+    assert(cv.decidedInvalid, "deep-equal duplicate (1 vs 1.0) should reject early")
+  }
+
+  test("disjunction never rejects early on a failed branch") {
+    val cs = SchemaCompiler.compile(
+      Json.parse("""{"anyOf":[{"type":"object"},{"type":"array"}]}"""))
+    val cv = new ChunkedValidation(cs)
+    cv.more("[1".getBytes(UTF_8))
+    assert(!cv.provisionallyInvalid && cv.alive)
+    cv.more(",2]".getBytes(UTF_8))
+    assert(cv.closeValid())
+  }
+
+  test("malformed UTF-8 in a string voids incremental state but close stays exact") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"properties":{"a":{"minLength":1}}}"""))
+    // 0x80 is a bare continuation byte: the scanner passes it through
+    // (string content), the tree parsers decode with replacement
+    val bytes = Array.concat(
+      """{"a":"""".getBytes(UTF_8), Array(0x80.toByte), """"}""".getBytes(UTF_8))
+    val whole = RowEval.validateText(cs, UTF8String.fromBytes(bytes))
+    val cv = new ChunkedValidation(cs)
+    bytes.foreach(b => cv.more(Array(b)))
+    assert(!cv.decidedInvalid)
+    assert(cv.close().isEmpty == whole.isEmpty)
+  }
+
+  test("deeply recursive $ref schemas stream without divergence") {
+    val schema = Json.parse(
+      """{"properties":{"next":{"$ref":"#"},"v":{"type":"integer"}}}""")
+    val cs = SchemaCompiler.compile(schema)
+    def nest(d: Int, bad: Boolean): String = {
+      val core = if (bad && d == 0) """"v":"x"""" else """"v":1"""
+      if (d == 0) s"{$core}" else s"""{$core,"next":${nest(d - 1, bad)}}"""
+    }
+    for (bad <- Seq(false, true); n <- Seq(1, 7)) {
+      val doc = nest(40, bad)
+      val expected = RowEval.isValidText(cs, UTF8String.fromString(doc))
+      assert(chunked(cs, doc, n).closeValid() == expected, s"bad=$bad n=$n")
+    }
+  }
+}

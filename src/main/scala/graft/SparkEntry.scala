@@ -862,6 +862,20 @@ object SparkEntry {
           "metaOk as meta_ok")
         .orderBy(col("media_id"))),
 
+    // Frame sampling (the one-to-many video explode), fully oracled:
+    // everyMs = FrameMs samples EVERY frame, so the sample index, playhead
+    // offset and the position-weighted checksum of the 16-byte frame-prefix
+    // payload are all closed-form in (i, s) — DuckDB replays the pixel
+    // formula with the per-frame f·17 term and never parses a binary.
+    "q_media_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.dataset(s, 1000L), everyMs = Multimodal.FrameMs)
+        .map(f => (f.mediaId, f.frameIdx.toLong, f.offsetMs,
+          f.bytes.iterator.zipWithIndex.map { case (b, k) => (k + 1L) * (b & 0xff) }.sum))
+        .toDF("media_id", "frame_idx", "offset_ms", "payload_check")
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ------------------------------------------- oracle-checked (continued)
     "q_doc_token_features" -> ((s, dir) =>
       t(s, dir, "documents").groupBy(col("lang"))
@@ -1541,6 +1555,24 @@ object SparkEntry {
         |  CAST(pos_sum AS BIGINT) AS pos_sum, hist.histogram, TRUE AS meta_ok
         |FROM spec JOIN agg ON agg.i = spec.i JOIN hist ON hist.i = spec.i
         |ORDER BY media_id""".stripMargin,
+    // frame sampling: every video frame is sampled at everyMs = 40, so
+    // frame_idx = sample index = decoded frame index, offset_ms = 40·s, and
+    // the payload checksum replays pixel(i, x=k/3, y=0, c=k%3, f=s) over
+    // the 16-byte prefix — analytically, no binary parsing
+    "q_media_frames" ->
+      """WITH vid AS (SELECT i, 2 + i%4 AS nf
+        |             FROM generate_series(0, 999) t(i) WHERE i%3 = 2),
+        |s AS (SELECT vid.i, sg.g AS sidx
+        |      FROM vid JOIN generate_series(0, 5) sg(g) ON sg.g < vid.nf),
+        |chk AS (SELECT s.i, s.sidx,
+        |          sum((k.g + 1) * ((s.i*7 + (k.g//3)*3 + (k.g%3)*11 + s.sidx*17) % 256))
+        |            AS payload_check
+        |        FROM s JOIN generate_series(0, 15) k(g) ON TRUE
+        |        GROUP BY s.i, s.sidx)
+        |SELECT i AS media_id, CAST(sidx AS BIGINT) AS frame_idx,
+        |       CAST(sidx * 40 AS BIGINT) AS offset_ms,
+        |       CAST(payload_check AS BIGINT) AS payload_check
+        |FROM chk ORDER BY media_id, frame_idx""".stripMargin,
     // resume: final violations must equal a from-scratch run (= golden set;
     // uncorrupted digests make the integrity arm empty), and the audit facts
     // are recomputed from first principles — two runIds and exactly one

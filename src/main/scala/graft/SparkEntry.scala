@@ -666,6 +666,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // curation with the near-dup chain composed in: the LSH→verify pair
+    // graph over the minhash slice (planted exact copies + natural
+    // near-dups) collapses to connected components and non-representatives
+    // drop as `near_dup` — exact copies still report the stronger
+    // `exact_dup`, pinning the precedence. DuckDB recomputes the metric
+    // families AND the cluster reachability (recursive CTE over the exact
+    // jaccard≥0.8 pair graph) from first principles
+    "q_curate_near_dup" -> ((s, dir) => {
+      val slice = minhashSliceInput(s, dir)
+      val pairs = Dedup.nearDuplicates(slice, threshold = 0.8)
+        .select(col("a"), col("b"))
+      TextOps.curate(slice, t(s, dir, "documents").filter(col("doc_id") < 0),
+          nearDupPairs = Some(pairs))
+        .orderBy(col("doc_id"))
+    }),
+
     // fixed-token-budget shard assignment (training-data packing): the
     // distributed prefix sum's shard ids are a pure function of the data,
     // so DuckDB's single-window recompute must agree exactly
@@ -2103,6 +2119,89 @@ object SparkEntry {
         |         WHEN df < 0.3 OR b2 > 0.2 OR b3 > 0.18 THEN 'repetitive'
         |         WHEN grp_n > 1 AND keeper <> doc_id THEN 'exact_dup'
         |         WHEN hit THEN 'contaminated'
+        |         ELSE 'keep' END AS reason FROM m)
+        |SELECT doc_id, quality, n_toks, reason, reason = 'keep' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // curate ∘ near-dup composition: same metric recompute over the minhash
+    // slice, plus recursive-CTE reachability over the exact jaccard≥0.8
+    // 3-gram pair graph; non-representatives of each component are near_dup
+    // unless a byte-identical copy already made them exact_dup (empty eval
+    // set, so the contaminated arm is vacuous here — it is pinned by
+    // q_curate)
+    "q_curate_near_dup" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |u AS (SELECT * FROM d0
+        |      UNION ALL SELECT doc_id + 10000000, text FROM d0 WHERE doc_id % 37 = 0),
+        |q AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |    (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)
+        |    * (CASE WHEN toks > 0 AND (len - toks + 1)/toks BETWEEN 2.0 AND 12.0
+        |       THEN 1.0 ELSE 0.5 END)
+        |    * (1.0 - (CASE WHEN len > 0 THEN least(punct/len*4.0, 1.0)
+        |              ELSE 0.0 END) * 0.5))), 6) AS quality
+        |  FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE)
+        |      AS toks FROM u)),
+        |rep AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |    CASE WHEN len(ts) >= 2 THEN list_transform(
+        |      generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS bg,
+        |    CASE WHEN len(ts) >= 3 THEN list_transform(
+        |      generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END AS tg
+        |  FROM (SELECT doc_id, list_filter(
+        |    string_split_regex(text, '[ \t\n\f\r]+'), x -> len(x) > 0) AS ts
+        |    FROM u)),
+        |t2 AS (SELECT doc_id, max(c) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bg) AS g FROM rep) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |t3 AS (SELECT doc_id, max(c) AS top3 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(tg) AS g FROM rep) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |dup AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper,
+        |    count(*) OVER (PARTITION BY text) AS grp_n FROM u),
+        |sh3 AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(text,'\s+')) - 2),
+        |    i -> string_split_regex(text,'\s+')[i] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+1] || ' ' ||
+        |         string_split_regex(text,'\s+')[i+2])) AS s FROM u),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s,b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.8),
+        |e AS (SELECT a AS x, b AS y FROM j UNION SELECT b, a FROM j),
+        |reach(id, lbl) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e.x, r.lbl FROM e JOIN reach r ON e.y = r.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        |nd AS (SELECT id AS doc_id FROM comp
+        |  JOIN (SELECT component, min(id) AS rp FROM comp GROUP BY component) rr
+        |    USING (component)
+        |  WHERE id <> rp),
+        |m AS (SELECT rep.doc_id, n_toks, quality,
+        |    CASE WHEN n_toks > 0 THEN n_distinct::DOUBLE / n_toks
+        |         ELSE 1.0 END AS df,
+        |    CASE WHEN n_toks > 1 THEN COALESCE(top2, 0)::DOUBLE / (n_toks - 1)
+        |         ELSE 0.0 END AS b2,
+        |    CASE WHEN n_toks > 2 THEN COALESCE(top3, 0)::DOUBLE / (n_toks - 2)
+        |         ELSE 0.0 END AS b3,
+        |    keeper, grp_n,
+        |    rep.doc_id IN (SELECT doc_id FROM nd) AS near
+        |  FROM rep LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |       JOIN q USING (doc_id) JOIN dup USING (doc_id)),
+        |r AS (SELECT doc_id, quality, n_toks,
+        |    CASE WHEN n_toks < 5 THEN 'too_short'
+        |         WHEN quality < 0.2 THEN 'low_quality'
+        |         WHEN df < 0.3 OR b2 > 0.2 OR b3 > 0.18 THEN 'repetitive'
+        |         WHEN grp_n > 1 AND keeper <> doc_id THEN 'exact_dup'
+        |         WHEN near THEN 'near_dup'
         |         ELSE 'keep' END AS reason FROM m)
         |SELECT doc_id, quality, n_toks, reason, reason = 'keep' AS keep
         |FROM r ORDER BY doc_id""".stripMargin,

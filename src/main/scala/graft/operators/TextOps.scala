@@ -336,7 +336,8 @@ object TextOps {
     * Output: (doc_id, quality, n_toks, reason, keep) for EVERY input doc. */
   def curate(docs: DataFrame, evalDocs: DataFrame, minTokens: Long = 5L,
              minQuality: Double = 0.2, contamN: Int = 5,
-             contamFrac: Double = 0.5): DataFrame = {
+             contamFrac: Double = 0.5,
+             nearDupPairs: Option[DataFrame] = None): DataFrame = {
     val scanned = docs.select(col("doc_id"),
       sha2(col("text"), 256).as("tsha"),
       qualityScore(col("text")).as("quality"),
@@ -348,6 +349,19 @@ object TextOps {
     val contam = contamination(docs, evalDocs, contamN)
       .filter(col("hit_frac") >= contamFrac)
       .select(col("doc_id"), lit(true).as("contam"))
+    // near-dup arm (opt-in): the LSH→verify pair graph collapses to
+    // connected components (large-star/small-star, O(log n) rounds) and
+    // every non-representative (min doc_id per component) is dropped as
+    // `near_dup` — after exact_dup (a byte-identical copy reports the
+    // stronger reason) and before contaminated. The pair graph and the
+    // component table are candidate-sized, never corpus-sized.
+    val near = nearDupPairs.map { pairs =>
+      val comp = Dedup.connectedComponents(pairs)
+      comp.join(comp.groupBy(col("component")).agg(min(col("id")).as("_rep")),
+          Seq("component"))
+        .filter(col("id") =!= col("_rep"))
+        .select(col("id").as("doc_id"), lit(true).as("near"))
+    }
     val nToks = col("m.n_toks")
     val distFrac = when(nToks > 0,
       col("m.n_distinct").cast("double") / nToks).otherwise(1.0)
@@ -355,15 +369,18 @@ object TextOps {
       col("m.top2").cast("double") / (nToks - 1)).otherwise(0.0)
     val top3Frac = when(nToks > 2,
       col("m.top3").cast("double") / (nToks - 2)).otherwise(0.0)
-    val reason = when(nToks < minTokens, "too_short")
+    val reasonBase = when(nToks < minTokens, "too_short")
       .when(col("quality") < minQuality, "low_quality")
       .when(distFrac < 0.3 || top2Frac > 0.2 || top3Frac > 0.18, "repetitive")
       .when(col("keeper").isNotNull && col("keeper") =!= col("doc_id"),
             "exact_dup")
-      .when(col("contam"), "contaminated")
-      .otherwise("keep")
-    scanned.join(dupGroups, Seq("tsha"), "left")
+    val reason =
+      (if (near.isDefined) reasonBase.when(col("near"), "near_dup") else reasonBase)
+        .when(col("contam"), "contaminated")
+        .otherwise("keep")
+    val joined = scanned.join(dupGroups, Seq("tsha"), "left")
       .join(contam, Seq("doc_id"), "left")
+    near.fold(joined)(n => joined.join(n, Seq("doc_id"), "left"))
       .select(col("doc_id"), col("quality"), nToks.as("n_toks"),
               reason.as("reason"), (reason === lit("keep")).as("keep"))
   }

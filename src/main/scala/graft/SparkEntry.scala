@@ -1217,6 +1217,31 @@ object SparkEntry {
            |GROUP BY f.constraint ORDER BY f.constraint""".stripMargin)
     }),
 
+    // per-row schema selection (schemas as data): five event types pick
+    // five DIFFERENT schemas from a schema column on the same scan —
+    // compile-once-per-distinct-schema behind the bounded memo; DuckDB
+    // recomputes each group's verdict from the typed k column with the
+    // matching predicate
+    "q_multi_schema" -> ((s, dir) => {
+      val schemaFor = when(col("event_type") === "click",
+          """{"properties":{"k":{"minimum":30}}}""")
+        .when(col("event_type") === "error",
+          """{"properties":{"k":{"maximum":60,"exclusiveMaximum":true}}}""")
+        .when(col("event_type") === "purchase",
+          """{"properties":{"k":{"multipleOf":7}}}""")
+        .when(col("event_type") === "signup",
+          """{"properties":{"k":{"minimum":20,"maximum":80}}}""")
+        .otherwise("""{"properties":{"k":{"multipleOf":2}}}""")
+      val docs = t(s, dir, "events")
+        .select(col("event_type"), to_json(struct(kCol.as("k"))).as("content"),
+                schemaFor.as("schema_json"))
+      Validate.withVerdictBySchema(docs, col("schema_json"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("passed"),
+             sum(when(!col("pass"), 1L).otherwise(0L)).as("failed"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---------------- near-dup family, sliced exact oracles ---------------
     "q_minhash_slice" -> ((s, dir) =>
       Dedup.nearDuplicates(minhashSliceInput(s, dir), threshold = 0.8)
@@ -1695,6 +1720,23 @@ object SparkEntry {
       verdictOracle("length(event_type) BETWEEN 5 AND 6"),
     "q_constraint_empty" -> verdictOracle("TRUE"),
     "q_sql_validate" -> verdictOracle("k >= 10 AND k % 3 = 0"),
+    // per-row schema selection: the per-type predicate mirrors the schema
+    // each event type picks in the query
+    "q_multi_schema" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        |v AS (SELECT event_type,
+        |  CASE event_type
+        |    WHEN 'click' THEN k >= 30
+        |    WHEN 'error' THEN k < 60
+        |    WHEN 'purchase' THEN k % 7 = 0
+        |    WHEN 'signup' THEN k BETWEEN 20 AND 80
+        |    ELSE k % 2 = 0 END AS pass
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+        |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS failed
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_violations" ->
       """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |           FROM events),

@@ -38,6 +38,17 @@ object Exprs {
   def validateBool(schema: CompiledSchema, c: Column): Column =
     column(ValidateBoolExpr(expr(c), schema))
 
+  /** Per-row schema selection: verdict of `c` against the schema text the
+    * SAME ROW carries in `schemaText` — schemas as data (multi-tenant
+    * corpus, schema chosen by lang/repo/column). Compiled once per distinct
+    * schema text per executor ([[graft.schema.SchemaMemo]]); per-row cost
+    * beyond the verdict is one hash probe. NULL schema text and
+    * uncompilable schema text yield NULL (a data condition, not a job
+    * abort); null content under a good schema is false, like
+    * [[validateBool]]. */
+  def validateBoolBySchema(c: Column, schemaText: Column): Column =
+    column(ValidateBySchemaExpr(expr(c), expr(schemaText)))
+
   /** Whole-plan verdict via the streaming evaluator (jvst-VM analog:
     * constraint-driven scans over the raw text, no tree; falls back to the
     * row backend on its documented escape hatches). */
@@ -90,6 +101,30 @@ case class ValidateBoolExpr(child: Expression, schema: CompiledSchema)
       RowEval.isValidText(schema, v.asInstanceOf[UTF8String]))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** See [[Exprs.validateBoolBySchema]]. The compiled plan comes from the
+  * bounded process-wide memo, so evaluation is compile-free on the hot
+  * path for any realistic number of distinct schemas. */
+case class ValidateBySchemaExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jsonschema_valid_by"
+  override def eval(input: InternalRow): Any = {
+    val s = right.eval(input)
+    if (s == null) return null
+    val cs = graft.schema.SchemaMemo.compiledOrNull(
+      s.asInstanceOf[UTF8String].toString)
+    if (cs == null) return null
+    val v = left.eval(input)
+    if (v == null) java.lang.Boolean.FALSE
+    else java.lang.Boolean.valueOf(
+      RowEval.isValidText(cs, v.asInstanceOf[UTF8String]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class StreamValidateBoolExpr(child: Expression, schema: CompiledSchema)

@@ -62,6 +62,17 @@ object Validate {
     df.withColumn("validated", inScope(df))
       .withColumn("pass", passCol(cs, df("content")))
 
+  /** Per-row schema selection (schemas as data): each row is validated
+    * against the schema text `schemaCol` yields FOR THAT ROW — the
+    * multi-tenant shape where the schema is chosen by lang/repo/tenant
+    * column or carried verbatim. Compile-once-per-distinct-schema behind
+    * the bounded process-wide memo ([[graft.schema.SchemaMemo]]); the scan
+    * stays one narrow pass with zero shuffles, and `pass` is NULL where the
+    * schema text is null/uncompilable (a data condition, not a job abort). */
+  def withVerdictBySchema(df: DataFrame, schemaCol: Column,
+                          contentCol: String = "content"): DataFrame =
+    df.withColumn("pass", Exprs.validateBoolBySchema(col(contentCol), schemaCol))
+
   /** Labeled violations (narrow, no shuffle). Single pass: the labeled
     * evaluator runs once per in-scope row and `explode` drops the empty
     * arrays of passing rows. (A verdict-prefilter two-phase variant was

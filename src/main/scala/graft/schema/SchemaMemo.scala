@@ -1,0 +1,53 @@
+package graft.schema
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Process-wide schema-text → compiled-plan memo, shared by every surface
+  * that meets schemas as DATA rather than as code: the SQL face's foldable
+  * schema literals ([[graft.sql.GraftFunctions]]) and per-row schema
+  * selection ([[graft.eval.ValidateBySchemaExpr]] — a multi-tenant corpus
+  * carrying a schema column, the production shape of "one schema per
+  * row-group", SURVEY §1.2). jvst is one-schema-per-process
+  * (reference:src/main.c compiles argv's schema once); the memo is what
+  * lets one Spark job be N such processes without N compiles per ROW.
+  *
+  * Scale contract: compile-once-per-DISTINCT-schema per executor. Distinct
+  * schemas are tenant-sized (handfuls), so the per-row cost is one hash
+  * probe of an ~always-hit map. Bounded defensively: a runaway generator
+  * of distinct schema texts gets a clear() (recompile), never unbounded
+  * growth. Uncompilable texts are cached NEGATIVELY so a bad tenant schema
+  * costs one failed compile, not one per row.
+  */
+object SchemaMemo {
+
+  private val MaxEntries = 256
+  private val cache = new ConcurrentHashMap[String, AnyRef]()
+  private val Bad = new Object
+
+  /** Compiled plan, or null for malformed/uncompilable schema text. */
+  def compiledOrNull(text: String): CompiledSchema = {
+    var e = cache.get(text)
+    if (e == null) {
+      if (cache.size > MaxEntries) cache.clear()
+      e = try SchemaCompiler.compile(text)
+          catch {
+            case _: SchemaCompileException | _: graft.json.JsonParseException => Bad
+          }
+      val prev = cache.putIfAbsent(text, e)
+      if (prev != null) e = prev
+    }
+    e match { case cs: CompiledSchema => cs; case _ => null }
+  }
+
+  /** Throwing variant (analysis-time literals, where a bad schema is a
+    * query error, not a data condition). */
+  def compiled(text: String): CompiledSchema = {
+    val cs = compiledOrNull(text)
+    if (cs == null)
+      throw new SchemaCompileException(s"invalid schema: ${text.take(200)}")
+    cs
+  }
+
+  /** Test hook. */
+  private[graft] def entries: Int = cache.size
+}

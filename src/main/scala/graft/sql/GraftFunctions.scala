@@ -4,12 +4,11 @@ import graft.eval.{CanonicalJsonExpr, CosineExpr, KeyStatsExpr,
   MinHashBandsExpr, Sha256MatchesExpr, ShinglesExpr, SimHash64Expr,
   StreamValidateBoolExpr, TopLevelKeysExpr, ValidateBoolExpr,
   ValidateFailsExpr, WinnowExpr}
-import graft.schema.{CompiledSchema, SchemaCompiler}
+import graft.schema.{CompiledSchema, SchemaMemo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-import java.util.concurrent.ConcurrentHashMap
 
 /** The engine's SQL face: every custom Catalyst expression registered as a
   * named SQL function, so `spark.sql("... WHERE jsonschema_valid(content,
@@ -37,14 +36,9 @@ object GraftFunctions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  // Process-wide schema-text -> compiled-plan memo. Bounded defensively:
-  // a pipeline uses a handful of schemas; a runaway generator of distinct
-  // schema literals gets a clear() (recompile), never unbounded growth.
-  private val schemaCache = new ConcurrentHashMap[String, CompiledSchema]()
-  private def compiled(text: String): CompiledSchema = {
-    if (schemaCache.size > 64) schemaCache.clear()
-    schemaCache.computeIfAbsent(text, SchemaCompiler.compile(_))
-  }
+  // Process-wide schema-text -> compiled-plan memo (graft.schema.SchemaMemo,
+  // shared with per-row schema selection): bounded, negative-caching.
+  private def compiled(text: String): CompiledSchema = SchemaMemo.compiled(text)
 
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n)
@@ -95,6 +89,14 @@ object GraftFunctions {
       arity("jsonschema_valid_stream", args, 2)
       StreamValidateBoolExpr(args.head,
         compiled(litString("jsonschema_valid_stream", "schema", args(1))))
+    },
+    desc("jsonschema_valid_by", classOf[graft.eval.ValidateBySchemaExpr],
+      "jsonschema_valid_by(json, schemaColumn) - per-row schema selection:" +
+        " validates each document against the schema text its own row" +
+        " carries (compiled once per distinct schema, bounded memo);" +
+        " NULL for null/uncompilable schema text.") { args =>
+      arity("jsonschema_valid_by", args, 2)
+      graft.eval.ValidateBySchemaExpr(args.head, args(1))
     },
     desc("jsonschema_violations", classOf[ValidateFailsExpr],
       "jsonschema_violations(json, schemaLiteral) - array<struct<constraint" +

@@ -180,4 +180,64 @@ class SqlFaceSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("per-row schema selection matches per-schema verdicts across 3 schemas") {
+    import spark.implicits._
+    val s1 = """{"properties":{"k":{"minimum":40}}}"""
+    val s2 = """{"properties":{"k":{"multipleOf":3}}}"""
+    val s3 = """{"required":["missing"]}"""
+    val rows = (0 until 90).map { i =>
+      (i.toLong, s"""{"k":$i}""", Seq(s1, s2, s3)(i % 3))
+    }.toDF("id", "content", "schema_json")
+    val got = graft.operators.Validate.withVerdictBySchema(rows, col("schema_json"))
+      .select("id", "pass").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0 until 90).foreach { i =>
+      val cs = SchemaCompiler.compile(Seq(s1, s2, s3)(i % 3))
+      val expected = graft.eval.RowEval.isValidText(cs, s"""{"k":$i}""")
+      assert(got(i.toLong) == expected, s"row $i")
+    }
+  }
+
+  test("per-row schema selection: null/uncompilable schema is NULL, null content false") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """{"k":1}""", """{"properties":{"k":{"minimum":0}}}"""),
+      (2L, """{"k":1}""", null.asInstanceOf[String]),   // null schema
+      (3L, """{"k":1}""", """{"properties":{"""),        // malformed schema text
+      (4L, null.asInstanceOf[String], """{"properties":{"k":{"minimum":0}}}"""))
+      .toDF("id", "content", "schema_json")
+    val got = graft.operators.Validate.withVerdictBySchema(rows, col("schema_json"))
+      .select("id", "pass").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(got(1L) == Some(true))
+    assert(got(2L) == None)
+    assert(got(3L) == None)
+    assert(got(4L) == Some(false))
+  }
+
+  test("jsonschema_valid_by reaches the same machinery through SQL") {
+    import spark.implicits._
+    Seq((1, """{"k":50}""", """{"properties":{"k":{"minimum":40}}}"""),
+        (2, """{"k":10}""", """{"properties":{"k":{"minimum":40}}}"""),
+        (3, """{"k":10}""", """{"properties":{"k":{"maximum":40}}}"""))
+      .toDF("id", "doc", "sch").createOrReplaceTempView("sql_face_by")
+    val ok = spark.sql(
+      "SELECT id FROM sql_face_by WHERE jsonschema_valid_by(doc, sch)")
+      .collect().map(_.getInt(0)).toSet
+    assert(ok == Set(1, 3))
+  }
+
+  test("schema memo compiles once per distinct schema text and stays bounded") {
+    val before = graft.schema.SchemaMemo.entries
+    // distinct texts by whitespace (same semantics, different cache keys)
+    (0 until 500).foreach { i =>
+      val text = s"""{"properties":{"k":{"minimum":${i % 700}}}}"""
+      assert(graft.schema.SchemaMemo.compiledOrNull(text) != null)
+    }
+    val after = graft.schema.SchemaMemo.entries
+    assert(after <= 257, s"memo unbounded: $after entries (was $before)")
+    // negative caching: the same bad text never throws and stays null
+    assert(graft.schema.SchemaMemo.compiledOrNull("{nope") == null)
+    assert(graft.schema.SchemaMemo.compiledOrNull("{nope") == null)
+  }
 }

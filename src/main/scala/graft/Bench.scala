@@ -29,6 +29,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   val RunsPerQuery = 3
+  val ExtraRunsIfNoisy = 2 // appended when a query's max/median ≥ 3
   val FlagshipRuns = 5
   val MaxFlagshipAttempts = 5
   val DispersionCap = 0.25
@@ -173,31 +174,49 @@ object Bench {
     // burst that covered every sample.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val runsByQuery = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val stealByQuery = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val errByQuery = scala.collection.mutable.Map.empty[String, String]
     // The flagship block is gate-protected; the sweep is not (re-running 63
     // queries until a quiet window would take hours). Instead the artifact
-    // records the sweep's own noise evidence: total hypervisor steal and
-    // wall time across the sweep, so a contaminated sweep is self-evident
-    // to a reader comparing artifacts.
+    // records the sweep's own noise evidence — total steal/wall across the
+    // sweep PLUS per-run steal per QUERY — and contaminated queries get
+    // extra runs (below), so a 3-run median never ships a noise burst a
+    // reader can't see and attribute.
     val sweepSteal0 = ScalingBench.stealJiffies()
     val sweepT0 = System.nanoTime()
-    (1 to RunsPerQuery).foreach { _ =>
-      names.foreach { name =>
-        if (!errByQuery.contains(name)) {
-          try {
-            val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, sfDir).count()
-            val s = (System.nanoTime() - t0) / 1e9
-            runsByQuery(name) = runsByQuery.getOrElse(name, Vector.empty) :+ s
-          } catch {
-            case e: Throwable =>
-              runsByQuery.remove(name)
-              errByQuery(name) = s"${e.getClass.getSimpleName}: " +
-                Option(e.getMessage).getOrElse("").take(200)
-          }
+    def timeOne(name: String): Unit =
+      if (!errByQuery.contains(name)) {
+        try {
+          val st0 = ScalingBench.stealJiffies()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          runsByQuery(name) = runsByQuery.getOrElse(name, Vector.empty) :+ s
+          stealByQuery(name) = stealByQuery.getOrElse(name, Vector.empty) :+
+            (ScalingBench.stealJiffies() - st0)
+        } catch {
+          case e: Throwable =>
+            runsByQuery.remove(name)
+            stealByQuery.remove(name)
+            errByQuery(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200)
         }
       }
-    }
+    (1 to RunsPerQuery).foreach(_ => names.foreach(timeOne))
+    // Adaptive re-measure: a query whose three runs disagree by ≥3×
+    // (max/median — r04 shipped q_boilerplate_strip at 2.6× its clean run
+    // exactly this way) gets two EXTRA interleaved runs; a 5-run median
+    // sheds two contaminated samples where a 3-run median can't shed one.
+    // The trigger dispersion is recorded so a shipped median is either
+    // clean (max/median < 3) or carries its attribution.
+    val extraByQuery: Map[String, Double] = names.flatMap { n =>
+      runsByQuery.get(n).flatMap { rs =>
+        val m = median(rs)
+        if (m > 0 && rs.max / m >= 3.0) Some(n -> rs.max / m) else None
+      }
+    }.toMap
+    (1 to ExtraRunsIfNoisy).foreach(_ => names.foreach { n =>
+      if (extraByQuery.contains(n)) timeOne(n) })
     val results: Seq[(String, Either[String, Seq[Double]])] =
       names.map { name =>
         name -> errByQuery.get(name).map(Left(_))
@@ -223,9 +242,14 @@ object Bench {
       s""""runs":${a.fps.map(f => f"$f%.0f").mkString("[", ",", "]")},""" +
       s""""steal":${a.runs.map(_.steal).mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
+    val stealJson = names.flatMap(n => stealByQuery.get(n).map(ss =>
+      jstr(n) + ":" + ss.mkString("[", ",", "]"))).mkString("{", ",", "}")
+    val extraJson = extraByQuery.toSeq.sortBy(_._1).map { case (n, d) =>
+      jstr(n) + ":" + f"$d%.2f" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-      s""""query_runs":$runsJson,"query_errors":$errsJson,""" +
+      s""""query_runs":$runsJson,"query_steal":$stealJson,""" +
+      s""""query_extra_runs":$extraJson,"query_errors":$errsJson,""" +
       s""""runs_per_query":$RunsPerQuery,"sf":${jstr(sfDir)},""" +
       s""""validated_files_per_sec":${median(fpsRuns)},""" +
       s""""validated_files_per_sec_max":${fpsRuns.max},""" +

@@ -1,0 +1,170 @@
+package graft.tools
+
+import graft.operators._
+import graft.sources.TableIO
+import graft.{Bench, ScalingBench, SparkEntry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-equivalent scale probe: runs the flagship and the most expensive
+  * shuffle-bearing operator families at TWO input scales (base = the sf0.1
+  * bench shape, 4M repo rows; 10× = 40M rows, the sf1-equivalent) over
+  * pre-written parquet, and writes a `BENCH_sf1.json`-shaped artifact with
+  * per-op wall time at both scales, the 10×/base wall ratio (≈10 ⇒ linear;
+  * the design headroom claim), per-op throughput, and driver heap after
+  * each op (flat across scales ⇒ nothing data-sized reaches the driver).
+  *
+  * The corpus is the engine's own deterministic generator — the testdata
+  * parquet stops at sf0.1, and the north rule's scale risk lives in the
+  * validation family, whose corpus the engine generates at any n. Inputs
+  * are written once and reused (generation is not measured).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [rows10x] (default 40000000)
+  */
+object ScaleProbe {
+
+  private def heapMB(): Long = {
+    System.gc()
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) / (1024 * 1024)
+  }
+
+  private def ops(spark: SparkSession, dir: String): Seq[(String, () => Long)] = {
+    import spark.implicits._
+    val cs = SparkEntry.fixtureSchema
+    def df: DataFrame = TableIO.readRepoFiles(spark, dir)
+    Seq(
+      // the flagship one-pass verdict+integrity summary (north-rule metric)
+      "flagship_summary" -> (() => {
+        val s = Validate.partitionSummary(df, cs).collect()
+        s.map(_.rows).sum
+      }),
+      // labeled violations for the failing minority (explode path)
+      "violations" -> (() => Validate.violations(df, cs).count()),
+      // salted cross-partition uniqueness (skew-guarded shuffle)
+      "uniqueness" -> (() => Uniqueness.duplicateKeys(df).count()),
+      // $ref anti-join (existence check against the key set)
+      "referential" -> (() => Referential.violations(df).count()),
+      // single-pass typed-Aggregator column stats incl. HLL distincts
+      "column_stats" -> (() => Stats.columnStats(
+        df.as[graft.sources.RepoFile]).collect().length.toLong),
+      // KL drift between two commit snapshots (two-histogram agg)
+      "drift_kl" -> (() => Drift.klBetween(df, "c000", "c111").collect().length.toLong),
+      // schema inference over the json slice (per-key profile agg)
+      "schema_infer" -> (() => SchemaInfer.profile(
+        df.filter(col("lang") === "json")).count()),
+      // exact dedup groups: digest groupBy shipping digests, never text
+      "exact_dedup" -> (() => Dedup.exactDuplicateGroups(
+        df.select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+                  col("content").as("text"))).count()),
+      // incremental validation: the table-sized ledger equi-join
+      "incremental_join" -> (() => {
+        val ledger = Validate.verdictLedger(df, cs)
+        Validate.incrementalVerdicts(df, ledger, cs)
+          .agg(sum(when(col("reused"), 0L).otherwise(1L))).head().getLong(0)
+      })
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows10x = args.headOption.map(_.toLong).getOrElse(40000000L)
+    val rowsBase = rows10x / 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def inputFor(n: Long) = s"/tmp/graft_scale_probe_$n"
+    Seq(rowsBase, rows10x).foreach { n =>
+      if (!new java.io.File(s"${inputFor(n)}/_SUCCESS").exists())
+        TableIO.writeRepoFiles(
+          graft.sources.RepoFiles.dataset(spark, n).repartition(256), inputFor(n))
+    }
+
+    // warm-up: every op once at base scale (C2 + codegen outside timing)
+    ops(spark, inputFor(rowsBase)).foreach { case (_, f) => f() }
+
+    final case class Cell(runs: Vector[Double], heapAfterMB: Long,
+                          steal: Vector[Long], result: Long) {
+      def secs: Double = Bench.median(runs)
+    }
+    val PassesPerScale = 3
+    def measure(n: Long): Seq[(String, Cell)] = {
+      // shuffle partitions follow the data, as a real deployment sizes them
+      // (spark.sql.shuffle.partitions ∝ input; AQE coalesces the excess).
+      // Run 1 of this probe showed why: the 40M-row ledger join at a FIXED
+      // 32 partitions put ~375 MB of sorted rows in each task and spilled
+      // (wall ratio 15× instead of ~5×) — a config-shape defect, not an
+      // operator defect, and exactly what this probe exists to catch.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(32L, n / 125000L).toString)
+      // interleaved passes + per-op medians: this host swings 3-5× run to
+      // run with little visible steal (see BASELINE.md), so single-shot
+      // cells are untrustworthy — same methodology as the query sweep
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Cell]
+      (1 to PassesPerScale).foreach { _ =>
+        ops(spark, inputFor(n)).foreach { case (name, f) =>
+          val st0 = ScalingBench.stealJiffies()
+          val t0 = System.nanoTime()
+          val res = f()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val steal = ScalingBench.stealJiffies() - st0
+          System.err.println(f"# $n%d ${name}%-18s $secs%8.2f s  steal $steal%d")
+          val prev = acc.get(name)
+          acc(name) = Cell(prev.map(_.runs).getOrElse(Vector.empty) :+ secs,
+            heapMB(), prev.map(_.steal).getOrElse(Vector.empty) :+ steal, res)
+        }
+      }
+      acc.toSeq
+    }
+
+    val base = measure(rowsBase)
+    val big = measure(rows10x)
+
+    // resume end-to-end (own input write + two runs through the sink) —
+    // measured once per scale, full lifecycle including the crash/resume
+    // protocol; this is the op whose write shape broke first at sf0.1
+    def resumeSecs(n: Long): Double = {
+      val out = s"/tmp/graft_scale_probe_resume_$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val t0 = System.nanoTime()
+      ResumableValidate.run(spark, inputFor(n), out, "r1",
+        SparkEntry.fixtureSchema, buckets = 64, maxBucketsPerRun = Some(20))
+      ResumableValidate.run(spark, inputFor(n), out, "r2",
+        SparkEntry.fixtureSchema, buckets = 64)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val resumeBase = resumeSecs(rowsBase)
+    val resumeBig = resumeSecs(rows10x)
+
+    def jstr(s: String) = "\"" + s + "\""
+    val rows = base.zip(big).map { case ((name, b), (_, g)) =>
+      val ratio = g.secs / b.secs
+      s"""{"op":${jstr(name)},"base_secs":${f"${b.secs}%.2f"},""" +
+      s""""x10_secs":${f"${g.secs}%.2f"},"wall_ratio":${f"$ratio%.2f"},""" +
+      s""""base_runs":${b.runs.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+      s""""x10_runs":${g.runs.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+      s""""base_rows_per_sec":${(rowsBase / b.secs).round},""" +
+      s""""x10_rows_per_sec":${(rows10x / g.secs).round},""" +
+      s""""heap_base_mb":${b.heapAfterMB},"heap_x10_mb":${g.heapAfterMB},""" +
+      s""""steal_base":${b.steal.mkString("[", ",", "]")},""" +
+      s""""steal_x10":${g.steal.mkString("[", ",", "]")},""" +
+      s""""result_base":${b.result},"result_x10":${g.result}}"""
+    } :+ {
+      s"""{"op":"resume_validate_e2e","base_secs":${f"$resumeBase%.2f"},""" +
+      s""""x10_secs":${f"$resumeBig%.2f"},"wall_ratio":${f"${resumeBig / resumeBase}%.2f"},""" +
+      s""""base_rows_per_sec":${(rowsBase / resumeBase).round},""" +
+      s""""x10_rows_per_sec":${(rows10x / resumeBig).round}}"""
+    }
+    val json =
+      s"""{"metric":"scale_probe","rows_base":$rowsBase,"rows_x10":$rows10x,""" +
+      s""""cpus":32,"ops":[${rows.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.json"), json)
+    spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    println(json)
+  }
+}

@@ -183,6 +183,41 @@ class DifferentialSpec extends AnyFunSuite {
     info(s"stream-vs-row pairs checked: $checked")
   }
 
+  test("per-row schema selection == per-schema verdicts on random pairs (incl. bad schemas)") {
+    val spark = SparkTestSession.get
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val gen = Gen.zip(genRootSchema(2), genDoc(3))
+    var seed = Seed(52525L + fuzzSeedOff)
+    val rows = (0 until 300).map { i =>
+      val (schema, doc) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val schemaText = i % 17 match {
+        case 13 => null                       // null schema → NULL verdict
+        case 14 => "{not json"                // malformed → NULL verdict
+        case 15 => """{"type":"nope"""        // truncated → NULL verdict
+        case _  => Json.compact(schema)
+      }
+      (i.toLong, Json.compact(doc), schemaText)
+    }
+    val got = graft.operators.Validate
+      .withVerdictBySchema(rows.toDF("id", "content", "schema_json"), col("schema_json"))
+      .select("id", "pass").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+      .toMap
+    rows.foreach { case (id, doc, schemaText) =>
+      val expected =
+        if (schemaText == null) None
+        else
+          (try Some(SchemaCompiler.compile(schemaText))
+           catch {
+             case _: graft.schema.SchemaCompileException |
+                  _: graft.json.JsonParseException => None
+           }).map(cs => RowEval.isValidText(cs, doc))
+      assert(got(id) == expected, s"row $id schema=$schemaText doc=$doc")
+    }
+  }
+
   test("chunk-feed incremental evaluator == row evaluator on random (schema, doc) pairs") {
     // pure driver-side: PushEval-through-ChunkedValidation at random chunk
     // boundaries; early rejection must only ever fire on invalid docs

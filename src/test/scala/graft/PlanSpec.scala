@@ -141,6 +141,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("per-row schema selection stays a shuffle-free narrow pass") {
+    val df = TableIO.readRepoFiles(spark, dir)
+    val p = plan(Validate.withVerdictBySchema(df,
+      when(col("lang") === "json", """{"required":["name"]}""")
+        .otherwise("""{}""")))
+    assert(exchanges(p) == 0, s"per-row schema verdict must not shuffle:\n$p")
+    assert(p.contains("jsonschema_valid_by"), p)
+  }
+
+  test("curate near-dup arm: component/representative joins, no cartesian") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => (i.toLong, s"doc $i body " + ("x " * (i % 5))))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val p = plan(TextOps.curate(docs, docs.limit(0), nearDupPairs = Some(pairs)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup composition must stay keyed:\n$p")
+  }
+
   test("row-eval and native column backends agree on the generated corpus") {
     val df = TableIO.readRepoFiles(spark, dir)
     val both = df.filter(col("lang") === "json").select(

@@ -50,6 +50,14 @@ final class ChunkedValidation(cs: CompiledSchema) {
     * violations). */
   def alive: Boolean = grammarAlive && !push.decidedInvalid
   private var grammarAlive = true
+  private var decidedAt = -1L
+
+  /** Upper bound on the bytes consumed when the verdict was decided early
+    * (grammar kill or sound constraint rejection): the end of the chunk in
+    * which it happened. -1 while undecided — per-byte precision would cost
+    * a per-byte boundary check, and a caller that wants it feeds 1-byte
+    * chunks (ValidateCli `-chunk 1`). */
+  def decidedAtByte: Long = decidedAt
 
   /** Constraint verdict resolved INVALID but is held for possible
     * duplicate-key re-binding in a still-open object (see [[PushEval]]). */
@@ -79,6 +87,7 @@ final class ChunkedValidation(cs: CompiledSchema) {
       System.arraycopy(chunk, off, buf, len, n)
       len += n
       grammarAlive = scanner.push(chunk, off, n)
+      if (decidedAt < 0 && !alive) decidedAt = len
     }
     this
   }

@@ -99,7 +99,13 @@ object ValidateCli {
         case Some(n) =>
           val cv = new graft.eval.ChunkedValidation(compiled)
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          bytes.grouped(math.max(1, n)).foreach(cv.more(_))
+          // jvst_validate_more semantics: stop feeding once decided — the
+          // remaining chunks are never read
+          val it = bytes.grouped(math.max(1, n))
+          while (cv.alive && it.hasNext) cv.more(it.next())
+          if (!cv.alive && cv.decidedAtByte < bytes.length)
+            println(s"$name: verdict decided after ${cv.decidedAtByte} of " +
+              s"${bytes.length} bytes (early exit)")
           cv.close()
         case None => RowEval.validateText(compiled, text)
       }

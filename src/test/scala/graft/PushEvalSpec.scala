@@ -95,6 +95,20 @@ class PushEvalSpec extends AnyFunSuite {
     assert(fails.nonEmpty && fails.head.constraint == "_early.invalid")
   }
 
+  test("decidedAtByte reports the deciding chunk boundary") {
+    val cs = SchemaCompiler.compile(Json.parse("""{"type":"object"}"""))
+    val cv = new ChunkedValidation(cs)
+    val bytes = "[1,2,3]".getBytes(UTF_8)
+    var i = 0
+    while (cv.alive && i < bytes.length) { cv.more(bytes, i, 1); i += 1 }
+    // 1-byte chunks: decided exactly at the first byte
+    assert(cv.decidedAtByte == 1L)
+    // undecided documents report -1
+    val ok = new ChunkedValidation(cs)
+    ok.more("""{"a":1}""".getBytes(UTF_8))
+    assert(ok.decidedAtByte == -1L && ok.closeValid())
+  }
+
   test("failing element of a root array decides INVALID mid-stream") {
     val cs = SchemaCompiler.compile(Json.parse("""{"items":{"type":"integer"}}"""))
     val cv = new ChunkedValidation(cs)

@@ -194,6 +194,38 @@ class PushEvalSpec extends AnyFunSuite {
     assert(cv.close().isEmpty == whole.isEmpty)
   }
 
+  test("crafted combinator/dependency/enum corners agree at 1-byte chunks") {
+    val cases = Seq(
+      // oneOf decided only at object close (0, 1, 2 branches true)
+      ("""{"oneOf":[{"required":["a"]},{"required":["b"]}]}""",
+        Seq("""{"a":1,"b":2}""", """{"a":1}""", """{}""")),
+      // schema-form dependencies evaluated on the materialized object
+      ("""{"dependencies":{"a":{"required":["b"]}}}""",
+        Seq("""{"a":1}""", """{"a":1,"b":2}""", """{"c":1}""")),
+      // not over property forwards (early branch falsity must INVERT, and
+      // the inverted true must not leak as an early verdict)
+      ("""{"not":{"properties":{"a":{"type":"integer"}}}}""",
+        Seq("""{"a":1}""", """{"a":"x"}""", """{}""")),
+      // enum with an object member: draft-04 deep equality incl. 1 ≡ 1.0
+      ("""{"enum":[{"a":1}]}""",
+        Seq("""{"a":1}""", """{"a":1.0}""", """{"a":2}""", """[1]""")),
+      // uniqueItems across numeric spellings in nested structures
+      ("""{"uniqueItems":true}""",
+        Seq("""[{"x":[1, 2.0]}, {"x":[1.00, 2]}]""", """[[1],[2]]""")),
+      // tuple items + additionalItems=false tail enforcement mid-array
+      ("""{"items":[{"type":"integer"}],"additionalItems":false}""",
+        Seq("""[1]""", """[1,2]""", """["x"]""")))
+    for ((schemaText, docs) <- cases; doc <- docs) {
+      val cs = SchemaCompiler.compile(Json.parse(schemaText))
+      val expected = RowEval.isValidText(cs, UTF8String.fromString(doc))
+      for (n <- Seq(1, doc.length + 1)) {
+        val cv = chunked(cs, doc, n)
+        if (cv.decidedInvalid) assert(!expected, s"unsound early exit: $schemaText $doc")
+        assert(cv.closeValid() == expected, s"$schemaText on $doc (chunk $n)")
+      }
+    }
+  }
+
   test("deeply recursive $ref schemas stream without divergence") {
     val schema = Json.parse(
       """{"properties":{"next":{"$ref":"#"},"v":{"type":"integer"}}}""")
